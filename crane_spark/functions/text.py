@@ -1,0 +1,60 @@
+"""Text analysis column expressions.
+
+Everything here is built from JVM-side array/string built-ins (split,
+transform, filter, aggregate) — no Python UDFs — so the whole text
+pipeline stays inside WholeStageCodegen and scales linearly with
+executors. Tokenization-on-space matches the reference's SplitBolt
+(/root/reference/app/word_count_topology.py:13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small English stopword list used by the language-ID heuristic and the
+# quality scorer. Keep in sync with SQL_STOPWORDS below.
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "in", "to", "is")
+
+SQL_STOPWORDS = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens of a text column (single-space separator)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.split(text, " ")
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (space-joined).
+
+    Array-lambda construction: no explode, no shuffle — each row
+    produces its shingle set inside codegen.
+    """
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)]
+        ),
+    )
+
+
+def sql_shingles(toks_expr: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`shingles` (1-based list indexing)."""
+    parts = " || ' ' || ".join(f"{toks_expr}[i+{k}]" for k in range(n))
+    return f"list_transform(range(1, len({toks_expr}) - {n - 2}), i -> {parts})"
+
+
+def token_fingerprint(text: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted
+    distinct token set. Two docs with the same vocabulary collide —
+    the classic 'fingerprint dedup' weaker than exact hash, stronger
+    than MinHash."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
+
+
+def stopword_ratio(toks: Column) -> Column:
+    """Fraction of tokens that are stopwords (0 for empty docs)."""
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1))

@@ -1,0 +1,184 @@
+"""Document deduplication operators.
+
+All four families are built from JVM array/string built-ins — no
+Python in the hot path — so each scales as: one narrow projection per
+document, then exactly one shuffle on the (small) signature key:
+
+* exact            — sha256(text) group            (cheapest, safest)
+* fingerprint      — md5(sorted distinct tokens)   (order-insensitive)
+* MinHash-LSH      — per-row signature via array lambdas, shuffle on
+                     band key only; candidate pairs from bucket joins
+* SimHash          — 16-bit weighted bit-vote signature
+* n-gram Jaccard   — exact pairwise verify for candidate sets
+
+At 100 TB: exact/fingerprint/simhash shuffle one short row per doc;
+LSH shuffles #bands rows per doc. Pair explosion is bounded by bucket
+size; verify (Jaccard) runs only on LSH candidates, never all-pairs.
+
+Deterministic hashing (md5/sha2 of strings) is used instead of seeded
+xxhash so the DuckDB oracle can reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from crane_spark.functions.text import shingles, token_fingerprint, tokens
+
+N_MINHASH = 8  # minhash permutations (md5-keyed)
+N_BANDS = 4  # LSH bands => 2 hashes per band
+SIMHASH_BITS = 16
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts: one row per distinct sha256, with the
+    surviving (minimum) id and the duplicate count."""
+    return (
+        docs.select(F.sha2(F.col(text_col), 256).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keeper_doc_id"))
+    )
+
+
+def fingerprint_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Vocabulary-fingerprint dedup: md5 over the sorted distinct token
+    set — catches word-order shuffles that exact hashing misses."""
+    return (
+        docs.select(token_fingerprint(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keeper_doc_id"))
+    )
+
+
+def _seeded_md5(seed: int):
+    # NB: the lambda must take exactly one arg — pyspark passes the
+    # array index as a second positional arg to binary lambdas.
+    prefix = f"{seed}:"
+    return lambda x: F.md5(F.concat(F.lit(prefix), x))
+
+
+def _minhash_cols(sh: Column) -> list[Column]:
+    """One min-hash per keyed md5 'permutation', computed entirely
+    inside codegen (transform + array_min; no explode)."""
+    return [
+        F.array_min(F.transform(sh, _seeded_md5(s))).alias(f"m{s}")
+        for s in range(N_MINHASH)
+    ]
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 3
+) -> DataFrame:
+    """(id, m0..m{k-1}) minhash signature per document; documents with
+    fewer than `shingle_n` tokens are dropped (no shingles)."""
+    toks = tokens(text_col)
+    base = docs.select(F.col(id_col), shingles(toks, shingle_n).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    return base.select(id_col, *_minhash_cols(F.col("sh")))
+
+
+def minhash_bands(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode a signature into (id, band, band_key) rows — the only
+    shuffled representation, #bands short rows per doc."""
+    rows_per_band = N_MINHASH // N_BANDS
+    band_structs = []
+    for b in range(N_BANDS):
+        members = [F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"), F.md5(F.concat_ws("|", *members)).alias("band_key")
+            )
+        )
+    return signatures.select(
+        id_col, F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def minhash_band_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 3
+) -> DataFrame:
+    """LSH candidate pairs: documents sharing any band bucket.
+    Returns distinct (doc_a < doc_b) pairs."""
+    bands = minhash_bands(minhash_signatures(docs, text_col, id_col, shingle_n), id_col)
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), F.col("band"), F.col("band_key")
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"), F.col("band"), F.col("band_key")
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash near-dup buckets: 16-bit weighted-bit-vote signature.
+
+    Per document: token frequencies vote +cnt/-cnt on each bit of the
+    token's hash (first 16 bits of md5); the sign of each bit total is
+    the signature bit. Docs sharing a signature are near-dup buckets.
+    One narrow explode + one shuffle on (id, token), then a per-id agg.
+    """
+    tok = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hexd = "0123456789abcdef"
+    h16 = F.lit(0)
+    md5c = F.md5(F.col("token"))
+    for i in range(4):
+        digit = F.instr(F.lit(hexd), F.substring(md5c, i + 1, 1)) - 1
+        h16 = h16 * 16 + digit
+    tok = tok.withColumn("h16", h16)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h16"), j).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+            .otherwise(-F.col("cnt"))
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    bits = tok.groupBy(id_col).agg(*votes)
+    sim = F.lit(0)
+    for j in range(SIMHASH_BITS):
+        sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return (
+        bits.select(F.col(id_col), sim.cast("long").alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keeper_doc_id"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard similarity (all pairs of the given
+    frame — callers pass a bounded candidate set, e.g. LSH output)."""
+    d = docs.select(
+        F.col(id_col), F.array_distinct(shingles(tokens(text_col), shingle_n)).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = d.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = d.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("long").alias("n_common"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,84 @@
+"""Embedding similarity search over array<float> columns.
+
+Two tiers, as a 100 TB ANN pipeline needs:
+
+* brute_force_topk — exact cosine top-k: broadcast the (small) query
+  set against the candidate corpus; one pass, no index. The
+  correctness baseline and the right answer whenever |queries| is
+  small relative to the corpus.
+* ivf_assign — the IVF building block: assign every vector to its
+  nearest centroid. At scale the corpus is partitioned by centroid id
+  (cluster-prune at query time: probe only the closest cells), turning
+  an O(N) scan into O(N/cells * probes).
+
+All math is JVM higher-order functions over double-cast arrays
+(functions.vectors) — deterministic order, no Python, no shuffle for
+the score computation itself. Cosines are rounded to 4 decimals and
+ranked on the rounded value with an id tiebreaker so results are
+reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crane_spark.functions.vectors import cosine_similarity, to_double_vec
+
+ROUND_DIGITS = 4
+
+
+def _with_double_vec(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    return df.withColumn(out, to_double_vec(vec_col))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k of each query against all candidates
+    (excluding self-matches on id). Queries are broadcast."""
+    q = _with_double_vec(queries, vec_col, "qv").select(
+        F.col(id_col).alias("query_id"), "qv"
+    )
+    c = _with_double_vec(candidates, vec_col, "cv").select(
+        F.col(id_col).alias("neighbor_id"), "cv"
+    )
+    sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), ROUND_DIGITS)
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign each vector to its nearest (max-cosine) centroid.
+    Centroids broadcast; ties break on centroid id."""
+    v = _with_double_vec(vectors, vec_col, "vv").select(F.col(id_col), "vv")
+    c = _with_double_vec(centroids, vec_col, "cv").select(
+        F.col(centroid_id_col), "cv"
+    )
+    sim = F.round(cosine_similarity(F.col("vv"), F.col("cv")), ROUND_DIGITS)
+    scored = v.crossJoin(F.broadcast(c)).select(
+        id_col, centroid_id_col, sim.alias("cosine")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cosine"), F.asc(centroid_id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, centroid_id_col, "cosine")
+    )

@@ -1,0 +1,16 @@
+"""The declared query surface (SURVEY.md §2.2 contract).
+
+Importing this package populates REGISTRY: every query is a named pair
+(DataFrame builder, DuckDB oracle SQL). The driver contract functions
+in __spark_entry__.py are thin views over this registry.
+"""
+
+from crane_spark.queries.core import REGISTRY, QuerySpec, oracle_sql, queries, register
+
+# Side-effect imports: each module registers its queries.
+from crane_spark.queries import reference  # noqa: F401
+from crane_spark.queries import relational  # noqa: F401
+from crane_spark.queries import events  # noqa: F401
+from crane_spark.queries import llm  # noqa: F401
+
+__all__ = ["REGISTRY", "QuerySpec", "register", "queries", "oracle_sql"]

@@ -1,0 +1,149 @@
+"""Event-stream queries over the `events` table.
+
+These are the batch twins of the Structured Streaming pipelines in
+crane_spark.streaming: identical logical plans run under readStream
+(tumbling windows <-> groupBy(window(...)), the user join <-> a
+stream-static broadcast join, sessionize <-> session_window /
+applyInPandasWithState). The batch forms are what the DuckDB oracle
+verifies; streaming equivalence is covered by tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crane_spark.functions.aggregates import dsum, sql_dsum
+from crane_spark.queries.core import register
+from crane_spark.tables import table
+
+JSON_SQL = """
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("json_extract_props", JSON_SQL, tags=("json", "agg"))
+def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column parsing: events.props is a JSON string; extract the
+    integer field and aggregate (int sums are exact everywhere)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+TUMBLING_SQL = f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       {sql_dsum('value', 2)} AS total_value
+FROM events
+GROUP BY window_start, event_type
+"""
+
+
+@register("tumbling_hour_counts", TUMBLING_SQL, tags=("window-time", "agg", "streaming-twin"))
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window (batch twin of the streaming
+    windowed aggregation; 1h tumbling window start == date_trunc)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value"
+        )
+    )
+
+
+EVENT_STATS_SQL = f"""
+SELECT event_type,
+       count(*) AS n_events,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       {sql_dsum('value', 2)} / COUNT(*) AS avg_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("event_type_stats", EVENT_STATS_SQL, tags=("agg",))
+def q_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        (dsum("value", 2) / F.count(F.lit(1))).alias("avg_value"),
+    )
+
+
+USER_JOIN_SQL = f"""
+SELECT c_mktsegment,
+       count(*) AS n_events,
+       {sql_dsum('value', 2)} AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("events_customer_join", USER_JOIN_SQL, tags=("join", "agg", "streaming-twin"))
+def q_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join twin: fact stream joined to a broadcast
+    dimension, grouped by a dimension attribute."""
+    ev = table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+SESSION_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS mic,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_mic
+  FROM events
+)
+SELECT user_id,
+       SUM(CASE WHEN prev_mic IS NULL OR mic - prev_mic > 300000000 THEN 1 ELSE 0 END) AS n_sessions,
+       count(*) AS n_events
+FROM ordered
+GROUP BY user_id
+"""
+
+
+@register("sessionize_users", SESSION_SQL, tags=("window", "sessions", "streaming-twin"))
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (5-minute inactivity gap) via lag over
+    an event-time window — the batch twin of session_window in
+    streaming. Microsecond integer arithmetic keeps it exact."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    mic = F.unix_micros(F.col("ts"))
+    with_prev = ev.select(
+        "user_id", "event_id", mic.alias("mic"), F.lag(mic).over(w).alias("prev_mic")
+    )
+    is_start = (
+        F.when(
+            F.col("prev_mic").isNull()
+            | ((F.col("mic") - F.col("prev_mic")) > 300_000_000),
+            1,
+        )
+        .otherwise(0)
+    )
+    return with_prev.groupBy("user_id").agg(
+        F.sum(is_start).alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )

@@ -1,0 +1,336 @@
+"""LLM-data-pipeline queries over `documents` and `embeddings`
+(dedup, similarity search, text analysis) with DuckDB oracles.
+
+The oracle SQL reproduces each signature bit-for-bit (md5/sha256 on
+strings, integer arithmetic, fixed-order double dot products rounded
+to 4 decimals), so even the MinHash/SimHash pipelines hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crane_spark.functions.text import SQL_STOPWORDS, STOPWORDS, stopword_ratio, tokens
+from crane_spark.llm.dedup import (
+    N_BANDS,
+    N_MINHASH,
+    SIMHASH_BITS,
+    exact_dedup,
+    fingerprint_dedup,
+    minhash_band_pairs,
+    ngram_jaccard_pairs,
+    simhash_groups,
+)
+from crane_spark.llm.similarity import brute_force_topk, ivf_assign
+from crane_spark.queries.core import register
+from crane_spark.tables import table
+
+EMBED_DIM = 64
+
+EXACT_DEDUP_SQL = """
+SELECT sha256(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY text_hash
+"""
+
+
+@register("exact_dedup", EXACT_DEDUP_SQL, tags=("llm", "dedup"))
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(table(spark, sf_dir, "documents"))
+
+
+FINGERPRINT_SQL = """
+SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+       count(*) AS n_copies, min(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY fingerprint
+"""
+
+
+@register("fingerprint_dedup", FINGERPRINT_SQL, tags=("llm", "dedup"))
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint_dedup(table(spark, sf_dir, "documents"))
+
+
+TEXT_STATS_SQL = """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("text_stats", TEXT_STATS_SQL, tags=("llm", "text", "agg"))
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    return docs.groupBy("lang").agg(
+        n.alias("n_docs"),
+        (F.sum("n_chars").cast("double") / n).alias("avg_chars"),
+        (F.sum(F.size(tokens("text"))).cast("double") / n).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+DOC_QUALITY_SQL = """
+WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+       CAST(n_chars AS DOUBLE) / len(toks) AS chars_per_token,
+       CAST(CASE WHEN len(toks) >= 20 AND len(toks) <= 1000
+                  AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.4
+            THEN 1 ELSE 0 END AS BIGINT) AS quality_flag
+FROM t
+"""
+
+
+@register("doc_quality", DOC_QUALITY_SQL, tags=("llm", "text"))
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: token count, type-token ratio,
+    chars-per-token, and a keep/drop flag — all codegen, no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    n_dis = F.size(F.array_distinct(toks))
+    ttr = n_dis.cast("double") / n_tok
+    flag = (
+        F.when((n_tok >= 20) & (n_tok <= 1000) & (ttr >= 0.4), 1).otherwise(0)
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        n_dis.cast("long").alias("n_distinct"),
+        ttr.alias("ttr"),
+        (F.col("n_chars").cast("double") / n_tok).alias("chars_per_token"),
+        flag.cast("long").alias("quality_flag"),
+    )
+
+
+LANG_ID_SQL = f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, lang,
+       CAST(len(list_filter(toks, t -> t IN {SQL_STOPWORDS})) AS DOUBLE)
+         / greatest(len(toks), 1) AS stopword_ratio,
+       CASE WHEN CAST(len(list_filter(toks, t -> t IN {SQL_STOPWORDS})) AS DOUBLE)
+                   / greatest(len(toks), 1) >= 0.05
+            THEN 'en' ELSE 'other' END AS pred_lang
+FROM t
+"""
+
+
+@register("lang_id_stopwords", LANG_ID_SQL, tags=("llm", "text"))
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-free language-ID heuristic: stopword density. The array
+    lambda (filter + isin) runs inside codegen — no explode."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    ratio = stopword_ratio(toks)
+    return docs.select(
+        "doc_id",
+        "lang",
+        ratio.alias("stopword_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("other").alias("pred_lang"),
+    )
+
+
+def _sql_shingle3(toks: str) -> str:
+    return (
+        f"list_transform(range(1, len({toks}) - 1), "
+        f"i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2])"
+    )
+
+
+def _sql_minhash(seed: int) -> str:
+    return f"list_aggregate(list_transform(sh, x -> md5('{seed}:' || x)), 'min')"
+
+
+_BAND_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, md5(m{2 * b} || '|' || m{2 * b + 1}) AS band_key FROM sig"
+    for b in range(N_BANDS)
+)
+
+MINHASH_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, {_sql_shingle3('toks')} AS sh FROM t WHERE len(toks) >= 3),
+sig AS (SELECT doc_id,
+        {', '.join(f'{_sql_minhash(s)} AS m{s}' for s in range(N_MINHASH))}
+        FROM s),
+bands AS ({_BAND_SELECTS})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+"""
+
+
+@register("minhash_lsh_pairs", MINHASH_SQL, tags=("llm", "dedup", "lsh"))
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (8 hashes, 4 bands of 2): the
+    shuffle carries only (doc_id, band_key); pairs come from bucket
+    self-joins, never an all-pairs product."""
+    return minhash_band_pairs(table(spark, sf_dir, "documents"))
+
+
+JACCARD_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(string_split(text,' '))),
+                        i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS sh
+  FROM documents WHERE doc_id < 40
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS BIGINT) AS n_common,
+       CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+         / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE len(a.sh) > 0 AND len(b.sh) > 0
+"""
+
+
+@register("ngram_jaccard", JACCARD_SQL, tags=("llm", "dedup"))
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-gram Jaccard over a bounded candidate set (doc_id < 40
+    here; in the pipeline, the LSH candidates)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    return ngram_jaccard_pairs(docs, shingle_n=2)
+
+
+def _sql_simhash() -> str:
+    hexd = "0123456789abcdef"
+    hv = " + ".join(
+        f"(strpos('{hexd}', substring(md5(token), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    votes = ", ".join(
+        f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN cnt ELSE -cnt END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sim = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, token, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY doc_id, token
+),
+h AS (SELECT doc_id, cnt, {hv} AS hv FROM tok),
+bits AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+FROM (SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM bits)
+GROUP BY simhash
+"""
+
+
+@register("simhash_groups", _sql_simhash(), tags=("llm", "dedup"))
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_groups(table(spark, sf_dir, "documents"))
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {EMBED_DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return (
+        f"sqrt(list_sum(list_transform(range(1, {EMBED_DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    )
+
+
+TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({_sql_dot('q.qv', 'e.embedding')}
+               / ({_sql_norm('q.qv')} * {_sql_norm('e.embedding')}), 4) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rn FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn
+  FROM sims
+) WHERE rn <= 3
+"""
+
+
+@register("embedding_topk", TOPK_SQL, tags=("llm", "similarity"))
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for 5 query vectors against the corpus
+    (broadcast queries; exact baseline for the IVF path)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(queries, emb, k=3).select(
+        "query_id", "neighbor_id", "cosine", "rn"
+    )
+
+
+IVF_SQL = f"""
+WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 10),
+v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+sims AS (
+  SELECT v.vec_id, c.centroid_id,
+         round({_sql_dot('v.embedding', 'c.cv')}
+               / ({_sql_norm('v.embedding')} * {_sql_norm('c.cv')}), 4) AS cosine
+  FROM v CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, centroid_id, cosine,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id) AS rn
+  FROM sims
+)
+SELECT centroid_id, count(*) AS n_assigned,
+       CAST(SUM(CAST(cosine AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_cosine
+FROM assigned WHERE rn = 1
+GROUP BY centroid_id
+"""
+
+
+@register("ivf_centroid_assign", IVF_SQL, tags=("llm", "similarity", "ivf"))
+def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization step: nearest-centroid assignment (the
+    partitioning that turns ANN scans into per-cell probes at scale)."""
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    vectors = emb.filter(F.col("vec_id") >= 10)
+    assigned = ivf_assign(vectors, centroids)
+    n = F.count(F.lit(1))
+    return assigned.groupBy("centroid_id").agg(
+        n.alias("n_assigned"),
+        (F.sum(F.col("cosine").cast("decimal(28,4)")).cast("double") / n).alias("avg_cosine"),
+    )
+
+
+ARRAY_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END AS BIGINT) AS has_spark,
+       toks[1] AS first_token,
+       list_sort(list_distinct(toks))[1] AS min_token
+FROM t
+"""
+
+
+@register("array_funcs", ARRAY_SQL, tags=("arrays", "projection"))
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.array_contains(toks, "spark").cast("long").alias("has_spark"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.array_min(F.array_distinct(toks)).alias("min_token"),
+    )

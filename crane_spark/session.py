@@ -1,0 +1,70 @@
+"""SparkSession factory.
+
+Defaults are written for the real design point — a multi-hundred-
+executor cluster scanning ~100 TB — while remaining correct on the
+local[N] test harness:
+
+* AQE on (runtime coalescing, skew-join splitting, dynamic join
+  strategy switch) so plans re-optimize with real statistics.
+* Broadcast threshold raised to 64 MiB: every dimension table in the
+  star schema (region/nation/supplier/part/customer at typical SFs)
+  should broadcast; only fact-fact joins may shuffle.
+* UTC session timezone: timestamp semantics must be engine-independent
+  (the correctness oracle runs in DuckDB).
+* Arrow enabled for the pandas interchange used by the vectorized UDF
+  extension points (LLM ops); never row-at-a-time Python.
+* Shuffle partition count is a knob: 32 for local runs, and AQE
+  coalesces down from `spark.sql.adaptive.coalescePartitions`; on a
+  real cluster set it ~2-3x total cores via SPARK_GRAFT_SHUFFLE.
+
+Reference lineage: the reference hard-codes a 10-node cluster and a
+500-tuple micro-batch (/root/reference/util.py:59-61, dfs/env.py:4-14);
+here cluster topology is the cluster manager's job and batch sizing is
+the trigger/file-split config below.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # The streaming surface checkpoints for exactly-once; state store
+    # defaults are fine locally, RocksDB is the cluster choice.
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    ),
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def default_master() -> str:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+
+
+def get_spark(
+    app_name: str = "crane_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession."""
+    builder = SparkSession.builder.appName(app_name).master(master or default_master())
+    conf = dict(DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for key, value in conf.items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
