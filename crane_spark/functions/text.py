@@ -32,11 +32,16 @@ def shingles(toks: Column, n: int = 3) -> Column:
     produces its shingle set inside codegen.
     """
     idx = F.sequence(F.lit(0), F.size(toks) - n)
-    return F.transform(
+    built = F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)]
         ),
+    )
+    # Guard: size < n would make the sequence run 0..negative and
+    # element_at hit index 0 (an ANSI error). Such docs have no shingles.
+    return F.when(F.size(toks) >= n, built).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from crane_spark.functions.text import shingles, token_fingerprint, tokens
+from crane_spark.tables import fan_out
 
 N_MINHASH = 8  # minhash permutations (md5-keyed)
 N_BANDS = 4  # LSH bands => 2 hashes per band
@@ -53,32 +54,27 @@ def fingerprint_dedup(
     )
 
 
-def _seeded_md5(seed: int):
-    # NB: the lambda must take exactly one arg — pyspark passes the
-    # array index as a second positional arg to binary lambdas.
-    prefix = f"{seed}:"
-    return lambda x: F.md5(F.concat(F.lit(prefix), x))
-
-
-def _minhash_cols(sh: Column) -> list[Column]:
-    """One min-hash per keyed md5 'permutation', computed entirely
-    inside codegen (transform + array_min; no explode)."""
-    return [
-        F.array_min(F.transform(sh, _seeded_md5(s))).alias(f"m{s}")
-        for s in range(N_MINHASH)
-    ]
-
-
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 3
 ) -> DataFrame:
     """(id, m0..m{k-1}) minhash signature per document; documents with
-    fewer than `shingle_n` tokens are dropped (no shingles)."""
-    toks = tokens(text_col)
-    base = docs.select(F.col(id_col), shingles(toks, shingle_n).alias("sh")).filter(
-        F.size("sh") > 0
-    )
-    return base.select(id_col, *_minhash_cols(F.col("sh")))
+    fewer than `shingle_n` tokens are dropped (they have no shingles,
+    and explode of an empty array drops the row).
+
+    Implementation note: the min-hashes are computed by exploding
+    shingles to rows and taking ``min(md5(seed || shingle))`` per doc
+    in ONE hash aggregate. This keeps the md5s inside WholeStageCodegen
+    (array-lambda variants evaluate interpreted, ~10x slower, and
+    Catalyst's project-collapsing re-inlines the shingle construction
+    into every lambda) and the map-side partial aggregation shrinks the
+    shuffle to one short row per (doc, partition)."""
+    sh = shingles(tokens(text_col), shingle_n)
+    exploded = fan_out(docs).select(F.col(id_col), F.explode(sh).alias("shingle"))
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"m{s}")
+        for s in range(N_MINHASH)
+    ]
+    return exploded.groupBy(id_col).agg(*mins)
 
 
 def minhash_bands(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -102,18 +98,29 @@ def minhash_band_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 3
 ) -> DataFrame:
     """LSH candidate pairs: documents sharing any band bucket.
-    Returns distinct (doc_a < doc_b) pairs."""
+    Returns distinct (doc_a < doc_b) pairs.
+
+    Pairs are generated INSIDE each bucket (groupBy band key ->
+    sorted id list -> in-array combinations) rather than via a bucket
+    self-join: the signature pipeline runs once, there is exactly one
+    shuffle (on the band key), and no join re-computation. Bucket
+    sizes bound the pair fan-out; a skew guard on enormous buckets
+    belongs at the caller (huge bucket == degenerate band, usually
+    boilerplate text worth dropping anyway).
+    """
     bands = minhash_bands(minhash_signatures(docs, text_col, id_col, shingle_n), id_col)
-    a = bands.select(
-        F.col(id_col).alias("doc_a"), F.col("band"), F.col("band_key")
+    buckets = bands.groupBy("band", "band_key").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
     )
-    b = bands.select(
-        F.col(id_col).alias("doc_b"), F.col("band"), F.col("band_key")
+    pairs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
     )
     return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.filter(F.size("ids") > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
@@ -129,7 +136,7 @@ def simhash_groups(
     One narrow explode + one shuffle on (id, token), then a per-id agg.
     """
     tok = (
-        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        fan_out(docs).select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -166,7 +173,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard similarity (all pairs of the given
     frame — callers pass a bounded candidate set, e.g. LSH output)."""
-    d = docs.select(
+    d = fan_out(docs).select(
         F.col(id_col), F.array_distinct(shingles(tokens(text_col), shingle_n)).alias("sh")
     ).filter(F.size("sh") > 0)
     a = d.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))

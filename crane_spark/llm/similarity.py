@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from crane_spark.functions.vectors import cosine_similarity, to_double_vec
+from crane_spark.tables import fan_out
 
 ROUND_DIGITS = 4
 
@@ -44,7 +45,7 @@ def brute_force_topk(
     q = _with_double_vec(queries, vec_col, "qv").select(
         F.col(id_col).alias("query_id"), "qv"
     )
-    c = _with_double_vec(candidates, vec_col, "cv").select(
+    c = _with_double_vec(fan_out(candidates), vec_col, "cv").select(
         F.col(id_col).alias("neighbor_id"), "cv"
     )
     sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), ROUND_DIGITS)
@@ -68,7 +69,7 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest (max-cosine) centroid.
     Centroids broadcast; ties break on centroid id."""
-    v = _with_double_vec(vectors, vec_col, "vv").select(F.col(id_col), "vv")
+    v = _with_double_vec(fan_out(vectors), vec_col, "vv").select(F.col(id_col), "vv")
     c = _with_double_vec(centroids, vec_col, "cv").select(
         F.col(centroid_id_col), "cv"
     )

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from crane_spark.functions.aggregates import dsum
+from crane_spark.tables import fan_out
 
 
 def wordcount(lines: DataFrame, text_col: str = "value") -> DataFrame:
@@ -64,6 +65,7 @@ def pagerank_contributions(
     Contributions are summed through DECIMAL(28,12) so the float total
     is independent of shuffle order (see functions.aggregates).
     """
+    edges = fan_out(edges)
     degrees = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdegree"))
     contrib = (F.lit(1.0) / (F.col("outdegree") + 1)).alias("contrib")
     return (

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from crane_spark.functions.aggregates import dsum, sql_dsum
 from crane_spark.queries.core import register
-from crane_spark.tables import table
+from crane_spark.tables import fan_out, table
 
 # --------------------------------------------------------------------
 # TPC-H-shaped analytics
@@ -342,7 +342,7 @@ GROUP BY bucket
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi (range) join: fact rows land in value-range buckets via
     a broadcast nested-loop join against a tiny bounds table."""
-    orders = table(spark, sf_dir, "orders")
+    orders = fan_out(table(spark, sf_dir, "orders"))
     buckets = spark.createDataFrame(
         [("small", 0.0, 100000.0), ("medium", 100000.0, 250000.0), ("large", 250000.0, 1e12)],
         "bucket string, lo double, hi double",

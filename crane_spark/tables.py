@@ -56,6 +56,24 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def fan_out(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
+    """Ensure a DataFrame has enough partitions to use the cluster.
+
+    Single (or few-file, single-row-group) parquet inputs scan as one
+    task, which serializes any compute-heavy downstream operator on one
+    core. If the current partition count is below ``min_ratio x
+    defaultParallelism``, round-robin repartition to defaultParallelism;
+    otherwise return the frame untouched (at production scale file
+    splits already provide parallelism and the extra shuffle would be
+    pure cost).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, int(target * min_ratio)):
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
 
