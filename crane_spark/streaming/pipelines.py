@@ -1,0 +1,125 @@
+"""Structured Streaming pipelines.
+
+The reference's whole runtime is a micro-batch streaming engine with
+at-least-once replay (SURVEY.md §1.3, §2.1 op L): root batches are
+re-emitted after 40 s until acked, and the master dedups stale acks by
+timestamp. Everything in this module replaces that machinery with
+checkpointed Structured Streaming — exactly-once, no custom code:
+
+* batch/stream parity: each pipeline applies the SAME transform
+  functions used by the batch queries (operators.topology), so the
+  logical plan — and therefore the result — is identical under
+  ``trigger(availableNow=True)``.
+* ``availableNow`` is the drain-a-file-as-a-stream semantics of the
+  reference's spout (read to EOF, then finish), with batch sizing
+  via maxFilesPerTrigger instead of CRANE_BATCH_SIZE=500.
+* watermarks + windows / dropDuplicates / stream-static joins are the
+  gap-fill streaming surface the reference lacks.
+
+State-store sizing note for 100 TB streams: keyed state (windows,
+dedup) lives in the state store partitioned by
+spark.sql.shuffle.partitions; watermarks bound its growth — every
+stateful pipeline here REQUIRES a watermark for that reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from crane_spark.functions.aggregates import dsum
+from crane_spark.operators.topology import global_filter_count, wordcount
+
+
+def stream_wordcount(lines: DataFrame) -> DataFrame:
+    """Streaming WordCount over a text-line stream (ops A-D as a
+    stateful streaming aggregation; use outputMode('complete') to a
+    memory/console sink, matching the master's final print)."""
+    return wordcount(lines)
+
+
+def stream_global_filter_count(df: DataFrame, predicate) -> DataFrame:
+    """Streaming TwitterUserFilter (ops E-F)."""
+    return global_filter_count(df, predicate)
+
+
+def windowed_event_stats(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling event-time window with a watermark: late rows beyond
+    the watermark are dropped and window state is evicted — the
+    late-data story the reference doesn't have."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_dedup_with_watermark(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon
+    (dropDuplicates keeps state only until the watermark passes)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates([*keys, ts_col])
+
+
+def stream_static_enrich(stream: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Stream-static join: the static side is re-read per micro-batch
+    and broadcast (dimension enrichment at stream speed)."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def stream_to_parquet(
+    df: DataFrame, path: str, checkpoint: str, available_now: bool = True
+) -> StreamingQuery:
+    """Durable exactly-once sink: parquet + checkpoint (replaces the
+    reference's XOR-ack + replay, SURVEY.md §2.1 op L)."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_available_now(
+    df: DataFrame,
+    sink_table: str,
+    output_mode: str = "complete",
+    checkpoint: str | None = None,
+    timeout_sec: int = 120,
+) -> None:
+    """Drain the stream to completion into an in-memory table (the
+    console/memory sink twin of the reference's final result print,
+    crane_master.py:166-169)."""
+    writer = (
+        df.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    query = writer.start()
+    try:
+        query.awaitTermination(timeout_sec)
+    finally:
+        if query.isActive:
+            query.stop()

@@ -1,0 +1,141 @@
+"""LLM-pipeline operators on crafted corpora: dedup recall/precision,
+similarity search vs a NumPy oracle, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from crane_spark.llm import (
+    brute_force_topk,
+    exact_dedup,
+    fingerprint_dedup,
+    ivf_assign,
+    minhash_band_pairs,
+    ngram_jaccard_pairs,
+    simhash_groups,
+)
+from crane_spark.llm.multimodal import asset_stats, extract_features, sample_frames
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR = BASE.replace("today", "tonight")  # one-token edit: near-dup
+SHUFFLED = "dog lazy the over jumps fox brown quick the near bank river the today"
+OTHER = "completely different words about spark engines and query optimizers here now"
+
+
+def _docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, NEAR),  # near dup of 0
+        (3, SHUFFLED),  # same vocabulary, different order
+        (4, OTHER),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    got = {r["keeper_doc_id"]: r["n_copies"] for r in exact_dedup(_docs(spark)).collect()}
+    assert got[0] == 2  # 0 and 1 collapse
+    assert sum(got.values()) == 5
+
+
+def test_fingerprint_dedup_catches_shuffles(spark):
+    got = {r["keeper_doc_id"]: r["n_copies"] for r in fingerprint_dedup(_docs(spark)).collect()}
+    assert got[0] == 3  # 0, 1 (exact) and 3 (shuffled vocabulary)
+
+
+def test_minhash_finds_near_dups(spark):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_band_pairs(_docs(spark)).collect()}
+    assert (0, 1) in pairs  # exact dup always collides
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup shares most shingles
+    assert not any(4 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_jaccard_orders_similarity(spark):
+    sims = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_docs(spark)).collect()
+    }
+    assert sims[(0, 1)] == 1.0
+    assert 0.5 < sims[(0, 2)] < 1.0
+    assert sims[(0, 4)] == 0.0
+
+
+def test_simhash_exact_dups_share_bucket(spark):
+    groups = {r["keeper_doc_id"]: r["n_docs"] for r in simhash_groups(_docs(spark)).collect()}
+    assert groups[0] >= 2  # 0 and 1 identical -> identical simhash
+
+
+def _vectors(spark, n=30, dim=8, seed=7):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    return vecs, spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    vecs, df = _vectors(spark)
+    queries = df.filter(F.col("vec_id") < 3)
+    got = brute_force_topk(queries, df, k=2).collect()
+    v = vecs.astype(np.float64)
+    sims = (v @ v.T) / (np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :])
+    for q in range(3):
+        order = [
+            int(i)
+            for i in np.lexsort((np.arange(len(v)), -np.round(sims[q], 4)))
+            if i != q
+        ][:2]
+        mine = [r["neighbor_id"] for r in got if r["query_id"] == q]
+        assert mine == order, f"query {q}"
+
+
+def test_ivf_assign_puts_centroid_on_itself(spark):
+    _, df = _vectors(spark)
+    centroids = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(df, centroids).collect()}
+    for c in range(4):
+        assert assigned[c] == c  # cosine(v, v) = 1 beats everything
+    assert len(assigned) == 30
+
+
+def _assets(spark):
+    rows = [
+        (0, bytearray(b"\x00\x01\x02\x03" * 10), "image/png"),
+        (1, bytearray(b"\xff" * 5), "audio/wav"),
+        (2, bytearray(b""), "image/png"),
+    ]
+    return spark.createDataFrame(rows, "asset_id long, data binary, mime string")
+
+
+def test_multimodal_feature_extraction_plumbing(spark):
+    out = extract_features(_assets(spark), fake=True).collect()
+    by_id = {r["asset_id"]: r for r in out}
+    assert by_id[0]["n_bytes"] == 40 and len(by_id[0]["feature"]) == 4
+    assert by_id[1]["feature"][1] == 255.0  # mean byte of \xff
+    assert by_id[2]["n_bytes"] == 0
+
+
+def test_multimodal_decode_stub_raises_without_fake(spark):
+    import pytest
+
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        extract_features(_assets(spark), fake=False).collect()
+
+
+def test_multimodal_frame_sampling(spark):
+    frames = sample_frames(_assets(spark), every_n_bytes=16, fake=True).collect()
+    per_asset = {}
+    for r in frames:
+        per_asset.setdefault(r["asset_id"], []).append(r["offset"])
+    assert sorted(per_asset[0]) == [0, 16, 32]  # 40 bytes -> 3 frames
+    assert 2 not in per_asset  # empty asset -> no frames
+
+
+def test_multimodal_asset_stats(spark):
+    stats = {r["mime"]: r for r in asset_stats(_assets(spark)).collect()}
+    assert stats["image/png"]["n_assets"] == 2
+    assert stats["image/png"]["total_bytes"] == 40
+    assert stats["audio/wav"]["max_bytes"] == 5

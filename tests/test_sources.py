@@ -1,0 +1,56 @@
+"""Source readers: text lines, typed CSV (permissive), ragged TSV
+adjacency — the reference's input formats (FIXTURES.md group A)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from crane_spark.sources import (
+    pagerank_edges_from_tsv,
+    read_text_lines,
+    twitter_rows_from_csv,
+)
+
+
+def test_read_text_lines(spark, tmp_path):
+    p = tmp_path / "lines.txt"
+    p.write_text("alpha beta\ngamma\n")
+    df = read_text_lines(spark, str(p))
+    assert [r["value"] for r in df.orderBy("value").collect()] == ["alpha beta", "gamma"]
+
+
+def test_twitter_csv_permissive_malformed(spark, tmp_path):
+    """Malformed int -> null (divergence from the reference, which
+    crashes and replays forever — SURVEY.md §2.1 note)."""
+    p = tmp_path / "twitter.csv"
+    p.write_text("aaa,0\nbbb,99\nbad,notanint\nccc,51\n")
+    df = twitter_rows_from_csv(spark, str(p))
+    rows = df.orderBy("name").collect()
+    assert [(r["name"], r["val"]) for r in rows] == [
+        ("aaa", 0),
+        ("bad", None),
+        ("bbb", 99),
+        ("ccc", 51),
+    ]
+    kept = df.filter(F.col("val") > 50).count()
+    assert kept == 2  # null filtered out, not crashed
+
+
+def test_pagerank_ragged_tsv(spark, tmp_path):
+    p = tmp_path / "edges.tsv"
+    p.write_text("1\t2\t3\n2\n3\t1\n")  # row '2' has no outlinks
+    edges = pagerank_edges_from_tsv(spark, str(p))
+    got = sorted((r["src"], r["dst"]) for r in edges.collect())
+    assert got == [("1", "2"), ("1", "3"), ("3", "1")]
+
+
+def test_json_roundtrip(spark, tmp_path):
+    import json
+
+    p = tmp_path / "data.json"
+    p.write_text(
+        "\n".join(json.dumps({"id": i, "tags": ["a", "b"][: i % 3]}) for i in range(4))
+    )
+    df = spark.read.json(str(p))
+    assert df.count() == 4
+    assert df.filter(F.size("tags") == 2).count() == 1

@@ -1,0 +1,141 @@
+"""Structured Streaming: batch/stream parity, watermark late-data
+drop, exactly-once checkpoint resume, streaming dedup, stream-static
+join. Replaces the reference's replay/ack machinery (SURVEY.md §2.1
+op L) with something strictly stronger — and these tests are the proof.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from crane_spark.operators.topology import wordcount
+from crane_spark.sources import read_text_lines
+from crane_spark.streaming import (
+    run_available_now,
+    stream_dedup_with_watermark,
+    stream_static_enrich,
+    stream_to_parquet,
+    stream_wordcount,
+    windowed_event_stats,
+)
+
+EVENT_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _write_events(spark, path, rows):
+    from datetime import datetime
+
+    rows = [
+        (eid, datetime.fromisoformat(ts), uid, etype, val)
+        for eid, ts, uid, etype, val in rows
+    ]
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_stream_wordcount_equals_batch(spark, tmp_path):
+    src = tmp_path / "txt"
+    src.mkdir()
+    (src / "a.txt").write_text("x y x\nz\n")
+    (src / "b.txt").write_text("x z z\n")
+    batch = {
+        r["token"]: r["cnt"]
+        for r in wordcount(read_text_lines(spark, str(src))).collect()
+    }
+    stream = stream_wordcount(read_text_lines(spark, str(src), streaming=True))
+    run_available_now(stream, "wc_sink", output_mode="complete")
+    got = {r["token"]: r["cnt"] for r in spark.table("wc_sink").collect()}
+    assert got == batch == {"x": 3, "y": 1, "z": 3}
+
+
+def test_windowed_stats_watermark_and_exactly_once(spark, tmp_path):
+    """Two availableNow runs over one checkpoint:
+
+    run 1: events up to 06:30 -> watermark passes, the 01:00 window is
+           finalized into the sink exactly once.
+    run 2 (same checkpoint): one new on-time row plus one LATE row
+           (01:15, far below the persisted watermark) -> the late row
+           is dropped and previously-emitted windows do not re-emit.
+    """
+    src = str(tmp_path / "events")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(EVENT_SCHEMA).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = stream_to_parquet(
+            windowed_event_stats(stream, window="1 hour", watermark="1 hour"),
+            sink,
+            ckpt,
+        )
+        q.awaitTermination(120)
+
+    _write_events(
+        spark,
+        src,
+        [
+            (1, "2024-01-01 01:10:00", 1, "click", 1.0),
+            (2, "2024-01-01 01:40:00", 1, "click", 2.0),
+        ],
+    )
+    _write_events(spark, src, [(3, "2024-01-01 06:30:00", 2, "view", 5.0)])
+    run()
+    first = spark.read.parquet(sink).collect()
+    finalized = {(str(r["window_start"]), r["event_type"]): r["n_events"] for r in first}
+    assert finalized[("2024-01-01 01:00:00", "click")] == 2  # window complete, once
+
+    _write_events(
+        spark,
+        src,
+        [
+            (4, "2024-01-01 07:30:00", 2, "view", 1.0),  # on time
+            (5, "2024-01-01 01:15:00", 1, "click", 9.0),  # LATE: below watermark
+        ],
+    )
+    run()
+    after = spark.read.parquet(sink).collect()
+    clicks_0100 = [
+        r
+        for r in after
+        if str(r["window_start"]) == "2024-01-01 01:00:00" and r["event_type"] == "click"
+    ]
+    assert len(clicks_0100) == 1  # not re-emitted, late row dropped
+    assert clicks_0100[0]["n_events"] == 2  # late row really is gone
+
+
+def test_stream_dedup_with_watermark(spark, tmp_path):
+    src = str(tmp_path / "events")
+    _write_events(
+        spark,
+        src,
+        [
+            (1, "2024-01-01 01:00:00", 1, "click", 1.0),
+            (1, "2024-01-01 01:00:00", 1, "click", 1.0),  # exact dup
+            (2, "2024-01-01 01:05:00", 1, "view", 2.0),
+        ],
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    deduped = stream_dedup_with_watermark(stream, keys=["event_id"])
+    run_available_now(deduped, "dedup_sink", output_mode="append")
+    assert spark.table("dedup_sink").count() == 2
+
+
+def test_stream_static_enrich(spark, sf_dir, tmp_path):
+    from crane_spark.tables import table
+
+    src = str(tmp_path / "events")
+    _write_events(
+        spark,
+        src,
+        [(1, "2024-01-01 01:00:00", 3, "click", 1.0), (2, "2024-01-01 01:01:00", 7, "view", 2.0)],
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    cust = table(spark, sf_dir, "customer")
+    joined = stream_static_enrich(
+        stream, cust, F.col("user_id") == F.col("c_custkey")
+    ).select("event_id", "user_id", "c_name", "c_mktsegment")
+    run_available_now(joined, "enrich_sink", output_mode="append")
+    rows = {r["user_id"]: r["c_name"] for r in spark.table("enrich_sink").collect()}
+    assert set(rows) == {3, 7}
+    assert all(name is not None for name in rows.values())

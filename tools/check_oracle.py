@@ -9,68 +9,11 @@ from __future__ import annotations
 import os
 import sys
 
-import duckdb
-import pandas as pd
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from crane_spark import get_spark
 from crane_spark.queries import REGISTRY
-from crane_spark.tables import TABLE_NAMES
-
-
-def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    con = duckdb.connect()
-    con.execute("SET TimeZone='UTC'")
-    for name in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
-        )
-    return con
-
-
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = df[c].astype("datetime64[us]")
-        elif str(df[c].dtype).startswith(("Int", "UInt")) or (
-            pd.api.types.is_integer_dtype(df[c]) and df[c].isna().any()
-        ):
-            df[c] = df[c].astype("float64")  # nullable ints -> float (NaN for null)
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-        elif pd.api.types.is_bool_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-    # Sort on stringified values: robust to None/NaN mixtures in object
-    # columns (identical frames stringify identically).
-    order = df.astype(str).sort_values(by=list(df.columns)).index
-    return df.loc[order].reset_index(drop=True)
-
-
-def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
-    problems = []
-    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
-        problems.append(f"columns differ: {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}")
-        return problems
-    if len(spark_pdf) != len(duck_pdf):
-        problems.append(f"row count {len(spark_pdf)} vs {len(duck_pdf)}")
-        return problems
-    s, d = normalize(spark_pdf), normalize(duck_pdf)
-    for c in s.columns:
-        if pd.api.types.is_float_dtype(s[c]) or pd.api.types.is_float_dtype(d[c]):
-            sv, dv = s[c].astype(float), d[c].astype(float)
-            if not ((sv == dv) | (sv.isna() & dv.isna())).all():
-                bad = (~((sv == dv) | (sv.isna() & dv.isna()))).idxmax()
-                problems.append(f"float col {c} differs, e.g. row {bad}: {sv[bad]!r} vs {dv[bad]!r}")
-        else:
-            sv = s[c].astype(object).where(s[c].notna(), None)
-            dv = d[c].astype(object).where(d[c].notna(), None)
-            eq = (sv == dv) | (sv.isna() & dv.isna())
-            if not eq.all():
-                bad = (~eq).idxmax()
-                problems.append(f"col {c} differs, e.g. row {bad}: {s[c][bad]!r} vs {d[c][bad]!r}")
-    return problems
+from crane_spark.testing import diff_frames, duck_connection
 
 
 def main() -> int:
@@ -96,7 +39,7 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures += 1
             continue
-        problems = compare(name, spark_pdf, duck_pdf)
+        problems = diff_frames(spark_pdf, duck_pdf)
         if problems:
             failures += 1
             print(f"FAIL  {name}: " + "; ".join(problems))
