@@ -10,7 +10,9 @@ from crane_spark.queries.core import REGISTRY, QuerySpec, oracle_sql, queries, r
 # Side-effect imports: each module registers its queries.
 from crane_spark.queries import reference  # noqa: F401
 from crane_spark.queries import relational  # noqa: F401
+from crane_spark.queries import relational2  # noqa: F401
 from crane_spark.queries import events  # noqa: F401
 from crane_spark.queries import llm  # noqa: F401
+from crane_spark.queries import udf  # noqa: F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "queries", "oracle_sql"]

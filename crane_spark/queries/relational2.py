@@ -1,0 +1,311 @@
+"""Second wave of relational coverage (SURVEY.md §2.2): outer joins,
+GROUPING SETS, map/struct functions, extended string/date functions,
+window analytics, pivot, multiset set-ops, native session windows,
+subqueries through the spark.sql surface, cross join."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crane_spark.functions.aggregates import dsum, sql_dsum
+from crane_spark.queries.core import register
+from crane_spark.tables import table
+
+FULL_OUTER_SQL = """
+SELECT coalesce(c.nk, s.nk) AS nationkey, n_cust, n_supp
+FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY nk) c
+FULL OUTER JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY nk) s
+  ON c.nk = s.nk
+"""
+
+
+@register("full_outer_nation_counts", FULL_OUTER_SQL, tags=("join", "outer"))
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates — nations appearing on only
+    one side surface with nulls on the other."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, "nk", "full_outer").select(
+        F.col("nk").alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+LEFT_JOIN_SQL = """
+SELECT o_orderkey, c_name,
+       CAST(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END AS BIGINT) AS unmatched
+FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey AND c_acctbal > 5000
+"""
+
+
+@register("left_join_with_condition", LEFT_JOIN_SQL, tags=("join", "outer"))
+def q_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join with a non-key predicate in the join condition: rows
+    whose match is filtered out keep the left side with nulls."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    cond = (orders.o_custkey == cust.c_custkey) & (cust.c_acctbal > 5000)
+    return orders.join(F.broadcast(cust), cond, "left").select(
+        "o_orderkey",
+        "c_name",
+        F.when(F.col("c_name").isNull(), 1).otherwise(0).cast("long").alias("unmatched"),
+    )
+
+
+GROUPING_SETS_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity', 2)} AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@register("grouping_sets", GROUPING_SETS_SQL, tags=("agg", "rollup", "sql"))
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the spark.sql surface (temp view
+    + SQL text -> same Catalyst path, SURVEY.md §3)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(GROUPING_SETS_SQL)
+
+
+MAP_STRUCT_SQL = """
+SELECT o_orderkey,
+       o_totalprice AS price_field,
+       o_orderstatus AS status_val,
+       CAST(2 AS INT) AS n_map_keys,
+       o_orderstatus || ':' || o_orderpriority AS packed
+FROM orders
+"""
+
+
+@register("map_struct_funcs", MAP_STRUCT_SQL, tags=("map", "struct", "projection"))
+def q_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct pack/field-access and map build/lookup (the oracle checks
+    the resulting VALUES; the construction under test is Spark-side)."""
+    orders = table(spark, sf_dir, "orders")
+    st = F.struct(
+        F.col("o_totalprice").alias("price"), F.col("o_orderdate").alias("d")
+    )
+    mp = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"), F.lit("prio"), F.col("o_orderpriority")
+    )
+    return orders.select(
+        "o_orderkey",
+        st.getField("price").alias("price_field"),
+        mp.getItem("status").alias("status_val"),
+        F.size(F.map_keys(mp)).alias("n_map_keys"),
+        F.concat_ws(":", mp.getItem("status"), mp.getItem("prio")).alias("packed"),
+    )
+
+
+STRING2_SQL = """
+SELECT p_partkey,
+       lower(p_type) AS type_lc,
+       trim(p_name) AS name_trim,
+       lpad(p_brand, 12, '*') AS brand_pad,
+       regexp_extract(p_name, '([0-9]+)', 1) AS name_digits,
+       CAST(strpos(p_type, 'a') AS BIGINT) AS a_pos,
+       reverse(p_brand) AS brand_rev
+FROM part
+"""
+
+
+@register("string_funcs2", STRING2_SQL, tags=("strings", "projection"))
+def q_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower("p_type").alias("type_lc"),
+        F.trim("p_name").alias("name_trim"),
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.regexp_extract("p_name", "([0-9]+)", 1).alias("name_digits"),
+        F.instr(F.col("p_type"), "a").cast("long").alias("a_pos"),
+        F.reverse("p_brand").alias("brand_rev"),
+    )
+
+
+DATETIME2_SQL = """
+SELECT o_orderkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec,
+       CAST(o_orderdate AS DATE) AS order_date,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+       CAST(EXTRACT(WEEK FROM o_orderdate) AS BIGINT) AS iso_week
+FROM orders
+"""
+
+
+@register("datetime_funcs2", DATETIME2_SQL, tags=("dates", "projection"))
+def q_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.unix_timestamp(d).alias("epoch_sec"),
+        F.to_date(d).alias("order_date"),
+        F.last_day(d).alias("month_end"),
+        F.date_add(F.to_date(d), 30).alias("due_date"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+    )
+
+
+ANALYTICS_SQL = """
+SELECT c_nationkey, c_custkey, c_acctbal,
+       CAST(dense_rank() OVER w AS BIGINT) AS drank,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       lag(c_acctbal, 2) OVER w AS lag2,
+       lead(c_acctbal) OVER w AS lead1,
+       percent_rank() OVER w AS prank
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+@register("window_analytics", ANALYTICS_SQL, tags=("window",))
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.lag("c_acctbal", 2).over(w).alias("lag2"),
+        F.lead("c_acctbal").over(w).alias("lead1"),
+        F.percent_rank().over(w).alias("prank"),
+    )
+
+
+PIVOT_SQL = """
+SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders
+GROUP BY o_year
+"""
+
+
+@register("pivot_status_by_year", PIVOT_SQL, tags=("agg", "pivot"))
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+
+
+EXCEPT_ALL_SQL = """
+SELECT o_custkey AS custkey FROM orders
+EXCEPT ALL
+SELECT c_custkey FROM customer
+"""
+
+
+@register("except_all_custkeys", EXCEPT_ALL_SQL, tags=("setop",))
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL: each customer key's order-multiplicity
+    minus one survives."""
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    return o.exceptAll(c)
+
+
+INTERSECT_ALL_SQL = """
+SELECT o_custkey AS custkey FROM orders
+INTERSECT ALL
+SELECT c_custkey FROM customer
+"""
+
+
+@register("intersect_all_custkeys", INTERSECT_ALL_SQL, tags=("setop",))
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    return o.intersectAll(c)
+
+
+SESSION_WINDOW_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+@register("session_windows_native", SESSION_WINDOW_SQL, tags=("window-time", "sessions", "streaming-twin"))
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window (5-minute gap) vs an islands-CTE
+    oracle. A session closes when the next event is >= gap away (the
+    window end ts+gap is exclusive). Batch twin of the streaming
+    session_window aggregation."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("sw.start").alias("session_start"), "n_events"
+        )
+    )
+
+
+SUBQUERY_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+        FROM orders
+      )
+  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+@register("scalar_in_subqueries", SUBQUERY_SQL, tags=("sql", "subquery", "filter"))
+def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar + IN subqueries through spark.sql (the threshold uses the
+    exact decimal average so both engines compare against the identical
+    double)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(SUBQUERY_SQL)
+
+
+CROSS_JOIN_SQL = """
+SELECT r_name, status
+FROM region
+CROSS JOIN (SELECT DISTINCT o_orderstatus AS status FROM orders)
+"""
+
+
+@register("cross_join_small", CROSS_JOIN_SQL, tags=("join", "cross"))
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = table(spark, sf_dir, "region")
+    status = (
+        table(spark, sf_dir, "orders")
+        .select(F.col("o_orderstatus").alias("status"))
+        .distinct()
+    )
+    return region.crossJoin(status).select("r_name", "status")

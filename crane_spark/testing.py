@@ -22,8 +22,16 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     """Canonical form for cross-engine compare: columns sorted by name,
     timestamps at us precision, nullable ints as float, rows ordered by
     stringified values (robust to None/NaN in object columns)."""
+    import datetime
+
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
+        if df[c].dtype == object:
+            non_null = df[c].dropna()
+            if len(non_null) and isinstance(non_null.iloc[0], datetime.date):
+                # DATE columns: Spark yields datetime.date, DuckDB
+                # yields Timestamps — canonicalize to datetime64[us].
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
         elif str(df[c].dtype).startswith(("Int", "UInt")) or (

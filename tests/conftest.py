@@ -20,6 +20,7 @@ def spark():
         extra_conf={
             "spark.sql.shuffle.partitions": "8",
             "spark.default.parallelism": "8",
+            "spark.sql.warehouse.dir": "/tmp/crane_spark_test_warehouse",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

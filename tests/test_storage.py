@@ -1,0 +1,65 @@
+"""Storage-layout scale features: partitioned writes with partition
+pruning, and bucketed tables whose joins skip the shuffle entirely.
+These are the physical designs the 100 TB deployment relies on
+(SURVEY.md §1.4: the reference's DFS becomes partitioned parquet)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from crane_spark.tables import table
+
+
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "events_by_type")
+    events = table(spark, sf_dir, "events")
+    events.write.partitionBy("event_type").parquet(out)
+
+    clicks = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = _explain(clicks)
+    assert "PartitionFilters: [" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
+    # pruning read only the click partition: counts still correct
+    assert clicks.count() == events.filter(F.col("event_type") == "click").count()
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed+sorted on the join key: the sort-merge join
+    consumes bucket layout directly — no Exchange on either side."""
+    spark.sql("DROP TABLE IF EXISTS cust_b")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    table(spark, sf_dir, "customer").write.bucketBy(8, "c_custkey").sortBy(
+        "c_custkey"
+    ).mode("overwrite").saveAsTable("cust_b")
+    table(spark, sf_dir, "orders").write.bucketBy(8, "o_custkey").sortBy(
+        "o_custkey"
+    ).mode("overwrite").saveAsTable("orders_b")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("orders_b").join(
+            spark.table("cust_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = _explain(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket co-location: zero shuffle
+        expected = (
+            table(spark, sf_dir, "orders")
+            .join(
+                table(spark, sf_dir, "customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .count()
+        )
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS cust_b")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
