@@ -60,6 +60,41 @@ def brute_force_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, IVF-bucketed.
+
+    All-pairs cosine is O(N^2) — unusable on a real corpus. Instead:
+    assign every vector to its nearest centroid (one broadcast pass),
+    then compare pairs only WITHIN a cell. Recall is bounded by the
+    cell partition (near-identical vectors land in the same cell);
+    cost is sum over cells of |cell|^2 instead of N^2.
+    Returns (vec_a < vec_b, cosine) with cosine >= threshold.
+    """
+    assigned = ivf_assign(vectors, centroids, vec_col, id_col, centroid_id_col)
+    v = _with_double_vec(vectors, vec_col, "v").select(F.col(id_col), "v")
+    cell = assigned.select(id_col, centroid_id_col).join(v, id_col)
+    a = cell.select(
+        F.col(id_col).alias("vec_a"), F.col(centroid_id_col), F.col("v").alias("va")
+    )
+    b = cell.select(
+        F.col(id_col).alias("vec_b"), F.col(centroid_id_col), F.col("v").alias("vb")
+    )
+    sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), ROUND_DIGITS)
+    return (
+        a.join(b, centroid_id_col)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

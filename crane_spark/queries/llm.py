@@ -312,6 +312,54 @@ def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEAR_DUP_SQL = f"""
+WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 10),
+v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+sims AS (
+  SELECT v.vec_id, c.centroid_id,
+         round({{dot}} / ({{vnorm}} * {{cnorm}}), 4) AS cosine
+  FROM v CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, centroid_id
+  FROM (SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id) AS rn
+        FROM sims)
+  WHERE rn = 1
+),
+cell AS (
+  SELECT a.vec_id, a.centroid_id, e.embedding
+  FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+)
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       round({{pdot}} / ({{xnorm}} * {{ynorm}}), 4) AS cosine
+FROM cell x JOIN cell y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+WHERE round({{pdot}} / ({{xnorm}} * {{ynorm}}), 4) >= 0.35
+""".format(
+    dot=_sql_dot("v.embedding", "c.cv"),
+    vnorm=_sql_norm("v.embedding"),
+    cnorm=_sql_norm("c.cv"),
+    pdot=_sql_dot("x.embedding", "y.embedding"),
+    xnorm=_sql_norm("x.embedding"),
+    ynorm=_sql_norm("y.embedding"),
+)
+
+
+@register("embedding_near_dup", NEAR_DUP_SQL, tags=("llm", "dedup", "similarity", "ivf"))
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, IVF-bucketed: pairs compared only
+    within their centroid cell (the synthetic embeddings are random, so
+    the 0.35 threshold stands in for the ~0.9 of a real corpus)."""
+    from crane_spark.llm.similarity import cosine_near_dup_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    vectors = emb.filter(F.col("vec_id") >= 10)
+    return cosine_near_dup_pairs(vectors, centroids, threshold=0.35)
+
+
 ARRAY_SQL = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 SELECT doc_id,

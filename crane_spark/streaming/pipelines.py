@@ -99,6 +99,41 @@ def stream_to_parquet(
     return writer.start()
 
 
+def stream_upsert_parquet(
+    df: DataFrame, path: str, checkpoint: str, key_cols: list[str]
+) -> StreamingQuery:
+    """foreachBatch upsert sink: each micro-batch replaces existing
+    rows for its keys (read-anti-join-union-overwrite on parquet; on a
+    real deployment the same foreachBatch body targets Delta/Iceberg
+    MERGE). This is the 'iterative/merge sink' surface from SURVEY §2.2
+    that plain append sinks can't express."""
+    import os
+
+    def upsert(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.dropDuplicates(key_cols)
+        if os.path.exists(path):
+            existing = spark.read.parquet(path)
+            keep = existing.join(batch.select(*key_cols), key_cols, "left_anti")
+            merged = keep.unionByName(batch)
+        else:
+            merged = batch
+        # Write to a staging dir then swap: overwriting the parquet we
+        # are reading in the same job would corrupt it.
+        staging = path + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        final = spark.read.parquet(staging)
+        final.write.mode("overwrite").parquet(path)
+
+    return (
+        df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     df: DataFrame,
     sink_table: str,

@@ -1,0 +1,141 @@
+"""Salted skew aggregation, applyInPandasWithState running totals,
+foreachBatch upsert sink, IVF-bucketed cosine near-dup."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from crane_spark.operators.skew import dsum_by, salted_groupby_sum, skewed_key_report
+from crane_spark.streaming.pipelines import stream_upsert_parquet
+from crane_spark.streaming.stateful import running_totals
+
+
+def _skewed(spark):
+    # 90% of rows share one key — the shape that melts a naive shuffle.
+    hot = [("hot", float(i % 7)) for i in range(900)]
+    cold = [(f"k{i % 37}", float(i % 5)) for i in range(100)]
+    return spark.createDataFrame(hot + cold, "key string, val double").repartition(8)
+
+
+def test_salted_groupby_equals_direct(spark):
+    df = _skewed(spark)
+    direct = {r["key"]: (r["value_sum"], r["n_rows"]) for r in dsum_by(df, "key", "val").collect()}
+    salted = {
+        r["key"]: (r["value_sum"], r["n_rows"])
+        for r in salted_groupby_sum(df, "key", "val").collect()
+    }
+    assert salted == direct
+    assert direct["hot"][1] == 900
+
+
+def test_skewed_key_report_flags_hot_key(spark):
+    top = skewed_key_report(_skewed(spark), "key", top=3).collect()
+    assert top[0]["key"] == "hot"
+    assert top[0]["share"] == 0.9
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """State survives micro-batch boundaries AND query restarts (the
+    thing a Crane bolt's per-batch dict can never do)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(rows):
+        spark.createDataFrame(rows, "k string, v double").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out = str(tmp_path / "out")
+
+    def run():
+        stream = spark.readStream.schema("k string, v double").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = (
+            running_totals(stream, "k", "v")
+            .writeStream.foreachBatch(
+                lambda b, i: b.withColumn("batch", F.lit(i))
+                .write.mode("append")
+                .parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def latest_totals():
+        rows = spark.read.parquet(out).collect()
+        latest = {}
+        for r in sorted(rows, key=lambda r: r["batch"]):
+            latest[r["key"]] = (r["running_count"], r["running_sum"])
+        return latest
+
+    write([("a", 1.0), ("a", 2.0), ("b", 5.0)])
+    write([("a", 4.0)])
+    run()
+    first = latest_totals()
+    assert first["a"] == (3, 7.0)  # accumulated across the two batches
+    assert first["b"] == (1, 5.0)
+
+    write([("b", 1.0), ("c", 9.0)])
+    run()  # restart from checkpoint: prior state recovered, not recounted
+    latest = latest_totals()
+    assert latest["a"] == (3, 7.0)
+    assert latest["b"] == (2, 6.0)
+    assert latest["c"] == (1, 9.0)
+
+
+def test_foreach_batch_upsert(spark, tmp_path):
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(rows):
+        spark.createDataFrame(rows, "k string, v double").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("k string, v double").parquet(src)
+        q = stream_upsert_parquet(stream, sink, ckpt, key_cols=["k"])
+        q.awaitTermination(120)
+
+    write([("a", 1.0), ("b", 2.0)])
+    run()
+    assert {(r["k"], r["v"]) for r in spark.read.parquet(sink).collect()} == {
+        ("a", 1.0),
+        ("b", 2.0),
+    }
+    write([("b", 9.0), ("c", 3.0)])  # b updated, c inserted
+    run()
+    assert {(r["k"], r["v"]) for r in spark.read.parquet(sink).collect()} == {
+        ("a", 1.0),
+        ("b", 9.0),
+        ("c", 3.0),
+    }
+
+
+def test_cosine_near_dup_finds_planted_dups(spark):
+    """Plant two near-identical vectors; the IVF-bucketed pass must
+    pair them (same nearest centroid by construction)."""
+    import numpy as np
+
+    from crane_spark.llm.similarity import cosine_near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(12, 16)).astype(np.float32)
+    base[11] = base[10] + rng.normal(scale=0.01, size=16).astype(np.float32)  # near-dup
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    centroids = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    pairs = cosine_near_dup_pairs(
+        df.filter(F.col("vec_id") >= 3), centroids, threshold=0.95
+    ).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in pairs} == {(10, 11)}
+    assert pairs[0]["cosine"] > 0.99
