@@ -111,6 +111,37 @@ def q_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_SQL = """
+SELECT c.event_id, c.user_id, c.ts,
+       p.ts AS last_purchase_ts,
+       p.value AS last_purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+"""
+
+
+@register("asof_last_purchase", ASOF_SQL, tags=("join", "asof", "streaming-twin"))
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click annotated with the user's latest
+    purchase at-or-before it (oracle: DuckDB's native ASOF JOIN;
+    engine: the union+window merge in operators.asof — one shuffle,
+    no range-join blowup)."""
+    from crane_spark.operators.asof import as_of_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = as_of_join(clicks, purchases, key="user_id", left_time="ts", right_time="ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof.ts").alias("last_purchase_ts"),
+        F.col("asof.value").alias("last_purchase_value"),
+    )
+
+
 SESSION_SQL = """
 WITH ordered AS (
   SELECT user_id, event_id, epoch_us(ts) AS mic,

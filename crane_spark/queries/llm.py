@@ -312,6 +312,33 @@ def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOKEN_COUNTS_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace_chars
+FROM documents
+"""
+
+
+@register("token_counts", TOKEN_COUNTS_SQL, tags=("llm", "text", "tokenize"))
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    segmentation (letter runs / digit runs / single other chars) — the
+    pre-tokenizer shape of byte-pair encoders, all in codegen."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").alias(
+            "bpe_ish_tokens"
+        ),
+        F.length("text").cast("long").alias("n_chars"),
+        F.length(F.regexp_replace("text", " ", "")).cast("long").alias("n_nonspace_chars"),
+    )
+
+
 NEAR_DUP_SQL = f"""
 WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 10),
 v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),

@@ -1,0 +1,76 @@
+"""The crane_spout custom Python DataSource: batch and streaming reads
+of a line file with 500-line micro-batches (reference ops A+B)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from crane_spark.sources.spout import DEFAULT_BATCH_SIZE, CraneSpoutDataSource
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(CraneSpoutDataSource)
+    return spark
+
+
+def _write_lines(path, n):
+    path.write_text("\n".join(f"line {i}" for i in range(n)) + "\n")
+
+
+def test_spout_batch_read(registered, tmp_path):
+    p = tmp_path / "input.txt"
+    _write_lines(p, 1234)
+    df = registered.read.format("crane_spout").option("path", str(p)).load()
+    assert df.count() == 1234
+    # batch partitioning mirrors CRANE_BATCH_SIZE chunks
+    assert df.rdd.getNumPartitions() == (1234 + DEFAULT_BATCH_SIZE - 1) // DEFAULT_BATCH_SIZE
+    first = df.orderBy("line_no").first()
+    assert (first["line_no"], first["value"]) == (0, "line 0")
+
+
+def test_spout_stream_microbatches(registered, tmp_path):
+    """The stream serves <=500 lines per micro-batch and drains the
+    file completely — spout-to-EOF semantics with offsets."""
+    p = tmp_path / "input.txt"
+    _write_lines(p, 1100)
+    out = str(tmp_path / "out")
+    stream = (
+        registered.readStream.format("crane_spout")
+        .option("path", str(p))
+        .option("batch_size", "500")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, i: b.withColumn("batch", F.lit(i)).write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    # drain to EOF (availableNow snapshots only the first prefetched
+    # simple-reader batch, so poll the continuous trigger instead)
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        try:
+            if registered.read.parquet(out).count() >= 1100:
+                break
+        except Exception:  # noqa: BLE001 - sink not yet created
+            pass
+        time.sleep(1)
+    q.stop()
+    got = registered.read.parquet(out)
+    assert got.count() == 1100
+    sizes = {
+        r["batch"]: r["n"]
+        for r in got.groupBy("batch").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(n <= 500 for n in sizes.values())
+    assert sorted(sizes.values(), reverse=True) == [500, 500, 100]
+    # every line exactly once, in offset order
+    assert got.select(F.min("line_no"), F.max("line_no")).first() == (0, 1099)
+    assert got.select("line_no").distinct().count() == 1100
