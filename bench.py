@@ -40,20 +40,26 @@ def main() -> int:
         "noop"
     ).save()
 
-    timings: dict[str, float] = {}
-    for name, spec in REGISTRY.items():
-        start = time.perf_counter()
-        spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+    # Two passes: the first pays codegen compilation and Python-worker
+    # startup (reported as cold_value); the second measures steady-state
+    # engine throughput, which is what scales.
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    for pass_timings in (cold, warm):
+        for name, spec in REGISTRY.items():
+            start = time.perf_counter()
+            spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            pass_timings[name] = round(time.perf_counter() - start, 3)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(warm.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "total_runtime_all_queries",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": warm,
+                "cold_value": round(sum(cold.values()), 3),
                 "sf": sf_from_dir(sf_dir),
             }
         )

@@ -165,6 +165,47 @@ def simhash_groups(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Rolling-hash document fingerprints (0-mod-p sampling).
+
+    Slide a k-char window over the text, hash every k-gram, and keep
+    the ~1/16 sample whose md5 starts with '0' — a content-defined
+    sample that is stable under edits outside the sampled grams (the
+    winnowing/moss family). The document fingerprint is the md5 of the
+    sorted sampled hashes; identical fingerprints => near-identical
+    character content.
+
+    Explode + codegen'd hash agg, same shape as minhash: one narrow
+    explode, one shuffle on doc id.
+    """
+    positions = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1)))
+    ).alias("pos")
+    grams = fan_out(docs).select(F.col(id_col), F.col(text_col), positions)
+    hashed = grams.select(
+        id_col, F.md5(F.substring(F.col(text_col), F.col("pos"), k)).alias("h")
+    )
+    sampled = hashed.filter(F.substring("h", 1, 1) == "0")
+    return (
+        sampled.groupBy(id_col)
+        .agg(
+            F.md5(F.concat_ws("|", F.sort_array(F.collect_set("h")))).alias("fingerprint"),
+            F.countDistinct("h").alias("n_sampled"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keeper_doc_id"),
+            F.min("n_sampled").alias("n_sampled"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -312,6 +312,55 @@ def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_SQL = """
+WITH grams AS (
+  SELECT doc_id, md5(substring(text, pos, 8)) AS h
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS pos
+        FROM documents)
+),
+sampled AS (SELECT DISTINCT doc_id, h FROM grams WHERE substring(h, 1, 1) = '0'),
+fp AS (
+  SELECT doc_id,
+         md5(string_agg(h, '|' ORDER BY h)) AS fingerprint,
+         count(*) AS n_sampled
+  FROM sampled GROUP BY doc_id
+)
+SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keeper_doc_id,
+       min(n_sampled) AS n_sampled
+FROM fp GROUP BY fingerprint
+"""
+
+
+@register("winnow_fingerprints", WINNOW_SQL, tags=("llm", "dedup", "rolling-hash"))
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (0-mod-p sampled k-gram) fingerprint dedup."""
+    from crane_spark.llm.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(table(spark, sf_dir, "documents"))
+
+
+POSEXPLODE_SQL = """
+SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.token AS token
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(string_split(text, ' ')) + 1),
+                i -> {'pos': i, 'token': string_split(text, ' ')[i]})) AS u
+  FROM documents WHERE doc_id < 20
+)
+"""
+
+
+@register("posexplode_tokens", POSEXPLODE_SQL, tags=("arrays", "udtf"))
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF-shaped lateral expansion: one row per (position, token)
+    (posexplode; 1-based to align with the SQL oracle)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "token")
+
+
 TOKEN_COUNTS_SQL = """
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

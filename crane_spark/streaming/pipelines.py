@@ -83,6 +83,31 @@ def stream_static_enrich(stream: DataFrame, dim: DataFrame, on, how: str = "inne
     return stream.join(F.broadcast(dim), on, how)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "1 hour",
+    within: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right rows join left rows
+    with the same key whose timestamp falls in
+    ``[right_ts, right_ts + within]``. Both sides carry watermarks so
+    the join state is evictable — unbounded state is the failure mode
+    of stream-stream joins at scale, and the time-bound + watermark is
+    what bounds it."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (lw[left_ts] >= rw[right_ts])
+        & (lw[left_ts] <= rw[right_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, "inner")
+
+
 def stream_to_parquet(
     df: DataFrame, path: str, checkpoint: str, available_now: bool = True
 ) -> StreamingQuery:

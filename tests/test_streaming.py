@@ -121,6 +121,47 @@ def test_stream_dedup_with_watermark(spark, tmp_path):
     assert spark.table("dedup_sink").count() == 2
 
 
+def test_stream_stream_join_within_bound(spark, tmp_path):
+    """Purchases join clicks of the same user within 30 minutes AFTER
+    the click; a purchase 2h later must NOT join."""
+    from crane_spark.streaming.pipelines import stream_stream_join
+
+    clicks_src = str(tmp_path / "clicks")
+    buys_src = str(tmp_path / "buys")
+    _write_events(
+        spark,
+        clicks_src,
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 0.0),
+            (2, "2024-01-01 12:00:00", 2, "click", 0.0),
+        ],
+    )
+    _write_events(
+        spark,
+        buys_src,
+        [
+            (10, "2024-01-01 09:50:00", 1, "purchase", 5.0),  # 10 min before click 1
+            (11, "2024-01-01 06:00:00", 2, "purchase", 9.0),  # 6h before click 2: out of bound
+        ],
+    )
+    clicks = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(clicks_src)
+        .selectExpr("event_id AS click_id", "user_id", "ts")
+    )
+    buys = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(buys_src)
+        .selectExpr("event_id AS buy_id", "user_id", "ts AS buy_ts", "value")
+    )
+    out = stream_stream_join(
+        clicks, buys, key="user_id", left_ts="ts", right_ts="buy_ts", within="30 minutes"
+    ).select("click_id", "buy_id", "value")
+    run_available_now(out, "ss_join_sink", output_mode="append")
+    rows = {(r["click_id"], r["buy_id"]) for r in spark.table("ss_join_sink").collect()}
+    assert rows == {(1, 10)}  # click 2's purchase was 6h earlier -> dropped
+
+
 def test_stream_static_enrich(spark, sf_dir, tmp_path):
     from crane_spark.tables import table
 
