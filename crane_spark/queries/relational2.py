@@ -293,6 +293,59 @@ def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SUBQUERY_SQL)
 
 
+GENERATE_SQL = """
+SELECT CAST(r.range AS BIGINT) AS id,
+       CAST(r.range * r.range AS BIGINT) AS id_sq,
+       CAST(r.range % 7 AS BIGINT) AS id_mod7,
+       CAST(CASE WHEN r.range % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_even
+FROM range(0, 1000) r
+"""
+
+
+@register("generate_series", GENERATE_SQL, tags=("generator", "projection"))
+def q_generate(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
+    """Table generator: spark.range (distributed id generation, no
+    source table at all) vs DuckDB's range()."""
+    r = spark.range(0, 1000)
+    return r.select(
+        F.col("id"),
+        (F.col("id") * F.col("id")).alias("id_sq"),
+        (F.col("id") % 7).alias("id_mod7"),
+        F.when(F.col("id") % 2 == 0, 1).otherwise(0).cast("long").alias("is_even"),
+    )
+
+
+ARRAYS2_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 50)
+SELECT doc_id,
+       array_to_string(toks[1:5], ' ') AS first5,
+       CAST(coalesce(list_position(toks, 'the'), 0) AS BIGINT) AS the_pos,
+       list_reverse(list_sort(list_distinct(toks)))[1] AS max_token,
+       array_to_string(flatten([toks[1:2], toks[2:3]]), ' ') AS overlap_grams
+FROM t
+"""
+
+
+@register("array_funcs2", ARRAYS2_SQL, tags=("arrays", "projection"))
+def q_arrays2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """slice / array_position / array_max / flatten coverage (array
+    results re-joined to strings so the cross-engine value hash never
+    sees engine-specific array representations)."""
+    from crane_spark.functions.text import tokens
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(toks, 1, 5)).alias("first5"),
+        F.array_position(toks, "the").cast("long").alias("the_pos"),
+        F.array_max(F.array_distinct(toks)).alias("max_token"),
+        F.concat_ws(
+            " ", F.flatten(F.array(F.slice(toks, 1, 2), F.slice(toks, 2, 2)))
+        ).alias("overlap_grams"),
+    )
+
+
 CROSS_JOIN_SQL = """
 SELECT r_name, status
 FROM region

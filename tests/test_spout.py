@@ -30,6 +30,58 @@ def test_spout_batch_read(registered, tmp_path):
     assert (first["line_no"], first["value"]) == (0, "line 0")
 
 
+def test_spout_wordcount_topology_end_to_end(registered, tmp_path):
+    """The complete reference WordCount topology through the custom
+    source: spout (crane_spout) -> split -> count -> complete-mode
+    sink, compared against the batch run of the same file."""
+    import os
+
+    from crane_spark.operators.topology import wordcount
+    from crane_spark.streaming import run_available_now
+
+    ref = "/root/reference/app/wordcount2k.csv"
+    p = tmp_path / "wc.txt"
+    if os.path.exists(ref):
+        p.write_text(open(ref, encoding="utf-8").read())
+    else:
+        _write_lines(p, 300)
+    batch = {
+        r["token"]: r["cnt"]
+        for r in wordcount(
+            registered.read.format("crane_spout").option("path", str(p)).load()
+        ).collect()
+    }
+    stream = (
+        registered.readStream.format("crane_spout")
+        .option("path", str(p))
+        .option("batch_size", "100")
+        .load()
+    )
+    import time
+
+    q = (
+        wordcount(stream)
+        .writeStream.format("memory")
+        .queryName("spout_wc_sink")
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        target = sum(batch.values())
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            got = {
+                r["token"]: r["cnt"] for r in registered.table("spout_wc_sink").collect()
+            }
+            if sum(got.values()) >= target:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert got == batch  # stream drained to exactly the batch counts
+
+
 def test_spout_stream_microbatches(registered, tmp_path):
     """The stream serves <=500 lines per micro-batch and drains the
     file completely — spout-to-EOF semantics with offsets."""
