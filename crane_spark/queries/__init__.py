@@ -13,6 +13,7 @@ from crane_spark.queries import relational  # noqa: F401
 from crane_spark.queries import relational2  # noqa: F401
 from crane_spark.queries import events  # noqa: F401
 from crane_spark.queries import llm  # noqa: F401
+from crane_spark.queries import stats  # noqa: F401
 from crane_spark.queries import udf  # noqa: F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "queries", "oracle_sql"]

@@ -1,0 +1,95 @@
+"""Statistical aggregates with cross-engine-exact formulations.
+
+Built-in stddev/variance/corr accumulate floats in engine-specific
+order, so they can't hash-match an oracle. Instead the moments are
+assembled from DECIMAL-exact sums (sum, sum of squares, sum of
+products): the only float operations are a fixed sequence of scalar
+ops on identical doubles — bit-identical everywhere, and exactly the
+map-side-combinable shape that scales (each partial is 5 numbers).
+
+Percentiles use linear interpolation (type-7), which Spark's
+``percentile`` and DuckDB's ``quantile_cont`` share.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crane_spark.queries.core import register
+from crane_spark.tables import table
+
+PERCENTILE_SQL = """
+SELECT o_orderstatus,
+       median(o_totalprice) AS median_price,
+       quantile_cont(o_totalprice, 0.9) AS p90_price,
+       quantile_cont(o_totalprice, 0.99) AS p99_price,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("percentiles_by_status", PERCENTILE_SQL, tags=("agg", "percentile"))
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return orders.groupBy("o_orderstatus").agg(
+        F.percentile(p, 0.5).alias("median_price"),
+        F.percentile(p, 0.9).alias("p90_price"),
+        F.percentile(p, 0.99).alias("p99_price"),
+        F.min(p).alias("min_price"),
+        F.max(p).alias("max_price"),
+    )
+
+
+MOMENTS_SQL = """
+WITH s AS (
+  SELECT o_orderstatus,
+         count(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(o_custkey AS DECIMAL(28,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(o_custkey * o_custkey AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(o_totalprice * o_custkey AS DECIMAL(38,2))) AS DOUBLE) AS sxy
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, n,
+       round((sxx - sx * sx / n) / (n - 1), 4) AS var_price,
+       round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_price,
+       round((sxy - sx * sy / n)
+             / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6) AS corr_price_cust
+FROM s
+"""
+
+
+@register("moments_by_status", MOMENTS_SQL, tags=("agg", "stats"))
+def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev/correlation from exact decimal sums — the
+    deterministic twin of stddev_samp/corr."""
+    orders = table(spark, sf_dir, "orders")
+    p, c = F.col("o_totalprice"), F.col("o_custkey")
+    n = F.count(F.lit(1))
+    sx = F.sum(p.cast("decimal(28,2)")).cast("double")
+    sxx = F.sum((p * p).cast("decimal(38,4)")).cast("double")
+    sy = F.sum(c.cast("decimal(28,0)")).cast("double")
+    syy = F.sum((c * c).cast("decimal(38,0)")).cast("double")
+    sxy = F.sum((p * c).cast("decimal(38,2)")).cast("double")
+    base = orders.groupBy("o_orderstatus").agg(
+        n.alias("n"), sx.alias("sx"), sxx.alias("sxx"),
+        sy.alias("sy"), syy.alias("syy"), sxy.alias("sxy"),
+    )
+    nn = F.col("n")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / nn) / (nn - 1)
+    corr = (F.col("sxy") - F.col("sx") * F.col("sy") / nn) / (
+        F.sqrt(F.col("sxx") - F.col("sx") * F.col("sx") / nn)
+        * F.sqrt(F.col("syy") - F.col("sy") * F.col("sy") / nn)
+    )
+    return base.select(
+        "o_orderstatus",
+        "n",
+        F.round(var, 4).alias("var_price"),
+        F.round(F.sqrt(var), 4).alias("stddev_price"),
+        F.round(corr, 6).alias("corr_price_cust"),
+    )

@@ -28,6 +28,33 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert clicks.count() == events.filter(F.col("event_type") == "click").count()
 
 
+def test_write_partitioned_layout(spark, sf_dir, tmp_path):
+    """write_partitioned controls partition dirs AND file counts (the
+    small-files guard), and the result round-trips with pruning."""
+    import glob
+
+    from crane_spark.sources.sinks import write_partitioned
+
+    out = str(tmp_path / "orders_by_status")
+    orders = table(spark, sf_dir, "orders")
+    write_partitioned(
+        orders, out, partition_by=["o_orderstatus"], sort_within=["o_orderdate"]
+    )
+    dirs = sorted(
+        p.split("=")[-1] for p in glob.glob(f"{out}/o_orderstatus=*")
+    )
+    assert dirs == ["F", "O", "P"]
+    for d in dirs:
+        files = glob.glob(f"{out}/o_orderstatus={d}/*.parquet")
+        assert len(files) == 1  # one task per partition: no file slivers
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    assert (
+        back.filter(F.col("o_orderstatus") == "O").count()
+        == orders.filter(F.col("o_orderstatus") == "O").count()
+    )
+
+
 def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
     """Two tables bucketed+sorted on the join key: the sort-merge join
     consumes bucket layout directly — no Exchange on either side."""
