@@ -1,0 +1,97 @@
+"""Iterative algorithms with exact oracles.
+
+The reference computes ONE PageRank contribution round
+(page_rank_topology.py:22-38); here the full iterative loop runs as a
+driver-side DataFrame iteration (SURVEY.md §4 custom-work item 1) and
+is verified against a DuckDB RECURSIVE CTE executing the identical
+recursion — per-iteration contribution sums routed through
+DECIMAL(38,12) on both engines so five rounds of float arithmetic stay
+bit-identical.
+
+Semantics note (shared by engine and oracle by construction): after
+iteration 1 the rank set is the vertices with >=1 inbound edge; the
+nation graph used here is dense enough that this equals the full vertex
+set (asserted in tests). Damping 0.85, rank_0 = 1.0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crane_spark.queries.core import register
+from crane_spark.tables import table
+
+N_ITER = 5
+RESET = 0.15
+DAMP = 0.85
+
+PAGERANK_ITER_SQL = f"""
+WITH RECURSIVE
+edges AS (
+  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+verts AS (
+  -- NB: inside a WITH RECURSIVE block DuckDB 1.0 does NOT dedupe a
+  -- bare `a UNION b` CTE (it parses as the recursive-union form);
+  -- the DISTINCT wrapper is required for correct vertex seeding.
+  SELECT DISTINCT vid
+  FROM (SELECT src AS vid FROM edges UNION ALL SELECT dst AS vid FROM edges)
+),
+pr AS (
+  SELECT 0 AS iter, vid, CAST(1.0 AS DOUBLE) AS rank FROM verts
+  UNION ALL
+  SELECT pr.iter + 1, e.dst AS vid,
+         CAST({RESET} AS DOUBLE) + CAST({DAMP} AS DOUBLE) *
+           CAST(SUM(CAST(pr.rank / d.outdeg AS DECIMAL(38,12))) AS DOUBLE)
+  FROM pr
+  JOIN edges e ON pr.vid = e.src
+  JOIN deg d ON e.src = d.src
+  WHERE pr.iter < {N_ITER}
+  GROUP BY pr.iter, e.dst
+)
+SELECT vid, rank FROM pr WHERE iter = {N_ITER}
+"""
+
+
+@register("pagerank_5iter_nations", PAGERANK_ITER_SQL, tags=("iterative", "join", "agg"))
+def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five PageRank iterations over the nation trade graph
+    (edges: customer-nation -> supplier-nation through orders)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    verts = edges.select(F.col("src").alias("vid")).union(
+        edges.select(F.col("dst"))
+    ).distinct()
+    ranks = verts.select("vid", F.lit(1.0).alias("rank"))
+    edges_deg = edges.join(deg, "src")
+    for _ in range(N_ITER):
+        ranks = (
+            edges_deg.join(ranks, edges_deg.src == ranks.vid)
+            .select(
+                F.col("dst"),
+                (F.col("rank") / F.col("outdeg")).cast("decimal(38,12)").alias("contrib"),
+            )
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(
+                (
+                    F.lit(RESET) + F.lit(DAMP) * F.sum("contrib").cast("double")
+                ).alias("rank")
+            )
+        )
+    return ranks
