@@ -293,6 +293,66 @@ def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SUBQUERY_SQL)
 
 
+LATERAL_SQL = """
+SELECT c_custkey, c_name, o_orderkey AS top_orderkey, o_totalprice AS top_price
+FROM customer,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 1
+) t
+WHERE c_custkey < 30
+"""
+
+
+@register("lateral_top_order", LATERAL_SQL, tags=("join", "lateral", "sql"))
+def q_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through spark.sql: per customer,
+    their single priciest order (the 'top-1 per key via lateral'
+    idiom; the window-function twin is top_customers_per_nation)."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(LATERAL_SQL)
+
+
+DQ_PROFILE_SQL = """
+SELECT count(*) AS n_rows,
+       count(o_orderkey) AS orderkey_nonnull,
+       count(DISTINCT o_orderkey) AS orderkey_distinct,
+       count(DISTINCT o_custkey) AS custkey_distinct,
+       count(DISTINCT o_orderstatus) AS status_distinct,
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_prices,
+       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_dates,
+       min(o_orderdate) AS min_date,
+       max(o_orderdate) AS max_date
+FROM orders
+"""
+
+
+@register("dq_profile_orders", DQ_PROFILE_SQL, tags=("profiling", "agg"))
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile in one pass: null/distinct/range checks —
+    the validation sweep a pipeline runs before trusting a new drop."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderkey").alias("orderkey_nonnull"),
+        F.countDistinct("o_orderkey").alias("orderkey_distinct"),
+        F.countDistinct("o_custkey").alias("custkey_distinct"),
+        F.countDistinct("o_orderstatus").alias("status_distinct"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).cast("long").alias(
+            "nonpositive_prices"
+        ),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).cast("long").alias(
+            "null_dates"
+        ),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+
+
 GENERATE_SQL = """
 SELECT CAST(r.range AS BIGINT) AS id,
        CAST(r.range * r.range AS BIGINT) AS id_sq,

@@ -104,6 +104,45 @@ def test_windowed_stats_watermark_and_exactly_once(spark, tmp_path):
     assert clicks_0100[0]["n_events"] == 2  # late row really is gone
 
 
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """session_window under readStream (with watermark) produces the
+    same sessions the batch session query computes."""
+    import pyspark.sql.functions as SF
+
+    src = str(tmp_path / "events")
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        (2, "2024-01-01 10:02:00", 1, "click", 1.0),  # same session (2 min gap)
+        (3, "2024-01-01 10:30:00", 1, "click", 1.0),  # new session (28 min gap)
+        (4, "2024-01-01 10:01:00", 2, "view", 1.0),
+    ]
+    _write_events(spark, src, rows)
+    batch = (
+        spark.read.schema(EVENT_SCHEMA)
+        .parquet(src)
+        .groupBy(SF.session_window("ts", "5 minutes").alias("sw"), "user_id")
+        .agg(SF.count(SF.lit(1)).alias("n_events"))
+        .select("user_id", SF.col("sw.start").alias("start"), "n_events")
+    )
+    expected = {(r["user_id"], str(r["start"])): r["n_events"] for r in batch.collect()}
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    sess = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(SF.session_window("ts", "5 minutes").alias("sw"), "user_id")
+        .agg(SF.count(SF.lit(1)).alias("n_events"))
+        .select("user_id", SF.col("sw.start").alias("start"), "n_events")
+    )
+    run_available_now(sess, "session_sink", output_mode="complete")
+    got = {
+        (r["user_id"], str(r["start"])): r["n_events"]
+        for r in spark.table("session_sink").collect()
+    }
+    assert got == expected
+    assert got[(1, "2024-01-01 10:00:00")] == 2  # merged 2-min-gap events
+    assert got[(1, "2024-01-01 10:30:00")] == 1
+
+
 def test_stream_dedup_with_watermark(spark, tmp_path):
     src = str(tmp_path / "events")
     _write_events(
