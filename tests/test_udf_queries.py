@@ -15,6 +15,35 @@ def test_pandas_topk_ranks_match_jvm(spark, sf_dir):
     assert jvm_ranked == pd_ranked
 
 
+def test_python_udtf(spark):
+    """Spark 4 Python UDTF surface: one input row -> many typed output
+    rows (the reference's SplitBolt as a user-defined table function)."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="word: string, length: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for w in text.split(" "):
+                yield (w, len(w))
+
+    spark.udtf.register("split_words", SplitWords)
+    rows = spark.sql(
+        "SELECT * FROM split_words('the quick brown fox')"
+    ).collect()
+    assert [(r["word"], r["length"]) for r in rows] == [
+        ("the", 3),
+        ("quick", 5),
+        ("brown", 5),
+        ("fox", 3),
+    ]
+    # lateral-join form over a table
+    spark.createDataFrame([("a bb",), ("ccc",)], "t string").createOrReplaceTempView("tt")
+    n = spark.sql(
+        "SELECT word FROM tt, LATERAL split_words(t)"
+    ).count()
+    assert n == 3
+
+
 def test_approx_distinct_within_rsd(spark, sf_dir):
     exact = {
         r["o_orderstatus"]: r["n_customers"]
