@@ -61,6 +61,35 @@ def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SLIDING_SQL = f"""
+SELECT window_start, event_type,
+       count(*) AS n_events,
+       {sql_dsum('value', 2)} AS total_value
+FROM (
+  SELECT unnest([date_trunc('hour', ts),
+                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+         event_type, value
+  FROM events
+)
+GROUP BY window_start, event_type
+"""
+
+
+@register("sliding_2h_counts", SLIDING_SQL, tags=("window-time", "agg", "streaming-twin"))
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2h width, 1h slide): every event belongs to two
+    overlapping windows. The oracle materializes the same assignment by
+    exploding each event into its two hourly-aligned window starts."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value"
+        )
+    )
+
+
 EVENT_STATS_SQL = f"""
 SELECT event_type,
        count(*) AS n_events,

@@ -361,6 +361,35 @@ def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "token")
 
 
+EXPLODE_OUTER_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text,' ')) >= 15
+              THEN list_transform(range(1, len(string_split(text,' ')) - 13),
+                     i -> string_split(text,' ')[i])
+              ELSE [] END AS heads
+  FROM documents WHERE doc_id < 30
+)
+SELECT doc_id, u AS head_token
+FROM (SELECT doc_id,
+             unnest(CASE WHEN len(heads) = 0 THEN [NULL] ELSE heads END) AS u
+      FROM t)
+"""
+
+
+@register("explode_outer_tokens", EXPLODE_OUTER_SQL, tags=("arrays", "udtf"))
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: documents whose array is empty survive as a null
+    row instead of vanishing (the outer-lateral semantics; the oracle
+    emulates it with a [NULL] substitution)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    toks = tokens("text")
+    heads = F.when(
+        F.size(toks) >= 15, F.slice(toks, 1, F.size(toks) - 14)
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode_outer(heads).alias("head_token"))
+
+
 TOKEN_COUNTS_SQL = """
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
