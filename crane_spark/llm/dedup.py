@@ -165,6 +165,82 @@ def simhash_groups(
     )
 
 
+def simhash_values(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash) — the per-document 16-bit signature (the grouped
+    form is simhash_groups)."""
+    tok = (
+        fan_out(docs).select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hexd = "0123456789abcdef"
+    h16 = F.lit(0)
+    md5c = F.md5(F.col("token"))
+    for i in range(4):
+        digit = F.instr(F.lit(hexd), F.substring(md5c, i + 1, 1)) - 1
+        h16 = h16 * 16 + digit
+    tok = tok.withColumn("h16", h16)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h16"), j).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+            .otherwise(-F.col("cnt"))
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    bits = tok.groupBy(id_col).agg(*votes)
+    sim = F.lit(0)
+    for j in range(SIMHASH_BITS):
+        sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bits.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs at Hamming distance <= 1 on the SimHash.
+
+    Bit-flip probing: each doc emits its signature plus the 16
+    one-bit-flip variants; docs sharing any probe value are within
+    Hamming distance 1. This is the multi-probe trick that finds
+    near-matches WITHOUT an all-pairs XOR scan — #probes rows per doc
+    through one shuffle, exactly like LSH banding.
+    """
+    sims = simhash_values(docs, text_col, id_col)
+    probes = F.array(
+        F.col("simhash"), *[
+            F.col("simhash").bitwiseXOR(F.lit(1 << j)) for j in range(SIMHASH_BITS)
+        ]
+    )
+    probed = sims.select(id_col, "simhash", F.explode(probes).alias("probe"))
+    buckets = probed.groupBy("probe").agg(
+        F.sort_array(F.collect_list(F.struct(id_col, "simhash"))).alias("members")
+    )
+    pairs = F.expr(
+        "flatten(transform(members, (x, i) -> "
+        "transform(slice(members, i + 2, size(members) - i - 1), "
+        f"y -> struct(x.{id_col} AS doc_a, y.{id_col} AS doc_b, "
+        f"x.simhash AS sim_a, y.simhash AS sim_b))))"
+    )
+    return (
+        buckets.filter(F.size("members") > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long").alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= 1)  # shared probes admit distance 2
+        .distinct()
+    )
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     text_col: str = "text",

@@ -361,6 +361,74 @@ def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "token")
 
 
+def _sql_simhash_values() -> str:
+    hexd = "0123456789abcdef"
+    hv = " + ".join(
+        f"(strpos('{hexd}', substring(md5(token), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    votes = ", ".join(
+        f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN cnt ELSE -cnt END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+  SELECT doc_id, CAST({sim} AS BIGINT) AS simhash
+  FROM (
+    SELECT doc_id, {votes}
+    FROM (SELECT doc_id, cnt, {hv} AS hv
+          FROM (SELECT doc_id, token, count(*) AS cnt
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+                GROUP BY doc_id, token))
+    GROUP BY doc_id)
+"""
+
+
+HAMMING_SQL = f"""
+WITH sims AS ({_sql_simhash_values()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+"""
+
+
+@register("simhash_hamming_pairs", HAMMING_SQL, tags=("llm", "dedup", "lsh"))
+def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance <= 1 via bit-flip
+    multi-probing (17 probe rows per doc, one shuffle — never an
+    all-pairs XOR scan; the oracle computes the same pair set the
+    brute-force way, which is exactly what an oracle is for)."""
+    from crane_spark.llm.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(table(spark, sf_dir, "documents"))
+
+
+NORMALIZED_DEDUP_SQL = """
+SELECT sha256(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS norm_hash,
+       count(*) AS n_copies,
+       min(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY norm_hash
+"""
+
+
+@register("normalized_dedup", NORMALIZED_DEDUP_SQL, tags=("llm", "dedup", "text"))
+def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-hash dedup: lowercase, trim, collapse runs of
+    spaces — the canonicalization pass that runs before exact hashing
+    in a real ingest pipeline."""
+    docs = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
+    return (
+        docs.select(F.sha2(norm, 256).alias("norm_hash"), "doc_id")
+        .groupBy("norm_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
 EXPLODE_OUTER_SQL = """
 WITH t AS (
   SELECT doc_id,

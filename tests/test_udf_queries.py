@@ -15,6 +15,67 @@ def test_pandas_topk_ranks_match_jvm(spark, sf_dir):
     assert jvm_ranked == pd_ranked
 
 
+def test_cogroup_apply_in_pandas(spark, sf_dir):
+    """cogroup().applyInPandas: per-key merge of two grouped frames in
+    pandas (orders vs events per customer) — the two-input grouped-map
+    surface."""
+    import pandas as pd
+
+    from crane_spark.tables import table
+
+    orders = table(spark, sf_dir, "orders").selectExpr(
+        "o_custkey AS key", "o_totalprice AS price"
+    )
+    events = table(spark, sf_dir, "events").selectExpr(
+        "user_id AS key", "value"
+    )
+
+    def merge(o: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+        key = o["key"].iloc[0] if len(o) else e["key"].iloc[0]
+        return pd.DataFrame(
+            {
+                "key": [int(key)],
+                "n_orders": [len(o)],
+                "n_events": [len(e)],
+                "max_price": [float(o["price"].max()) if len(o) else 0.0],
+            }
+        )
+
+    out = (
+        orders.groupBy("key")
+        .cogroup(events.groupBy("key"))
+        .applyInPandas(merge, schema="key long, n_orders long, n_events long, max_price double")
+    )
+    rows = {r["key"]: (r["n_orders"], r["n_events"]) for r in out.collect()}
+    # cross-check against plain aggregations
+    n_orders = {r["key"]: r["n"] for r in orders.groupBy("key").count().withColumnRenamed("count", "n").collect()}
+    n_events = {r["key"]: r["n"] for r in events.groupBy("key").count().withColumnRenamed("count", "n").collect()}
+    for key, (no, ne) in rows.items():
+        assert no == n_orders.get(key, 0), key
+        assert ne == n_events.get(key, 0), key
+
+
+def test_observe_metrics(spark, sf_dir):
+    """df.observe(): pipeline-side metrics collected during a real
+    action — the observability hook for production jobs."""
+    from pyspark.sql import Observation
+
+    from crane_spark.tables import table
+    import pyspark.sql.functions as F
+
+    obs = Observation("orders_metrics")
+    orders = table(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)")).cast("double").alias("revenue"),
+    )
+    n = orders.filter(F.col("o_totalprice") > 0).count()
+    metrics = obs.get
+    assert metrics["rows_seen"] == 1500
+    assert n <= metrics["rows_seen"]
+    assert metrics["revenue"] > 0
+
+
 def test_python_udtf(spark):
     """Spark 4 Python UDTF surface: one input row -> many typed output
     rows (the reference's SplitBolt as a user-defined table function)."""
