@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from crane_spark.functions.vectors import cosine_similarity, to_double_vec
+from crane_spark.functions.vectors import cosine_similarity, dot, to_double_vec, vec_norm
 from crane_spark.tables import fan_out
 
 ROUND_DIGITS = 4
@@ -79,14 +79,31 @@ def cosine_near_dup_pairs(
     """
     assigned = ivf_assign(vectors, centroids, vec_col, id_col, centroid_id_col)
     v = _with_double_vec(vectors, vec_col, "v").select(F.col(id_col), "v")
-    cell = assigned.select(id_col, centroid_id_col).join(v, id_col)
-    a = cell.select(
-        F.col(id_col).alias("vec_a"), F.col(centroid_id_col), F.col("v").alias("va")
+    # Materialize the assignment + per-vector norm ONCE (localCheckpoint)
+    # before the self-join — otherwise Spark recomputes the whole
+    # centroid cross-join on both sides. At warehouse scale this step
+    # would be a parquet write of the assignment table instead.
+    # The norm is computed here (not inside the pair lambda) so each
+    # vector is normalized once; the pair score then degenerates to a
+    # plain dot product: d multiplies per pair instead of 3d + 2 sqrt.
+    cell = (
+        assigned.select(id_col, centroid_id_col)
+        .join(v, id_col)
+        .select(id_col, centroid_id_col, "v", vec_norm(F.col("v")).alias("nrm"))
+        .localCheckpoint(eager=True)
     )
-    b = cell.select(
-        F.col(id_col).alias("vec_b"), F.col(centroid_id_col), F.col("v").alias("vb")
+    celln = cell.select(
+        id_col,
+        centroid_id_col,
+        F.transform("v", lambda x: x / F.col("nrm")).alias("vn"),
     )
-    sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), ROUND_DIGITS)
+    a = celln.select(
+        F.col(id_col).alias("vec_a"), F.col(centroid_id_col), F.col("vn").alias("va")
+    )
+    b = celln.select(
+        F.col(id_col).alias("vec_b"), F.col(centroid_id_col), F.col("vn").alias("vb")
+    )
+    sim = F.round(dot(F.col("va"), F.col("vb")), ROUND_DIGITS)
     return (
         a.join(b, centroid_id_col)
         .filter(F.col("vec_a") < F.col("vec_b"))

@@ -64,13 +64,19 @@ def pagerank_contributions(
 
     Contributions are summed through DECIMAL(28,12) so the float total
     is independent of shuffle order (see functions.aggregates).
+
+    Outdegree comes from a window count over ``src`` rather than a
+    groupBy + self-join: one scan of the edge list and two exchanges
+    (src, then dst) instead of three, which matters when the edge list
+    is the 100 TB fact table.
     """
+    from pyspark.sql import Window
+
     edges = fan_out(edges)
-    degrees = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdegree"))
-    contrib = (F.lit(1.0) / (F.col("outdegree") + 1)).alias("contrib")
+    outdeg = F.count(F.lit(1)).over(Window.partitionBy(src))
+    contrib = (F.lit(1.0) / (outdeg + 1)).alias("contrib")
     return (
-        edges.join(degrees, src)
-        .select(F.col(dst).alias("url"), contrib)
+        edges.select(F.col(dst).alias("url"), contrib)
         .groupBy("url")
         .agg(dsum(F.col("contrib"), scale=12).alias("rank"))
     )

@@ -501,20 +501,22 @@ assigned AS (
   WHERE rn = 1
 ),
 cell AS (
-  SELECT a.vec_id, a.centroid_id, e.embedding
+  SELECT a.vec_id, a.centroid_id,
+         list_transform(range(1, {{dim1}}),
+                        i -> CAST(e.embedding[i] AS DOUBLE) / {{enorm}}) AS vn
   FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
 )
 SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-       round({{pdot}} / ({{xnorm}} * {{ynorm}}), 4) AS cosine
+       round({{vndot}}, 4) AS cosine
 FROM cell x JOIN cell y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
-WHERE round({{pdot}} / ({{xnorm}} * {{ynorm}}), 4) >= 0.35
+WHERE round({{vndot}}, 4) >= 0.35
 """.format(
     dot=_sql_dot("v.embedding", "c.cv"),
     vnorm=_sql_norm("v.embedding"),
     cnorm=_sql_norm("c.cv"),
-    pdot=_sql_dot("x.embedding", "y.embedding"),
-    xnorm=_sql_norm("x.embedding"),
-    ynorm=_sql_norm("y.embedding"),
+    dim1=EMBED_DIM + 1,
+    enorm=_sql_norm("e.embedding"),
+    vndot=f"list_sum(list_transform(range(1, {EMBED_DIM + 1}), i -> x.vn[i] * y.vn[i]))",
 )
 
 

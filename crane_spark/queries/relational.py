@@ -46,14 +46,27 @@ GROUP BY l_returnflag, l_linestatus
 def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: wide multi-aggregate with group-by on two low-
     cardinality keys. Partial aggregation shrinks the shuffle to
-    (#groups x #partitions) rows."""
+    (#groups x #partitions) rows.
+
+    The local testdata is one single-row-group file per table, so the
+    scan-side partial agg would serialize on one core; fan_out spreads
+    the (projected, filtered) rows first. At production scale the file
+    splits already parallelize the scan and fan_out is a no-op."""
     li = table(spark, sf_dir, "lineitem")
     one = F.lit(1.0)
     disc_price = F.col("l_extendedprice") * (one - F.col("l_discount"))
     charge = disc_price * (one + F.col("l_tax"))
     n = F.count(F.lit(1))
+    needed = [
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax",
+    ]
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-06-30").cast("timestamp"))
+        fan_out(
+            li.filter(
+                F.col("l_shipdate") <= F.lit("2000-06-30").cast("timestamp")
+            ).select(*needed)
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", 2).alias("sum_qty"),
