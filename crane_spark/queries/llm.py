@@ -557,3 +557,92 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(toks, 1).alias("first_token"),
         F.array_min(F.array_distinct(toks)).alias("min_token"),
     )
+
+
+# --------------------------------------------------------------------
+# Deterministic sampling / dataset splits (llm/sampling.py)
+# --------------------------------------------------------------------
+
+from crane_spark.llm.sampling import (  # noqa: E402
+    deterministic_sample,
+    hash_bucket,
+    sql_hash_bucket,
+    train_test_split,
+    stratified_sample,
+)
+
+SAMPLE_SQL = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {sql_hash_bucket('doc_id', 'corpus-v1')} < 6553
+"""
+
+
+@register("deterministic_sample", SAMPLE_SQL, tags=("llm", "sampling"))
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% content-hash sample of the corpus: the same doc_ids are
+    kept on ANY partitioning, cluster size, or engine — unlike
+    df.sample(), whose per-partition RNG is layout-dependent. A pure
+    scan predicate: no shuffle, streams through 100 TB untouched."""
+    docs = table(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", 0.1, salt="corpus-v1").select(
+        "doc_id", "lang", "source"
+    )
+
+
+SPLIT_SQL = f"""
+SELECT split, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM (
+  SELECT doc_id,
+         CASE WHEN {sql_hash_bucket('doc_id', 'split')} < 6553
+              THEN 'test' ELSE 'train' END AS split
+  FROM documents
+)
+GROUP BY split
+"""
+
+
+@register("train_test_split", SPLIT_SQL, tags=("llm", "sampling"))
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 90/10 train/test split by content hash: membership is a
+    property of the row, not of the run. Verified by per-split counts
+    and id ranges."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        train_test_split(docs, "doc_id", test_fraction=0.1)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+STRATIFIED_SQL = f"""
+SELECT lang, count(*) AS n_kept
+FROM documents
+WHERE {sql_hash_bucket('doc_id', 'strat')} <
+      CASE lang WHEN 'en' THEN 13107 WHEN 'de' THEN 32768 ELSE 3276 END
+GROUP BY lang
+"""
+
+
+@register("stratified_sample", STRATIFIED_SQL, tags=("llm", "sampling"))
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling rates over one shared hash (en 20%,
+    de 50%, everything else 5%) — the downsample-the-overrepresented
+    knob of a corpus build, still fully deterministic."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(
+            docs,
+            "doc_id",
+            "lang",
+            {"en": 0.2, "de": 0.5},
+            default_fraction=0.05,
+            salt="strat",
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
