@@ -70,3 +70,74 @@ def running_totals(
             timeoutConf="NoTimeout",
         )
     )
+
+
+# --------------------------------------------------------------------
+# Spark 4 arbitrary-state API (transformWithStateInPandas)
+# --------------------------------------------------------------------
+
+def _has_tws_runtime() -> bool:
+    """transformWithStateInPandas talks to the state store over a
+    protobuf channel; the worker crashes without google.protobuf.
+    Gate so environments without it fall back to
+    applyInPandasWithState (running_totals above)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_totals_tws(
+    stream: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """`running_totals` on the Spark 4 arbitrary-state API
+    (transformWithStateInPandas + ValueState): same semantics, but the
+    processor can hold multiple named state variables (value/list/map),
+    register timers, and evolve state schema — the long-term home for
+    custom stateful operators.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...state.RocksDBStateStoreProvider``) — which is also the right
+    store at 100 TB: state spills to local SST files + changelog
+    checkpointing instead of living on the JVM heap.
+    """
+    if not _has_tws_runtime():
+        raise NotImplementedError(
+            "transformWithStateInPandas requires google.protobuf, which "
+            "is not installed in this environment; use running_totals()."
+        )
+
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._totals = handle.getValueState("totals", RUNNING_STATE)
+
+        def handleInputRows(self, key, rows, timer_values):
+            count, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                count += len(pdf)
+                total += float(pdf["v"].sum())
+            self._totals.update((count, total))
+            yield pd.DataFrame(
+                {"key": [key[0]], "running_count": [count], "running_sum": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.selectExpr(f"CAST({key_col} AS STRING) AS key", f"{value_col} AS v")
+        .groupBy("key")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=RUNNING_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

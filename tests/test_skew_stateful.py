@@ -139,3 +139,33 @@ def test_cosine_near_dup_finds_planted_dups(spark):
     ).collect()
     assert {(r["vec_a"], r["vec_b"]) for r in pairs} == {(10, 11)}
     assert pairs[0]["cosine"] > 0.99
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Spark 4 arbitrary-state API twin of running_totals. The TWS
+    protobuf runtime isn't installed here, so this exercises the
+    gate; with protobuf present the body matches the
+    applyInPandasWithState test above."""
+    import pytest
+
+    from crane_spark.streaming.stateful import _has_tws_runtime, running_totals_tws
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([("a", 1.0)], "k string, v double").write.parquet(src)
+    stream = spark.readStream.schema("k string, v double").parquet(src)
+    if not _has_tws_runtime():
+        with pytest.raises(NotImplementedError):
+            running_totals_tws(stream, "k", "v")
+        return
+    out = running_totals_tws(stream, "k", "v")
+    q = (
+        out.writeStream.format("memory").queryName("tws_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["key"]: (r["running_count"], r["running_sum"])
+            for r in spark.sql("select * from tws_totals").collect()}
+    assert rows["a"] == (1, 1.0)
