@@ -226,18 +226,16 @@ def simhash_hamming_pairs(
     return (
         buckets.filter(F.size("members") > 1)
         .select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .distinct()
         .select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long").alias(
-                "hamming"
-            ),
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.bit_count(F.col("p.sim_a").bitwiseXOR(F.col("p.sim_b")))
+            .cast("long")
+            .alias("hamming"),
         )
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(F.col("hamming") <= 1)  # shared probes admit distance 2
-        .distinct()
+        .distinct()  # one dedup shuffle, after the cheap narrow filters
     )
 
 

@@ -135,3 +135,81 @@ def ivf_assign(
         .filter(F.col("rn") == 1)
         .select(id_col, centroid_id_col, "cosine")
     )
+
+
+def ivf_probe_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    probes: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """ANN top-k via IVF cell probing — the scale path that replaces
+    brute force once the corpus outgrows a full scan.
+
+    Candidates are assigned to their nearest cell once (an index-build
+    step; at warehouse scale, a parquet table partitioned by cell).
+    Each query probes its `probes` nearest cells and re-ranks exactly
+    within them: cost O(|corpus|/cells * probes) per query instead of
+    O(|corpus|). Recall < 1 by construction — a neighbor whose cell
+    isn't probed is missed — which is the standard IVF tradeoff.
+
+    Scores are dot products of pre-normalized vectors, rounded to 4
+    decimals with id tiebreakers (deterministic across engines).
+    """
+    cand_cells = ivf_assign(candidates, centroids, vec_col, id_col, centroid_id_col)
+    cn = _with_double_vec(candidates, vec_col, "cv").select(
+        F.col(id_col), vec_norm(F.col("cv")).alias("cnrm"), "cv"
+    )
+    # Checkpoint BEFORE the normalizing transform: CollapseProject
+    # would otherwise inline the norm aggregate into the per-element
+    # lambda (d x d interpreted ops per vector).
+    cand_raw = (
+        cand_cells.select(id_col, centroid_id_col)
+        .join(cn, id_col)
+        .localCheckpoint(eager=True)
+    )
+    cand = cand_raw.select(
+        F.col(id_col).alias("neighbor_id"),
+        centroid_id_col,
+        F.transform("cv", lambda x: x / F.col("cnrm")).alias("cvn"),
+    )
+
+    q = _with_double_vec(queries, vec_col, "qv").select(
+        F.col(id_col).alias("query_id"), "qv"
+    )
+    c = _with_double_vec(centroids, vec_col, "ctv").select(
+        F.col(centroid_id_col), "ctv"
+    )
+    qsim = F.round(cosine_similarity(F.col("qv"), F.col("ctv")), ROUND_DIGITS)
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc(centroid_id_col))
+    probed = (
+        q.crossJoin(F.broadcast(c))
+        .select("query_id", "qv", centroid_id_col, qsim.alias("qcos"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= probes)
+        .select(
+            "query_id",
+            centroid_id_col,
+            vec_norm(F.col("qv")).alias("qnrm"),
+            "qv",
+        )
+        .select(
+            "query_id",
+            centroid_id_col,
+            F.transform("qv", lambda x: x / F.col("qnrm")).alias("qvn"),
+        )
+    )
+
+    sim = F.round(dot(F.col("qvn"), F.col("cvn")), ROUND_DIGITS)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.join(F.broadcast(probed), centroid_id_col)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )

@@ -1,0 +1,179 @@
+"""Training-data pipeline queries: document chunking, sequence
+packing, and IVF probe ANN top-k — each with an exact DuckDB oracle.
+
+These are the corpus-prep steps between raw documents and a training
+run: slice docs into context windows, pack them into fixed-token
+budgets, and retrieve nearest neighbors through the IVF index instead
+of a full scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crane_spark.llm.chunking import chunk_documents, pack_by_token_budget
+from crane_spark.queries.core import register
+from crane_spark.queries.llm import EMBED_DIM, _sql_dot, _sql_norm
+from crane_spark.tables import table
+
+CHUNK, STRIDE = 64, 48
+
+CHUNKS_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(toks, i*{STRIDE}+1, i*{STRIDE}+{CHUNK}), ' ') AS chunk_text,
+       CAST(len(list_slice(toks, i*{STRIDE}+1, i*{STRIDE}+{CHUNK})) AS BIGINT) AS chunk_len
+FROM t, unnest(range(0, CAST(ceil(len(toks) / CAST({STRIDE} AS DOUBLE)) AS BIGINT))) AS u(i)
+"""
+
+
+@register("doc_chunks", CHUNKS_SQL, tags=("llm", "chunking", "udtf"))
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping {CHUNK}-token windows with stride {STRIDE}: the
+    context-window prep step. sequence+slice+explode — narrow plan,
+    chunks at scan speed with zero shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=CHUNK, stride=STRIDE)
+
+
+PACK_SQL = """
+SELECT source, doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(floor(COALESCE(SUM(len(string_split(text, ' ')))
+                    OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / CAST(2048 AS DOUBLE)) AS BIGINT) AS pack_id
+FROM documents
+"""
+
+
+@register("pack_by_budget", PACK_SQL, tags=("llm", "chunking", "window"))
+def q_pack_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing by cumulative token count: consecutive docs
+    within a source share a pack until 2048 tokens are consumed — a
+    window cumsum instead of an unscalable greedy loop."""
+    docs = table(spark, sf_dir, "documents")
+    return pack_by_token_budget(docs, budget=2048)
+
+
+_CAND_NORM = "list_transform(range(1, {d1}), i -> CAST(e.embedding[i] AS DOUBLE) / {n})".format(
+    d1=EMBED_DIM + 1, n=_sql_norm("e.embedding")
+)
+_Q_NORM = "list_transform(range(1, {d1}), i -> CAST(qv[i] AS DOUBLE) / {n})".format(
+    d1=EMBED_DIM + 1, n=_sql_norm("qv")
+)
+_PAIR_DOT = f"list_sum(list_transform(range(1, {EMBED_DIM + 1}), i -> p.qvn[i] * cand.cvn[i]))"
+
+IVF_TOPK_SQL = f"""
+WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 10),
+qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id >= 10 AND vec_id < 15),
+cand0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 15),
+csims AS (
+  SELECT cand0.vec_id, c.centroid_id,
+         round({_sql_dot('cand0.embedding', 'c.cv')}
+               / ({_sql_norm('cand0.embedding')} * {_sql_norm('c.cv')}), 4) AS cosine
+  FROM cand0 CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, centroid_id
+  FROM (SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id) AS rn
+        FROM csims)
+  WHERE rn = 1
+),
+cand AS (
+  SELECT a.vec_id AS neighbor_id, a.centroid_id, {_CAND_NORM} AS cvn
+  FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+),
+qsims AS (
+  SELECT qs.query_id, c.centroid_id, qs.qv,
+         round({_sql_dot('qs.qv', 'c.cv')}
+               / ({_sql_norm('qs.qv')} * {_sql_norm('c.cv')}), 4) AS qcos
+  FROM qs CROSS JOIN c
+),
+probed AS (
+  SELECT query_id, centroid_id, {_Q_NORM} AS qvn
+  FROM (SELECT query_id, centroid_id, qv,
+               row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, centroid_id) AS rn
+        FROM qsims)
+  WHERE rn <= 2
+),
+scored AS (
+  SELECT p.query_id, cand.neighbor_id, round({_PAIR_DOT}, 4) AS cosine
+  FROM cand JOIN probed p ON cand.centroid_id = p.centroid_id
+  WHERE p.query_id <> cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn
+FROM (SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored)
+WHERE rn <= 3
+"""
+
+
+@register("ivf_probe_topk", IVF_TOPK_SQL, tags=("llm", "similarity", "ivf", "ann"))
+def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 through the IVF index with 2-cell probing: each query
+    scans only its two nearest cells (~1/5 of this corpus) instead of
+    everything — the retrieval path that survives a 100 TB corpus."""
+    from crane_spark.llm.similarity import ivf_probe_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    candidates = emb.filter(F.col("vec_id") >= 15)
+    return ivf_probe_topk(queries, candidates, centroids, k=3, probes=2)
+
+
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+URL_RE = r"https?://[^ ]+"
+
+SCRUB_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact: user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or https://ex.com/d/' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{EMAIL_RE}', '<EMAIL>', 'g'),
+         '{URL_RE}', '<URL>', 'g'),
+         ' +', ' ', 'g') AS cleaned,
+       CAST(length(text) - length(regexp_replace(text, '{EMAIL_RE}', '', 'g')) > 0 AS BIGINT) AS had_email,
+       CAST(length(text) - length(regexp_replace(text, '{URL_RE}', '', 'g')) > 0 AS BIGINT) AS had_url
+FROM planted
+"""
+
+
+@register("pii_scrub", SCRUB_SQL, tags=("llm", "text", "cleaning"))
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning: mask emails and URLs, collapse runs of spaces,
+    and flag what was found. The synthetic docs contain neither, so the
+    query plants one of each (keyed by doc_id) and the oracle verifies
+    the scrub actually fires. Pure regexp_replace — codegen, no
+    shuffle, scan-speed at any corpus size."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or https://ex.com/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    def scrub(col):
+        c = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+        c = F.regexp_replace(c, URL_RE, "<URL>")
+        return F.regexp_replace(c, " +", " ")
+    had = lambda col, pat: (
+        (F.length(col) - F.length(F.regexp_replace(col, pat, ""))) > 0
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        scrub(planted).alias("cleaned"),
+        had(planted, EMAIL_RE).alias("had_email"),
+        had(planted, URL_RE).alias("had_url"),
+    )

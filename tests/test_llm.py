@@ -139,3 +139,78 @@ def test_multimodal_asset_stats(spark):
     assert stats["image/png"]["n_assets"] == 2
     assert stats["image/png"]["total_bytes"] == 40
     assert stats["audio/wav"]["max_bytes"] == 5
+
+
+def test_chunks_cover_document_with_stride_overlap(spark, sf_dir):
+    """Every token appears in at least one chunk; consecutive chunks
+    overlap by chunk-stride tokens; reassembling the stride-aligned
+    prefixes reproduces the document."""
+    from crane_spark.llm.chunking import chunk_documents
+    from crane_spark.tables import table
+    import pyspark.sql.functions as F
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    chunks = chunk_documents(docs, chunk_tokens=64, stride=48).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    by_doc = {}
+    for r in sorted(chunks, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_text"])
+    for doc_id, parts in by_doc.items():
+        toks = texts[doc_id].split(" ")
+        # stride-aligned prefix of each chunk, full tail for the last
+        rebuilt = []
+        for i, part in enumerate(parts):
+            ptoks = part.split(" ")
+            rebuilt.extend(ptoks if i == len(parts) - 1 else ptoks[:48])
+        assert rebuilt == toks
+        # direct containment: every chunk is a contiguous token slice
+        for i, part in enumerate(parts):
+            start = i * 48
+            assert toks[start : start + 64] == part.split(" ")
+
+
+def test_pack_budget_boundaries(spark, sf_dir):
+    """Pack ids are nondecreasing in doc order and every pack except
+    the last within a source starts before the budget boundary."""
+    from crane_spark.llm.chunking import pack_by_token_budget
+    from crane_spark.tables import table
+
+    packed = pack_by_token_budget(
+        table(spark, sf_dir, "documents"), budget=2048
+    ).collect()
+    by_src = {}
+    for r in sorted(packed, key=lambda r: (r["source"], r["doc_id"])):
+        by_src.setdefault(r["source"], []).append(r)
+    for rows in by_src.values():
+        cum = 0
+        for r in rows:
+            assert r["pack_id"] == cum // 2048
+            cum += r["n_tokens"]
+
+
+def test_ivf_probe_topk_recall_vs_brute_force(spark, sf_dir):
+    """Probing 2 of 10 cells must still recover most true neighbors
+    (random vectors: the true top-1 usually shares the query's cell)."""
+    import pyspark.sql.functions as F
+
+    from crane_spark.llm.similarity import brute_force_topk, ivf_probe_topk
+    from crane_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    candidates = emb.filter(F.col("vec_id") >= 15)
+    ann = ivf_probe_topk(queries, candidates, centroids, k=3, probes=2).collect()
+    exact = brute_force_topk(queries, candidates, k=3).collect()
+    ann_pairs = {(r["query_id"], r["neighbor_id"]) for r in ann}
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    recall = len(ann_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.2  # 2/10 random cells: weak floor, just not broken
+    # every ANN result must be a genuine candidate with correct ordering
+    by_q = {}
+    for r in sorted(ann, key=lambda r: (r["query_id"], r["rn"])):
+        by_q.setdefault(r["query_id"], []).append(r["cosine"])
+    for cosines in by_q.values():
+        assert cosines == sorted(cosines, reverse=True)
