@@ -125,67 +125,28 @@ def minhash_band_pairs(
     )
 
 
-def simhash_groups(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """SimHash near-dup buckets: 16-bit weighted-bit-vote signature.
-
-    Per document: token frequencies vote +cnt/-cnt on each bit of the
-    token's hash (first 16 bits of md5); the sign of each bit total is
-    the signature bit. Docs sharing a signature are near-dup buckets.
-    One narrow explode + one shuffle on (id, token), then a per-id agg.
-    """
-    tok = (
-        fan_out(docs).select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
-        .groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    hexd = "0123456789abcdef"
-    h16 = F.lit(0)
-    md5c = F.md5(F.col("token"))
-    for i in range(4):
-        digit = F.instr(F.lit(hexd), F.substring(md5c, i + 1, 1)) - 1
-        h16 = h16 * 16 + digit
-    tok = tok.withColumn("h16", h16)
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h16"), j).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
-            .otherwise(-F.col("cnt"))
-        ).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    bits = tok.groupBy(id_col).agg(*votes)
-    sim = F.lit(0)
-    for j in range(SIMHASH_BITS):
-        sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return (
-        bits.select(F.col(id_col), sim.cast("long").alias("simhash"))
-        .groupBy("simhash")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keeper_doc_id"))
-    )
-
-
 def simhash_values(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, simhash) — the per-document 16-bit signature (the grouped
-    form is simhash_groups)."""
-    tok = (
-        fan_out(docs).select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
-        .groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    hexd = "0123456789abcdef"
-    h16 = F.lit(0)
-    md5c = F.md5(F.col("token"))
-    for i in range(4):
-        digit = F.instr(F.lit(hexd), F.substring(md5c, i + 1, 1)) - 1
-        h16 = h16 * 16 + digit
-    tok = tok.withColumn("h16", h16)
+    """(id, simhash) — per-document 16-bit weighted-bit-vote signature.
+
+    Each token OCCURRENCE votes +1/-1 on each bit of the token's hash
+    (first 16 bits of md5, via `conv`); the sign of each bit total is
+    the signature bit. Occurrence votes sum to the same totals as
+    frequency-weighted votes over distinct tokens, so the per-(id,
+    token) pre-aggregation is unnecessary: map-side partial aggregation
+    collapses the exploded tokens to one 16-counter row per doc per
+    partition, and the ONLY shuffle moves those short rows. The md5s
+    stay inside WholeStageCodegen.
+    """
+    h16 = F.conv(F.substring(F.md5(F.col("token")), 1, 4), 16, 10).cast("int")
+    tok = fan_out(docs).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    ).withColumn("h16", h16)
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("h16"), j).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
-            .otherwise(-F.col("cnt"))
+            F.when(F.shiftright(F.col("h16"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
         ).alias(f"s{j}")
         for j in range(SIMHASH_BITS)
     ]
@@ -194,6 +155,18 @@ def simhash_values(
     for j in range(SIMHASH_BITS):
         sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bits.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash near-dup buckets: docs sharing a signature, with the
+    surviving (minimum) id and the bucket size."""
+    return (
+        simhash_values(docs, text_col, id_col)
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keeper_doc_id"))
+    )
 
 
 def simhash_hamming_pairs(

@@ -56,6 +56,14 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+# fan_out decisions keyed by the scan's input-file set: computing the
+# partition count of a plan (`df.rdd`) forces full physical planning
+# plus a Python<->JVM RDD roundtrip, which costs ~0.5s of pure
+# per-build overhead. The same files always split the same way within
+# a session, so the answer is cached.
+_FAN_OUT_CACHE: dict[tuple[str, ...], int] = {}
+
+
 def fan_out(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
     """Ensure a DataFrame has enough partitions to use the cluster.
 
@@ -69,7 +77,14 @@ def fan_out(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(1, int(target * min_ratio)):
+    files = tuple(sorted(df.inputFiles()))
+    if files in _FAN_OUT_CACHE:
+        n_parts = _FAN_OUT_CACHE[files]
+    else:
+        n_parts = df.rdd.getNumPartitions()
+        if files:
+            _FAN_OUT_CACHE[files] = n_parts
+    if n_parts < max(1, int(target * min_ratio)):
         return df.repartition(target)
     return df
 
