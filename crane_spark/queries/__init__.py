@@ -17,6 +17,7 @@ from crane_spark.queries import llm  # noqa: F401
 from crane_spark.queries import stats  # noqa: F401
 from crane_spark.queries import tpch_more  # noqa: F401
 from crane_spark.queries import tpch3  # noqa: F401
+from crane_spark.queries import tpch4  # noqa: F401
 from crane_spark.queries import pipeline  # noqa: F401
 from crane_spark.queries import udf  # noqa: F401
 
