@@ -11,6 +11,7 @@ from crane_spark.queries.core import REGISTRY, QuerySpec, oracle_sql, queries, r
 from crane_spark.queries import reference  # noqa: F401
 from crane_spark.queries import relational  # noqa: F401
 from crane_spark.queries import relational2  # noqa: F401
+from crane_spark.queries import corpus  # noqa: F401
 from crane_spark.queries import events  # noqa: F401
 from crane_spark.queries import iterative  # noqa: F401
 from crane_spark.queries import llm  # noqa: F401

@@ -1,0 +1,226 @@
+"""Corpus-analysis queries for the training-data pipeline: vocabulary
+building, within-document repetition scoring, benchmark-contamination
+detection, and training-shard assignment — each with an exact DuckDB
+oracle.
+
+These are the remaining corpus-prep steps around chunking/packing
+(queries/pipeline.py) and dedup (queries/llm.py): build the tokenizer
+vocabulary, drop repetition-heavy documents (the Gopher-style quality
+rule), verify the training set doesn't contain eval benchmarks, and
+deal documents into stable shards for the training run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crane_spark.functions.text import tokens
+from crane_spark.llm.sampling import hash_bucket, sql_hash_bucket
+from crane_spark.queries.core import register
+from crane_spark.tables import fan_out, table
+
+# --------------------------------------------------------------------
+# Vocabulary build: term + document frequency, top-k
+# --------------------------------------------------------------------
+
+VOCAB_SQL = """
+SELECT token, term_freq, doc_freq, rank
+FROM (
+  SELECT token, term_freq, doc_freq,
+         CAST(row_number() OVER (ORDER BY term_freq DESC, token) AS BIGINT) AS rank
+  FROM (
+    SELECT token, count(*) AS term_freq, count(DISTINCT doc_id) AS doc_freq
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+  )
+)
+WHERE rank <= 100
+"""
+
+
+@register("vocab_top_terms", VOCAB_SQL, tags=("llm", "text", "vocab", "agg"))
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary build: term frequency + document frequency
+    per token, top-100 by frequency with a token tiebreak. Explode +
+    one hash aggregate — map-side combine collapses each partition to
+    its distinct tokens, so the shuffle is vocabulary-sized (bounded),
+    not corpus-sized. The top-k is a TakeOrdered, not a global sort."""
+    docs = table(spark, sf_dir, "documents")
+    tok = fan_out(docs).select("doc_id", F.explode(tokens("text")).alias("token"))
+    freq = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("term_freq"),
+        F.count_distinct("doc_id").alias("doc_freq"),
+    )
+    w = Window.orderBy(F.desc("term_freq"), F.asc("token"))
+    return (
+        freq.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 100)
+    )
+
+
+# --------------------------------------------------------------------
+# Within-document repetition (Gopher-style quality rule)
+# --------------------------------------------------------------------
+
+REPETITION_SQL = """
+WITH grams AS (
+  SELECT doc_id, g, count(*) AS cnt
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text,' '))),
+                  i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS g
+    FROM documents
+  )
+  GROUP BY doc_id, g
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_grams,
+       CAST(MAX(cnt) AS BIGINT) AS top_gram_count,
+       CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE) / SUM(cnt)
+         AS dup_gram_ratio,
+       CAST(CASE WHEN CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+                      / SUM(cnt) > 0.5 THEN 1 ELSE 0 END AS BIGINT) AS repetitive_flag
+FROM grams
+GROUP BY doc_id
+"""
+
+
+@register("doc_repetition", REPETITION_SQL, tags=("llm", "text", "quality"))
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring per document: the fraction of 2-grams that
+    are repeats (the Gopher `duplicate n-gram fraction` quality rule)
+    plus the most-repeated gram's count. Explode -> two chained hash
+    aggregates, both with map-side combine; no joins, no window."""
+    docs = table(spark, sf_dir, "documents")
+    grams2 = F.expr(
+        "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), "
+        "(x, i) -> concat(x, ' ', element_at(split(text, ' '), i + 2)))"
+    )
+    per_gram = (
+        fan_out(docs)
+        .select("doc_id", F.explode(grams2).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dup = F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+    ratio = dup.cast("double") / F.sum("cnt")
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_grams"),
+        F.max("cnt").cast("long").alias("top_gram_count"),
+        ratio.alias("dup_gram_ratio"),
+        (ratio > 0.5).cast("long").alias("repetitive_flag"),
+    )
+
+
+# --------------------------------------------------------------------
+# Benchmark contamination: training docs sharing 8-grams with the
+# benchmark set
+# --------------------------------------------------------------------
+
+CONTAMINATION_SQL = """
+WITH bench AS (
+  SELECT DISTINCT md5(g) AS gh
+  FROM (
+    SELECT unnest(list_transform(range(1, len(string_split(text,' ')) - 6),
+           i -> array_to_string(list_slice(string_split(text,' '), i, i+7), ' '))) AS g
+    FROM documents WHERE doc_id < 20
+  )
+),
+train AS (
+  SELECT doc_id, md5(g) AS gh, n_grams
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text,' ')) - 6),
+           i -> array_to_string(list_slice(string_split(text,' '), i, i+7), ' '))) AS g,
+           len(string_split(text,' ')) - 7 AS n_grams
+    FROM documents WHERE doc_id >= 20
+  )
+)
+SELECT doc_id,
+       CAST(count(DISTINCT CASE WHEN bench.gh IS NOT NULL THEN train.gh END) AS BIGINT)
+         AS n_contaminated_grams,
+       CAST(count(DISTINCT CASE WHEN bench.gh IS NOT NULL THEN train.gh END) AS DOUBLE)
+         / any_value(n_grams) AS contamination_ratio
+FROM train LEFT JOIN bench ON train.gh = bench.gh
+GROUP BY doc_id
+HAVING count(DISTINCT CASE WHEN bench.gh IS NOT NULL THEN train.gh END) > 0
+"""
+
+
+@register("contamination_check", CONTAMINATION_SQL, tags=("llm", "dedup", "contamination"))
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination: training documents that share any
+    8-gram with the benchmark set (doc_id < 20 standing in for an eval
+    suite), with the overlap count and ratio. The benchmark gram set is
+    tiny next to the corpus — it BROADCASTS, so the training scan
+    never shuffles: explode, hash-join against the broadcast set,
+    aggregate with map-side combine."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = 8
+    grams = F.expr(
+        f"transform(slice(split(text,' '), 1, size(split(text,' ')) - {n - 1}), "
+        f"(x, i) -> array_join(slice(split(text,' '), i + 1, {n}), ' '))"
+    )
+    bench = (
+        docs.filter(F.col("doc_id") < 20)
+        .select(F.explode(grams).alias("g"))
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+    )
+    train = (
+        fan_out(docs.filter(F.col("doc_id") >= 20))
+        .select(
+            "doc_id",
+            (F.size(toks) - (n - 1)).cast("long").alias("n_grams"),
+            F.explode(grams).alias("g"),
+        )
+        .select("doc_id", "n_grams", F.md5("g").alias("gh"))
+    )
+    hits = train.join(F.broadcast(bench), "gh", "left_semi")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count_distinct("gh").alias("n_contaminated_grams"),
+            (F.count_distinct("gh").cast("double") / F.first("n_grams")).alias(
+                "contamination_ratio"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Training-shard assignment (stable, layout-independent)
+# --------------------------------------------------------------------
+
+N_SHARDS = 16
+
+SHARD_SQL = f"""
+SELECT doc_id,
+       CAST({sql_hash_bucket('doc_id', 'shard-v1')} % {N_SHARDS} AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY {sql_hash_bucket('doc_id', 'shard-v1')} % {N_SHARDS}
+         ORDER BY {sql_hash_bucket('doc_id', 'order-v1')}, doc_id
+       ) AS BIGINT) AS pos
+FROM documents
+"""
+
+
+@register("shard_assign", SHARD_SQL, tags=("llm", "sampling", "shard", "window"))
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deal documents into {N_SHARDS} training shards with a stable
+    intra-shard order: shard = content-hash mod N, position = rank of
+    a second, independent content hash (the deterministic 'global
+    shuffle' of a training run — same inputs, same epoch order, on any
+    cluster). One shuffle on the shard key; at scale this is exactly
+    the partitioned write of the tokenized dataset."""
+    docs = table(spark, sf_dir, "documents")
+    shard = (hash_bucket("doc_id", "shard-v1") % N_SHARDS).cast("long")
+    order = hash_bucket("doc_id", "order-v1")
+    w = Window.partitionBy("shard").orderBy("ord", "doc_id")
+    return (
+        docs.select("doc_id", shard.alias("shard"), order.alias("ord"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )

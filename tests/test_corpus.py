@@ -1,0 +1,86 @@
+"""Semantic tests for the corpus-analysis queries (queries/corpus.py):
+planted contamination must be found, shards must be balanced and
+stable, repetition scoring must flag a constructed repeat-heavy doc."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from crane_spark.queries import REGISTRY
+
+
+def test_planted_contamination_is_found(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, bench_text),  # benchmark doc (id < 20)
+        (25, "prefix words " + bench_text + " suffix words"),  # contaminated
+        (26, "totally different content with no overlap at all here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n = 8
+    grams = F.expr(
+        f"transform(slice(split(text,' '), 1, size(split(text,' ')) - {n - 1}), "
+        f"(x, i) -> array_join(slice(split(text,' '), i + 1, {n}), ' '))"
+    )
+    bench = (
+        docs.filter(F.col("doc_id") < 20)
+        .select(F.explode(grams).alias("g"))
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+    )
+    train = (
+        docs.filter(F.col("doc_id") >= 20)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.md5("g").alias("gh"))
+    )
+    hits = (
+        train.join(F.broadcast(bench), "gh", "left_semi")
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    )
+    found = {r["doc_id"]: r["count"] for r in hits}
+    # the 10-token benchmark has 3 8-grams, all inside doc 25
+    assert found == {25: 3}
+
+
+def test_shard_assignment_balanced_and_stable(spark, sf_dir):
+    out1 = REGISTRY["shard_assign"].fn(spark, sf_dir).collect()
+    out2 = REGISTRY["shard_assign"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # deterministic
+    by_shard = {}
+    for r in out1:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(16))
+    n = sum(len(v) for v in by_shard.values())
+    for shard, positions in by_shard.items():
+        # contiguous 1..k positions within each shard
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+        # no shard grossly over-loaded (uniform hash: ~n/16 each)
+        assert len(positions) < n / 4
+
+
+def test_repetition_flags_repeat_heavy_doc(spark):
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam"),  # all-dup 2-grams
+        (2, "one two three four five six seven eight"),  # all-unique 2-grams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    grams2 = F.expr(
+        "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), "
+        "(x, i) -> concat(x, ' ', element_at(split(text, ' '), i + 2)))"
+    )
+    per_gram = (
+        docs.select("doc_id", F.explode(grams2).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dup = F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+    out = {
+        r["doc_id"]: r["ratio"]
+        for r in per_gram.groupBy("doc_id")
+        .agg((dup.cast("double") / F.sum("cnt")).alias("ratio"))
+        .collect()
+    }
+    assert out[1] == 1.0
+    assert out[2] == 0.0
