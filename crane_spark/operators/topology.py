@@ -68,11 +68,13 @@ def pagerank_contributions(
     Outdegree comes from a window count over ``src`` rather than a
     groupBy + self-join: one scan of the edge list and two exchanges
     (src, then dst) instead of three, which matters when the edge list
-    is the 100 TB fact table.
+    is the 100 TB fact table. No fan_out here: the window's own
+    partitionBy(src) exchange already spreads a narrow input across
+    the cluster, so pre-repartitioning would be a third, wasted
+    shuffle of the full edge list (measured 2x on the sf0.1 bench).
     """
     from pyspark.sql import Window
 
-    edges = fan_out(edges)
     outdeg = F.count(F.lit(1)).over(Window.partitionBy(src))
     contrib = (F.lit(1.0) / (outdeg + 1)).alias("contrib")
     return (

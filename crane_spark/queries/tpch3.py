@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from crane_spark.functions.aggregates import dsum, sql_dsum
 from crane_spark.queries.core import register
-from crane_spark.tables import fan_out, table
+from crane_spark.tables import table
 
 REV = "l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)"
 
@@ -338,23 +338,28 @@ LIMIT 20
 @register("q18_large_volume", Q18_SQL, tags=("join", "semi", "agg", "topk", "tpch"))
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: orders whose total quantity exceeds a
-    threshold — the IN-subquery is a left-semi join against the
-    grouped HAVING result."""
+    threshold. The textbook plan joins lineitem back after the
+    IN-subquery and re-aggregates — but the HAVING subquery already
+    computed each surviving order's total quantity, and the final
+    grouping is one row per order, so the re-aggregation is subsumed:
+    ONE lineitem scan, one shuffle, then an inner join with orders
+    carries total_qty straight through. (The oracle runs the textbook
+    double-scan form; both reduce to the same rows.)"""
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(dsum("l_quantity", 2).alias("sq"))
-        .filter(F.col("sq") > 150)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
+        .agg(dsum("l_quantity", 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
     )
     return (
-        orders.join(big, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(fan_out(li), F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity", 2).alias("total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            "total_qty",
+        )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(20)
     )
