@@ -1,0 +1,69 @@
+"""Connected components over an edge list — the transitive-closure
+step that turns near-duplicate PAIRS into duplicate GROUPS (pick one
+keeper per component and drop the rest).
+
+Algorithm: iterative minimum-label propagation. Every vertex starts
+labeled with itself; each round, every vertex takes the min of its own
+label and its neighbors' labels; converged when nothing changes. This
+is the standard scalable CC for Spark — each round is one join + one
+aggregate (both hash, map-side combinable), the frontier shrinks
+geometrically, and there is no union-find state to centralize. Rounds
+needed = graph diameter (near-dup graphs are clique-ish: 2-3 rounds).
+
+The driver loop is the same localCheckpoint-per-round shape as
+operators/topology.pagerank_iterations: checkpointing truncates the
+lineage so round N's plan doesn't replay rounds 1..N-1.
+
+Reference lineage: the reference has no graph operators beyond one
+PageRank contribution round (page_rank_topology.py); components are
+part of the added dedup surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(vertex, component_id) for every vertex with at least one edge;
+    component_id is the minimum vertex id in the component."""
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("s").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        neighbor_min = (
+            und.join(labels, und["s"] == labels["v"])
+            .groupBy("t")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["v"] == neighbor_min["t"], "left")
+            .select(
+                "v",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "label"
+                ),
+                (F.col("nmin") < F.col("label")).alias("improved"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("improved")).count()
+        labels = new_labels.select("v", "label")
+        if changed == 0:
+            break
+    return labels.select(F.col("v"), F.col("label").alias("component_id"))

@@ -224,3 +224,135 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("doc_id", "shard", "pos")
     )
+
+
+# --------------------------------------------------------------------
+# Dedup clusters: LSH candidates -> exact-Jaccard verify -> connected
+# components (the full near-dup removal pipeline)
+# --------------------------------------------------------------------
+
+from crane_spark.functions.text import shingles  # noqa: E402
+from crane_spark.queries.llm import MINHASH_SQL, _sql_shingle3  # noqa: E402
+
+_J_INTER = "len(list_filter(a.sh, x -> list_contains(b.sh, x)))"
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE cand AS ({MINHASH_SQL}),
+shs AS (
+  SELECT doc_id, list_distinct({_sql_shingle3('toks')}) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN shs a ON c.doc_a = a.doc_id
+  JOIN shs b ON c.doc_b = b.doc_id
+  WHERE CAST({_J_INTER} AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - {_J_INTER}) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS t FROM verified
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS t FROM verified
+),
+reach AS (
+  SELECT DISTINCT s AS v, s AS label FROM edges
+  UNION
+  SELECT e.t AS v, r.label FROM reach r JOIN edges e ON e.s = r.v
+)
+SELECT doc_id, component_id,
+       CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT) AS n_members
+FROM (SELECT v AS doc_id, min(label) AS component_id FROM reach GROUP BY v)
+"""
+
+
+@register("dedup_clusters", DEDUP_CLUSTERS_SQL, tags=("llm", "dedup", "graph", "lsh"))
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete near-dup removal pipeline: MinHash-LSH candidate
+    pairs -> exact 3-gram-Jaccard verification (>= 0.5) -> connected
+    components, so transitive chains (A~B~C without A~C) collapse into
+    one group with one keeper (the min id). The oracle replays the
+    identical pipeline with a recursive CTE for the closure. Each CC
+    round is a join + min-aggregate; near-dup graphs converge in 2-3
+    rounds."""
+    from crane_spark.llm.dedup import minhash_band_pairs
+    from crane_spark.operators.graph import connected_components
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    cand = minhash_band_pairs(docs)
+    sh = docs.select(
+        "doc_id", F.array_distinct(shingles(tokens("text"), 3)).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    verified = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter((inter.cast("double") / union) >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    comps = connected_components(verified, "doc_a", "doc_b")
+    w = Window.partitionBy("component_id")
+    return comps.select(
+        F.col("v").alias("doc_id"),
+        "component_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_members"),
+    )
+
+
+# --------------------------------------------------------------------
+# TF-IDF: top terms per document
+# --------------------------------------------------------------------
+
+TFIDF_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+)
+SELECT doc_id, token, tfidf, rank
+FROM (SELECT doc_id, token, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, token) AS BIGINT) AS rank
+      FROM scored)
+WHERE rank <= 3
+"""
+
+
+@register("tfidf_top_terms", TFIDF_SQL, tags=("llm", "text", "tfidf", "window"))
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by tf-idf. Term frequencies aggregate
+    with map-side combine; the document-frequency table is
+    vocabulary-sized and BROADCASTS back onto the tf rows, so the
+    corpus never shuffles twice; the scalar corpus count rides the
+    same broadcast. Scores round to 6 decimals before ranking with a
+    token tiebreak (deterministic across engines)."""
+    docs = table(spark, sf_dir, "documents")
+    tok = fan_out(docs).select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )

@@ -93,3 +93,31 @@ def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(var), 4).alias("stddev_price"),
         F.round(corr, 6).alias("corr_price_cust"),
     )
+
+
+APPROX_PCT_SQL = None  # t-digest-style sketches are engine-specific: rows-only
+
+
+@register("approx_percentiles_by_status", APPROX_PCT_SQL, tags=("agg", "approx", "percentile"))
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (quantile sketch) per group — the sketch the
+    100 TB path uses when exact percentiles would buffer whole groups.
+    Engine-specific digest -> rows-only contract; the exact twin is
+    `percentiles_by_status`, and tests/test_stats bounds the error
+    against it."""
+    orders = table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    pct = F.approx_percentile(
+        p, F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000
+    )
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(pct.alias("pcts"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "o_orderstatus",
+            F.col("pcts")[0].alias("approx_p50"),
+            F.col("pcts")[1].alias("approx_p90"),
+            F.col("pcts")[2].alias("approx_p99"),
+            "n_orders",
+        )
+    )

@@ -84,3 +84,17 @@ def test_repetition_flags_repeat_heavy_doc(spark):
     }
     assert out[1] == 1.0
     assert out[2] == 0.0
+
+
+def test_connected_components_chain_and_islands(spark):
+    from crane_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    out = {
+        r["v"]: r["component_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}

@@ -1,0 +1,43 @@
+"""Accuracy and maintenance-op tests: approx percentiles vs the exact
+type-7 twin, and small-file compaction."""
+
+from __future__ import annotations
+
+import glob
+
+from crane_spark.queries import REGISTRY
+
+
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    exact = {
+        r["o_orderstatus"]: (r["median_price"], r["p90_price"], r["p99_price"])
+        for r in REGISTRY["percentiles_by_status"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r["o_orderstatus"]: (r["approx_p50"], r["approx_p90"], r["approx_p99"])
+        for r in REGISTRY["approx_percentiles_by_status"].fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for status, (m, p90, p99) in exact.items():
+        am, a90, a99 = approx[status]
+        # accuracy=10000 on ~5k-row groups: the sketch is near-exact;
+        # allow 1% relative drift to stay robust across data refreshes
+        assert abs(am - m) / m < 0.01
+        assert abs(a90 - p90) / p90 < 0.01
+        assert abs(a99 - p99) / p99 < 0.01
+
+
+def test_compact_rewrites_to_target_file_count(spark, sf_dir, tmp_path):
+    from crane_spark.sources.sinks import compact
+    from crane_spark.tables import table
+
+    frag = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    orders = table(spark, sf_dir, "orders")
+    orders.repartition(16).write.parquet(frag)  # simulate streaming appends
+    assert len(glob.glob(f"{frag}/*.parquet")) == 16
+
+    compact(spark.read.parquet(frag), out, target_files=2)
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) == 2
+    assert spark.read.parquet(out).count() == orders.count()
