@@ -207,3 +207,64 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_prev.groupBy("user_id").agg(
         F.sum(is_start).alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
     )
+
+
+GAP_FILL_SQL = f"""
+WITH base AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n_events, {sql_dsum('value', 2)} AS total_value
+  FROM events GROUP BY hour, event_type
+),
+bounds AS (
+  SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi
+  FROM events
+),
+spine AS (
+  SELECT u.hour, t.event_type
+  FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds) u
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+)
+SELECT s.hour, s.event_type,
+       COALESCE(b.n_events, 0) AS n_events,
+       last_value(b.total_value IGNORE NULLS)
+         OVER (PARTITION BY s.event_type ORDER BY s.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM spine s LEFT JOIN base b ON s.hour = b.hour AND s.event_type = b.event_type
+"""
+
+
+@register("gap_fill_hourly", GAP_FILL_SQL, tags=("window-time", "gap-fill", "window"))
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: a complete hourly spine per event
+    type (generated, not scanned), zero-filled counts, and
+    forward-filled totals (`last value` ignoring nulls). The spine is
+    hours x types — tiny at any scale — so it BROADCASTS onto the
+    aggregated (not raw) events; the forward fill is one window over
+    the already-small grid."""
+    ev = table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    base = ev.groupBy(hour.alias("hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value", 2).alias("total_value")
+    )
+    bounds = ev.agg(
+        F.min(hour).alias("lo"), F.max(hour).alias("hi")
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    spine = hours.crossJoin(types)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(base, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("total_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )

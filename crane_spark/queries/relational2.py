@@ -422,3 +422,38 @@ def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return region.crossJoin(status).select("r_name", "status")
+
+
+UNPIVOT_SQL = f"""
+WITH long AS (
+  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT measure, count(*) AS n, {sql_dsum('value', 4)} AS total,
+       min(value) AS min_value, max(value) AS max_value
+FROM long
+GROUP BY measure
+"""
+
+
+@register("unpivot_measures", UNPIVOT_SQL, tags=("unpivot", "agg"))
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (melt) of the lineitem measure columns,
+    then per-measure stats. Spark's `unpivot` expands in the scan
+    projection (one pass, no shuffle until the 4-group aggregate);
+    the oracle spells the same reshape as UNION ALL."""
+    li = table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", 4).alias("total"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
