@@ -39,6 +39,17 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # The duplicate-pair graph is tiny relative to the corpus that
+    # produced it (only near-dups survive): a 100 TB corpus with 1%
+    # near-dups yields a pair graph in the millions, not billions.
+    # When it fits in one partition, transitive closure by iterative
+    # joins is all scheduling overhead (2 jobs per round, every round
+    # a cluster barrier) — run a partition-local union-find in one
+    # task instead. The loop below remains the genuinely-distributed
+    # path for graphs that don't fit. The count is free — `und` is
+    # already materialized.
+    if und.count() < 100_000:
+        return _local_union_find(und)
     labels = (
         und.select(F.col("s").alias("v"))
         .distinct()
@@ -67,3 +78,35 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("v"), F.col("label").alias("component_id"))
+
+
+def _local_union_find(und: DataFrame) -> DataFrame:
+    """Exact min-label components for a single-partition edge list:
+    one Arrow-batched task, no iteration. Unions always hang the larger
+    root under the smaller, so find(v) IS the component minimum."""
+    import pandas as pd
+
+    vtype = und.schema["s"].dataType.simpleString()
+
+    def uf(batches):
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for pdf in batches:
+            for s, t in zip(pdf["s"], pdf["t"]):
+                rs, rt = find(s), find(t)
+                if rs != rt:
+                    parent[max(rs, rt)] = min(rs, rt)
+        verts = sorted(parent)
+        yield pd.DataFrame(
+            {"v": verts, "component_id": [find(v) for v in verts]}
+        )
+
+    return und.coalesce(1).mapInPandas(
+        uf, f"v {vtype}, component_id {vtype}"
+    )

@@ -281,10 +281,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
-    cand = minhash_band_pairs(docs)
-    sh = docs.select(
-        "doc_id", F.array_distinct(shingles(tokens("text"), 3)).alias("sh")
-    ).filter(F.size("sh") > 0)
+    # Materialize the candidate pairs once; then shingle ONLY the
+    # documents that appear in a pair (broadcast semi-join pushdown) —
+    # at corpus scale that's a few hundred docs, not the whole table,
+    # and the shared frame is checkpointed so the a/b join sides don't
+    # recompute it.
+    cand = minhash_band_pairs(docs).localCheckpoint(eager=True)
+    ids = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    sh = (
+        docs.join(F.broadcast(ids), "doc_id", "left_semi")
+        .select("doc_id", F.array_distinct(shingles(tokens("text"), 3)).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .localCheckpoint(eager=True)
+    )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

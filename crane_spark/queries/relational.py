@@ -356,9 +356,15 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi (range) join: fact rows land in value-range buckets via
     a broadcast nested-loop join against a tiny bounds table."""
     orders = fan_out(table(spark, sf_dir, "orders"))
-    buckets = spark.createDataFrame(
-        [("small", 0.0, 100000.0), ("medium", 100000.0, 250000.0), ("large", 250000.0, 1e12)],
-        "bucket string, lo double, hi double",
+    # VALUES (a LocalTableScan) rather than createDataFrame (an
+    # ExistingRDD): the broadcast side must not drag a Python-RDD
+    # evaluation stage into every execution.
+    buckets = spark.sql(
+        "SELECT * FROM VALUES "
+        "('small',  CAST(0        AS DOUBLE), CAST(100000 AS DOUBLE)), "
+        "('medium', CAST(100000   AS DOUBLE), CAST(250000 AS DOUBLE)), "
+        "('large',  CAST(250000   AS DOUBLE), CAST(1e12   AS DOUBLE)) "
+        "AS t(bucket, lo, hi)"
     )
     cond = (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi"))
     return (
