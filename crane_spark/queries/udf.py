@@ -115,3 +115,73 @@ def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+READABILITY_SQL = """
+SELECT doc_id,
+       round(CAST(206.835 AS DOUBLE)
+             - CAST(1.015 AS DOUBLE) * len(string_split(text, ' '))
+             - CAST(84.6 AS DOUBLE) * (CAST(n_chars AS DOUBLE)
+                                       / len(string_split(text, ' '))), 4)
+         AS readability
+FROM documents
+"""
+
+
+@register("pandas_readability", READABILITY_SQL, tags=("llm", "udf", "pandas"))
+def q_pandas_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized SCALAR pandas_udf (Arrow-batched, whole-column numpy
+    arithmetic per batch) — the Flesch-like readability shape. The
+    formula is fixed-order double arithmetic on exact integers, so the
+    pandas result is bit-identical to the oracle's SQL evaluation.
+    The final rounding happens JVM-side: pandas `.round` is
+    round-half-even while Spark/DuckDB `round` are half-away-from-zero,
+    and a .xxxx5 tie must break the same way on both engines.
+    Demonstrates the scalar tier of the UDF surface; mapInPandas /
+    applyInPandas cover the batch-iterator tiers."""
+    docs = table(spark, sf_dir, "documents")
+
+    @F.pandas_udf("double")
+    def readability(n_tokens: pd.Series, n_chars: pd.Series) -> pd.Series:
+        t = n_tokens.astype("float64")
+        return 206.835 - 1.015 * t - 84.6 * (n_chars.astype("float64") / t)
+
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    return docs.select(
+        "doc_id",
+        F.round(readability(n_tokens, F.col("n_chars")), 4).alias("readability"),
+    )
+
+
+PANDAS_MEDIAN_SQL = """
+SELECT o_orderstatus, median(o_totalprice) AS median_price, count(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("pandas_median_udaf", PANDAS_MEDIAN_SQL, tags=("udf", "pandas", "agg"))
+def q_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas_udf (vectorized UDAF): numpy median per
+    group. np.median and DuckDB's median both linearly interpolate the
+    middle of the sorted values (type-7), so the result hash-matches.
+    Each group's values stream to one Arrow batch — the UDAF analog of
+    a fields-grouped aggregating bolt."""
+    import numpy as np
+
+    orders = table(spark, sf_dir, "orders")
+
+    @F.pandas_udf("double")
+    def pd_median(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy()))
+
+    @F.pandas_udf("long")
+    def pd_count(v: pd.Series) -> int:
+        # Spark disallows mixing GROUPED_AGG pandas UDFs with built-in
+        # aggregates in one agg(), so the count is a pandas UDAF too.
+        return int(len(v))
+
+    return orders.groupBy("o_orderstatus").agg(
+        pd_median("o_totalprice").alias("median_price"),
+        pd_count("o_totalprice").alias("n_orders"),
+    )
