@@ -72,6 +72,10 @@ def main() -> int:
         "unit": "sec",
         "queries": warm,
         "cold_value": round(sum(cold.values()), 3),
+        # The registry grows every round; normalize so totals stay
+        # comparable across rounds with different query counts.
+        "n_queries": len(warm),
+        "sec_per_query": round(total / max(len(warm), 1), 4),
         "sf": sf_from_dir(sf_dir),
     }
     if ref_seconds is not None:

@@ -177,3 +177,79 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         had(planted, EMAIL_RE).alias("had_email"),
         had(planted, URL_RE).alias("had_url"),
     )
+
+
+# --------------------------------------------------------------------
+# Signed-random-projection LSH over embeddings (cosine LSH buckets)
+# --------------------------------------------------------------------
+
+import hashlib
+
+from crane_spark.queries.llm import EMBED_DIM
+from crane_spark.functions.aggregates import dsum
+
+SRP_BITS = 16
+
+
+def _srp_planes() -> list[tuple[int, int, float]]:
+    """Deterministic pseudo-random hyperplanes: component w(b, i) is
+    derived from md5, uniform in [-1, 1], rounded to 6 decimals so the
+    literal embeds identically in both engines. (b, i 1-based, w)."""
+    rows = []
+    for b in range(SRP_BITS):
+        for i in range(1, EMBED_DIM + 1):
+            h = int(hashlib.md5(f"srp:{b}:{i}".encode()).hexdigest()[:4], 16)
+            rows.append((b, i, round(h / 65535.0 * 2.0 - 1.0, 6)))
+    return rows
+
+
+_PLANE_VALUES = ", ".join(f"({b}, {i}, CAST({w} AS DOUBLE))" for b, i, w in _srp_planes())
+
+SRP_SQL = f"""
+WITH planes(b, i, w) AS (VALUES {_PLANE_VALUES}),
+proj AS (
+  SELECT e.vec_id, p.b,
+         CAST(SUM(CAST(CAST(e.embedding[p.i] AS DOUBLE) * p.w
+                       AS DECIMAL(28,16))) AS DOUBLE) AS s
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.b
+),
+sig AS (
+  SELECT vec_id,
+         SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS srp_sig
+  FROM proj GROUP BY vec_id
+)
+SELECT srp_sig, count(*) AS n_vecs, min(vec_id) AS keeper_vec_id
+FROM sig GROUP BY srp_sig
+"""
+
+
+@register("embedding_srp_lsh", SRP_SQL, tags=("llm", "similarity", "lsh", "embedding"))
+def q_embedding_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine LSH for embeddings: {SRP_BITS} signed random projections
+    (the hyperplane family whose collision probability is 1 -
+    angle/pi) bucket the corpus without any index build — the
+    alternative scale path to IVF when centroids aren't trained yet.
+    Planes are md5-derived constants, so both engines hash identically.
+    Explode -> broadcast plane join -> decimal hash-agg: the fan-out is
+    absorbed by map-side combine ({EMBED_DIM}x{SRP_BITS} products
+    collapse to {SRP_BITS} partials per vector before the shuffle)."""
+    emb = table(spark, sf_dir, "embeddings")
+    planes = spark.sql(f"SELECT * FROM VALUES {_PLANE_VALUES} AS t(b, i, w)")
+    el = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("i0", "x")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), F.col("x").cast("double").alias("x"))
+    proj = (
+        el.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "b")
+        .agg(dsum(F.col("x") * F.col("w"), 16).alias("s"))
+    )
+    sig = proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
+            .otherwise(0)
+        ).alias("srp_sig")
+    )
+    return sig.groupBy("srp_sig").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("keeper_vec_id")
+    )
