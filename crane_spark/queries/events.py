@@ -268,3 +268,70 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("total_value", ignorenulls=True).over(w).alias("filled_value"),
         )
     )
+
+
+FROM_JSON_SQL = """
+SELECT event_type,
+       SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+                THEN 1 ELSE 0 END) AS n_even_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("from_json_typed", FROM_JSON_SQL, tags=("json", "agg"))
+def q_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-typed JSON parsing (`from_json` into a struct, vs
+    `get_json_object`'s per-path string extraction in
+    `json_extract_props`) — the parse happens once per row into a
+    typed column, then ordinary typed expressions run on the field."""
+    ev = table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k BIGINT")
+    return (
+        ev.select("event_type", parsed.alias("p"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("p.k") % 2 == 0, 1).otherwise(0)).alias("n_even_k"),
+            F.max("p.k").alias("max_k"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+HISTOGRAM_SQL = """
+SELECT bucket,
+       count(*) AS n_orders,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM (
+  SELECT CAST(least(floor((o_totalprice - 0) / (CAST(512000 AS DOUBLE) / 16)), 15) + 1
+              AS BIGINT) AS bucket,
+         o_totalprice
+  FROM orders
+)
+GROUP BY bucket
+"""
+
+
+@register("price_histogram", HISTOGRAM_SQL, tags=("agg", "histogram"))
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (width_bucket semantics, spelled as the
+    explicit floor formula so both engines run identical arithmetic —
+    DuckDB has no width_bucket). One narrow projection + one
+    16-group aggregate: histogram of a 100 TB column costs one scan."""
+    orders = table(spark, sf_dir, "orders")
+    width = F.lit(512000.0) / F.lit(16)
+    bucket = (
+        F.least(F.floor((F.col("o_totalprice") - 0) / width), F.lit(15)) + 1
+    ).cast("long")
+    return (
+        orders.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )

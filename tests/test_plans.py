@@ -44,3 +44,49 @@ def test_wordcount_partial_aggregates(spark, sf_dir):
 def test_semi_join_stays_semi(spark, sf_dir):
     plan = _plan(spark, sf_dir, "semi_join_big_spenders")
     assert "LeftSemi" in plan
+
+
+def test_contamination_broadcasts_benchmark_grams(spark, sf_dir):
+    """The benchmark gram set must broadcast — a shuffled join here
+    would shuffle the full training corpus at 100 TB."""
+    plan = _plan(spark, sf_dir, "contamination_check")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_broadcasts_document_frequencies(spark, sf_dir):
+    """The vocabulary-sized df table rides a broadcast back onto tf —
+    the corpus-sized side must never shuffle for this join."""
+    plan = _plan(spark, sf_dir, "tfidf_top_terms")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q2_single_ps_aggregation_with_window_min(spark, sf_dir):
+    """The correlated scalar-min subquery must compile to ONE pass
+    (window min), not a per-part rescan: one aggregate over the derived
+    part-supplier table and a Window, all dimension joins broadcast."""
+    plan = _plan(spark, sf_dir, "q2_min_cost_supplier")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "Window" in plan
+
+
+def test_partition_count_invariance(spark, sf_dir):
+    """Scale-correctness: answers must be IDENTICAL under different
+    parallelism (the decimal-sum routing exists exactly for this).
+    Rerun representative shuffling queries under 3 shuffle-partition
+    settings and compare full row sets."""
+    names = ["q1_pricing_summary", "pagerank_contrib", "simhash_groups"]
+    try:
+        baseline = {}
+        for parts in ("2", "7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for name in names:
+                rows = sorted(
+                    map(tuple, REGISTRY[name].fn(spark, sf_dir).collect())
+                )
+                if name in baseline:
+                    assert rows == baseline[name], f"{name} differs at {parts}"
+                else:
+                    baseline[name] = rows
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
