@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crane_spark.queries.core import register
-from crane_spark.tables import fan_out, table
+from crane_spark.tables import table
 
 PANDAS_STATS_SQL = """
 SELECT lang,
@@ -91,7 +91,12 @@ def q_pandas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             yield out[out["query_id"] != out["neighbor_id"]]
 
-    scored = fan_out(emb).select("vec_id", "embedding").mapInPandas(
+    # No fan_out: Python parallelism should track DATA volume, not the
+    # core count — 32 workers on a small block means ~60-row Arrow
+    # batches and worker-spawn dominating the matmul. Scan splits give
+    # the parallelism at production scale; locally one fat batch per
+    # split is the fast shape.
+    scored = emb.select("vec_id", "embedding").mapInPandas(
         score, schema="query_id long, neighbor_id long, cosine double"
     )
     from pyspark.sql import Window
