@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from crane_spark.llm.chunking import chunk_documents, pack_by_token_budget
 from crane_spark.queries.core import register
 from crane_spark.queries.llm import EMBED_DIM, _sql_dot, _sql_norm
-from crane_spark.tables import table
+from crane_spark.tables import fan_out, table
 
 CHUNK, STRIDE = 64, 48
 
@@ -179,7 +179,6 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------
 # Signed-random-projection LSH over embeddings (cosine LSH buckets)
 # --------------------------------------------------------------------
 
@@ -191,34 +190,50 @@ from crane_spark.functions.aggregates import dsum
 SRP_BITS = 16
 
 
-def _srp_planes() -> list[tuple[int, int, float]]:
+def _srp_weights() -> dict[tuple[int, int], float]:
     """Deterministic pseudo-random hyperplanes: component w(b, i) is
     derived from md5, uniform in [-1, 1], rounded to 6 decimals so the
-    literal embeds identically in both engines. (b, i 1-based, w)."""
-    rows = []
+    literal embeds identically in both engines. Keyed (bit, 1-based
+    dimension)."""
+    w = {}
     for b in range(SRP_BITS):
         for i in range(1, EMBED_DIM + 1):
             h = int(hashlib.md5(f"srp:{b}:{i}".encode()).hexdigest()[:4], 16)
-            rows.append((b, i, round(h / 65535.0 * 2.0 - 1.0, 6)))
-    return rows
+            w[(b, i)] = round(h / 65535.0 * 2.0 - 1.0, 6)
+    return w
 
 
-_PLANE_VALUES = ", ".join(f"({b}, {i}, CAST({w} AS DOUBLE))" for b, i, w in _srp_planes())
+_W = _srp_weights()
+# Wide plane table — one row per dimension, one weight column per bit —
+# so the per-element join fans out x1, not xSRP_BITS; all 16
+# projections accumulate in ONE hash-aggregate pass.
+_PLANE_WIDE_VALUES = ", ".join(
+    "(" + ", ".join([str(i)] + [f"CAST({_W[(b, i)]} AS DOUBLE)" for b in range(SRP_BITS)]) + ")"
+    for i in range(1, EMBED_DIM + 1)
+)
+_PLANE_COLS = ", ".join(f"w{b}" for b in range(SRP_BITS))
+
+_SQL_PROJ = ",\n         ".join(
+    f"CAST(SUM(CAST(CAST(e.embedding[p.i] AS DOUBLE) * p.w{b} "
+    f"AS DECIMAL(28,16))) AS DOUBLE) AS s{b}"
+    for b in range(SRP_BITS)
+)
+_SQL_SIG = " + ".join(
+    f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+    for b in range(SRP_BITS)
+)
 
 SRP_SQL = f"""
-WITH planes(b, i, w) AS (VALUES {_PLANE_VALUES}),
+WITH planes(i, {_PLANE_COLS}) AS (VALUES {_PLANE_WIDE_VALUES}),
+dims AS (SELECT e.vec_id, u.i AS i, CAST(e.embedding[u.i] AS DOUBLE) AS x
+         FROM embeddings e, unnest(range(1, {EMBED_DIM + 1})) AS u(i)),
 proj AS (
-  SELECT e.vec_id, p.b,
-         CAST(SUM(CAST(CAST(e.embedding[p.i] AS DOUBLE) * p.w
-                       AS DECIMAL(28,16))) AS DOUBLE) AS s
-  FROM embeddings e CROSS JOIN planes p
-  GROUP BY e.vec_id, p.b
+  SELECT d.vec_id,
+         {",".join(f"CAST(SUM(CAST(d.x * p.w{b} AS DECIMAL(28,16))) AS DOUBLE) AS s{b}" for b in range(SRP_BITS))}
+  FROM dims d JOIN planes p ON d.i = p.i
+  GROUP BY d.vec_id
 ),
-sig AS (
-  SELECT vec_id,
-         SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS srp_sig
-  FROM proj GROUP BY vec_id
-)
+sig AS (SELECT vec_id, {_SQL_SIG} AS srp_sig FROM proj)
 SELECT srp_sig, count(*) AS n_vecs, min(vec_id) AS keeper_vec_id
 FROM sig GROUP BY srp_sig
 """
@@ -231,25 +246,33 @@ def q_embedding_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     angle/pi) bucket the corpus without any index build — the
     alternative scale path to IVF when centroids aren't trained yet.
     Planes are md5-derived constants, so both engines hash identically.
-    Explode -> broadcast plane join -> decimal hash-agg: the fan-out is
-    absorbed by map-side combine ({EMBED_DIM}x{SRP_BITS} products
-    collapse to {SRP_BITS} partials per vector before the shuffle)."""
-    emb = table(spark, sf_dir, "embeddings")
-    planes = spark.sql(f"SELECT * FROM VALUES {_PLANE_VALUES} AS t(b, i, w)")
+    One posexplode + one broadcast join against a WIDE plane table
+    (one row per dimension, all {SRP_BITS} weights as columns): the
+    join fans out x1 and every projection accumulates in a single
+    map-side-combined hash aggregate — d rows per vector in, one row
+    per vector out of the shuffle."""
+    # fan_out: 16 decimal projections per element is CPU-heavy narrow
+    # work feeding a map-side-combined agg — exactly the case where a
+    # single-file scan must be spread before compute.
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    planes = spark.sql(
+        f"SELECT * FROM VALUES {_PLANE_WIDE_VALUES} AS t(i, {_PLANE_COLS})"
+    )
     el = emb.select(
         "vec_id", F.posexplode(F.col("embedding")).alias("i0", "x")
-    ).select("vec_id", (F.col("i0") + 1).alias("i"), F.col("x").cast("double").alias("x"))
+    ).select(
+        "vec_id", (F.col("i0") + 1).alias("i"), F.col("x").cast("double").alias("x")
+    )
     proj = (
         el.join(F.broadcast(planes), "i")
-        .groupBy("vec_id", "b")
-        .agg(dsum(F.col("x") * F.col("w"), 16).alias("s"))
+        .groupBy("vec_id")
+        .agg(*[dsum(F.col("x") * F.col(f"w{b}"), 16).alias(f"s{b}") for b in range(SRP_BITS)])
     )
-    sig = proj.groupBy("vec_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
-            .otherwise(0)
-        ).alias("srp_sig")
-    )
+    sig_expr = None
+    for b in range(SRP_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
+        sig_expr = term if sig_expr is None else sig_expr + term
+    sig = proj.select("vec_id", sig_expr.alias("srp_sig"))
     return sig.groupBy("srp_sig").agg(
         F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("keeper_vec_id")
     )
