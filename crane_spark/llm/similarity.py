@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from crane_spark.functions.vectors import cosine_similarity, dot, to_double_vec, vec_norm
+from crane_spark.functions.vectors import dot, to_double_vec, vec_norm
 from crane_spark.tables import fan_out
 
 ROUND_DIGITS = 4
@@ -31,6 +31,23 @@ ROUND_DIGITS = 4
 
 def _with_double_vec(df: DataFrame, vec_col: str, out: str) -> DataFrame:
     return df.withColumn(out, to_double_vec(vec_col))
+
+
+def _normed(
+    df: DataFrame, vec_col: str, id_col: str, id_out: str, vec_out: str, norm_out: str
+) -> DataFrame:
+    """(id, double-vector, norm) with each expression in its OWN
+    projection step. Inlined into one select, CollapseProject would
+    substitute the float->double transform into every element of the
+    norm lambda (interpreted eval, no subexpression elimination) and a
+    downstream score would re-derive the norm per PAIR; staged like
+    this, each vector is cast once and normed once, and the pair score
+    is a plain dot / (n_a * n_b)."""
+    return (
+        df.select(F.col(id_col).alias(id_out), F.col(vec_col))
+        .select(id_out, to_double_vec(vec_col).alias(vec_out))
+        .select(id_out, vec_out, vec_norm(F.col(vec_out)).alias(norm_out))
+    )
 
 
 def brute_force_topk(
@@ -42,13 +59,11 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k of each query against all candidates
     (excluding self-matches on id). Queries are broadcast."""
-    q = _with_double_vec(queries, vec_col, "qv").select(
-        F.col(id_col).alias("query_id"), "qv"
+    q = _normed(queries, vec_col, id_col, "query_id", "qv", "qn")
+    c = _normed(fan_out(candidates), vec_col, id_col, "neighbor_id", "cv", "cn")
+    sim = F.round(
+        dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), ROUND_DIGITS
     )
-    c = _with_double_vec(fan_out(candidates), vec_col, "cv").select(
-        F.col(id_col).alias("neighbor_id"), "cv"
-    )
-    sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), ROUND_DIGITS)
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("cosine"))
@@ -79,35 +94,41 @@ def cosine_near_dup_pairs(
     """
     assigned = ivf_assign(vectors, centroids, vec_col, id_col, centroid_id_col)
     v = _with_double_vec(vectors, vec_col, "v").select(F.col(id_col), "v")
-    # Materialize the assignment + per-vector norm ONCE (localCheckpoint)
-    # before the self-join — otherwise Spark recomputes the whole
-    # centroid cross-join on both sides. At warehouse scale this step
-    # would be a parquet write of the assignment table instead.
-    # The norm is computed here (not inside the pair lambda) so each
-    # vector is normalized once; the pair score then degenerates to a
-    # plain dot product: d multiplies per pair instead of 3d + 2 sqrt.
-    cell = (
-        assigned.select(id_col, centroid_id_col)
-        .join(v, id_col)
-        .select(id_col, centroid_id_col, "v", vec_norm(F.col("v")).alias("nrm"))
-        .localCheckpoint(eager=True)
+    cell = assigned.select(id_col, centroid_id_col).join(v, id_col)
+
+    # Within-cell pair scoring is a grouped-map GEMM: each cell's
+    # vectors stack into an (n x d) matrix, normalize rows once, and
+    # one BLAS matmul yields every pairwise cosine — Arrow-batched
+    # numpy, ~2 orders faster than per-pair interpreted array lambdas,
+    # and the per-cell work is exactly how a 100 TB corpus partitions
+    # (cells >> cores; no cross-cell traffic). Raw dots come back to
+    # the JVM and are rounded/thresholded there, keeping the rounding
+    # semantics identical to the other similarity operators.
+    id_type = cell.schema[id_col].dataType.simpleString()
+
+    def cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col)
+        mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+        n = len(mat)
+        if n < 2:
+            return pd.DataFrame({"vec_a": pdf[id_col][:0], "vec_b": pdf[id_col][:0],
+                                 "raw": np.zeros(0)})
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        ia, ib = np.triu_indices(n, 1)
+        ids = pdf[id_col].to_numpy()
+        return pd.DataFrame({"vec_a": ids[ia], "vec_b": ids[ib], "raw": sims[ia, ib]})
+
+    pairs = cell.groupBy(centroid_id_col).applyInPandas(
+        cell_pairs, f"vec_a {id_type}, vec_b {id_type}, raw double"
     )
-    celln = cell.select(
-        id_col,
-        centroid_id_col,
-        F.transform("v", lambda x: x / F.col("nrm")).alias("vn"),
-    )
-    a = celln.select(
-        F.col(id_col).alias("vec_a"), F.col(centroid_id_col), F.col("vn").alias("va")
-    )
-    b = celln.select(
-        F.col(id_col).alias("vec_b"), F.col(centroid_id_col), F.col("vn").alias("vb")
-    )
-    sim = F.round(dot(F.col("va"), F.col("vb")), ROUND_DIGITS)
     return (
-        a.join(b, centroid_id_col)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", sim.alias("cosine"))
+        pairs.select(
+            "vec_a", "vec_b", F.round("raw", ROUND_DIGITS).alias("cosine")
+        )
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -121,11 +142,11 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest (max-cosine) centroid.
     Centroids broadcast; ties break on centroid id."""
-    v = _with_double_vec(fan_out(vectors), vec_col, "vv").select(F.col(id_col), "vv")
-    c = _with_double_vec(centroids, vec_col, "cv").select(
-        F.col(centroid_id_col), "cv"
+    v = _normed(fan_out(vectors), vec_col, id_col, id_col, "vv", "vn")
+    c = _normed(centroids, vec_col, centroid_id_col, centroid_id_col, "cv", "cn")
+    sim = F.round(
+        dot(F.col("vv"), F.col("cv")) / (F.col("vn") * F.col("cn")), ROUND_DIGITS
     )
-    sim = F.round(cosine_similarity(F.col("vv"), F.col("cv")), ROUND_DIGITS)
     scored = v.crossJoin(F.broadcast(c)).select(
         id_col, centroid_id_col, sim.alias("cosine")
     )
@@ -178,25 +199,17 @@ def ivf_probe_topk(
         F.transform("cv", lambda x: x / F.col("cnrm")).alias("cvn"),
     )
 
-    q = _with_double_vec(queries, vec_col, "qv").select(
-        F.col(id_col).alias("query_id"), "qv"
+    q = _normed(queries, vec_col, id_col, "query_id", "qv", "qnrm")
+    c = _normed(centroids, vec_col, centroid_id_col, centroid_id_col, "ctv", "ctn")
+    qsim = F.round(
+        dot(F.col("qv"), F.col("ctv")) / (F.col("qnrm") * F.col("ctn")), ROUND_DIGITS
     )
-    c = _with_double_vec(centroids, vec_col, "ctv").select(
-        F.col(centroid_id_col), "ctv"
-    )
-    qsim = F.round(cosine_similarity(F.col("qv"), F.col("ctv")), ROUND_DIGITS)
     wq = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc(centroid_id_col))
     probed = (
         q.crossJoin(F.broadcast(c))
-        .select("query_id", "qv", centroid_id_col, qsim.alias("qcos"))
+        .select("query_id", "qv", "qnrm", centroid_id_col, qsim.alias("qcos"))
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= probes)
-        .select(
-            "query_id",
-            centroid_id_col,
-            vec_norm(F.col("qv")).alias("qnrm"),
-            "qv",
-        )
         .select(
             "query_id",
             centroid_id_col,

@@ -73,6 +73,10 @@ def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
         .distinct()
+        # Materialize: the nation graph is ~625 edges, but every loop
+        # iteration's nested plan would otherwise re-derive it from the
+        # 600k-row fact join (exchange reuse only partly saves it).
+        .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     verts = edges.select(F.col("src").alias("vid")).union(
