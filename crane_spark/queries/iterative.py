@@ -78,6 +78,16 @@ def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 600k-row fact join (exchange reuse only partly saves it).
         .localCheckpoint(eager=True)
     )
+    # Scale-adaptive (same policy as operators/graph.py union-find):
+    # deriving the graph from the fact tables is the genuinely
+    # distributed work; the ITERATION runs over the aggregated graph,
+    # which for nation-level rollups is tiny. When it fits in one
+    # partition, 5 rounds of join+agg are 10+ jobs of pure scheduler
+    # barriers over ~625 rows — run the whole loop in one Arrow task
+    # with bit-identical decimal quantization instead. The DataFrame
+    # loop below remains the path for graphs that don't fit.
+    if edges.count() < 100_000:
+        return _local_pagerank(edges, N_ITER)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     verts = edges.select(F.col("src").alias("vid")).union(
         edges.select(F.col("dst"))
@@ -99,3 +109,40 @@ def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks
+
+
+def _local_pagerank(edges: DataFrame, n_iter: int) -> DataFrame:
+    """All n_iter rounds in one partition-local task, numerically
+    identical to the distributed loop: per-edge contribution =
+    HALF_UP-quantize(rank/outdeg) to 12 decimal places (Spark's
+    cast(double AS decimal(38,12)) goes through the double's shortest
+    decimal repr — Decimal(repr(x)) reproduces it), exact decimal sum,
+    then rank = 0.15 + 0.85 * float(sum) in IEEE double. After round
+    one the rank set is the vertices with inbound edges, exactly as the
+    inner-join/groupBy(dst) loop computes."""
+    import pandas as pd
+
+    vtype = edges.schema["dst"].dataType.simpleString()
+
+    def run(batches):
+        from collections import Counter, defaultdict
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q12 = Decimal(1).scaleb(-12)
+        elist: list = []
+        for pdf in batches:
+            elist.extend(zip(pdf["src"], pdf["dst"]))
+        outdeg = Counter(s for s, _ in elist)
+        rank = {v: 1.0 for e in elist for v in e}
+        for _ in range(n_iter):
+            sums: dict = defaultdict(lambda: Decimal(0))
+            for s, d in elist:
+                if s in rank:
+                    sums[d] += Decimal(repr(rank[s] / outdeg[s])).quantize(
+                        q12, ROUND_HALF_UP
+                    )
+            rank = {d: RESET + DAMP * float(t) for d, t in sums.items()}
+        verts = sorted(rank)
+        yield pd.DataFrame({"vid": verts, "rank": [rank[v] for v in verts]})
+
+    return edges.coalesce(1).mapInPandas(run, f"vid {vtype}, rank double")
