@@ -336,16 +336,24 @@ WHERE rank <= 3
 
 @register("tfidf_top_terms", TFIDF_SQL, tags=("llm", "text", "tfidf", "window"))
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document top-3 terms by tf-idf. Term frequencies aggregate
-    with map-side combine; the document-frequency table is
-    vocabulary-sized and BROADCASTS back onto the tf rows, so the
-    corpus never shuffles twice; the scalar corpus count rides the
-    same broadcast. Scores round to 6 decimals before ranking with a
-    token tiebreak (deterministic across engines)."""
+    """Per-document top-3 terms by tf-idf. The corpus tokenizes ONCE:
+    the (doc, token) term-frequency table is materialized
+    (localCheckpoint — at warehouse scale, the persisted tf table) and
+    the document-frequency table derives from it with a plain count
+    (tf rows are already distinct per doc, so no count_distinct
+    expand and no second explode of the corpus). df is
+    vocabulary-sized and BROADCASTS back onto the tf rows; the scalar
+    corpus count rides the same broadcast. Scores round to 6 decimals
+    before ranking with a token tiebreak (deterministic across
+    engines)."""
     docs = table(spark, sf_dir, "documents")
     tok = fan_out(docs).select("doc_id", F.explode(tokens("text")).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df), "token")

@@ -121,3 +121,72 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+# --------------------------------------------------------------------
+# Mergeable-sketch rollups: the re-aggregation pattern that makes
+# 100 TB distinct-count dashboards possible (persist small per-segment
+# sketches once; every rollup after that merges sketches instead of
+# rescanning the fact table).
+# --------------------------------------------------------------------
+
+BITMAP_SQL = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("bitmap_distinct_rollup", BITMAP_SQL, tags=("agg", "sketch", "bitmap"))
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct customers per year via two-level bitmap merge:
+    level 1 builds one fixed-size bitmap per (year, month, key-bucket)
+    — the per-segment partial a warehouse would persist — and level 2
+    OR-merges bitmaps and sums per-bucket cardinalities. Unlike a
+    count-distinct expand, the re-aggregation never touches raw keys
+    (each partial is a few KB regardless of row count), yet the result
+    is exact, so the oracle is a plain COUNT(DISTINCT)."""
+    orders = table(spark, sf_dir, "orders")
+    lvl1 = (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+            F.bitmap_bucket_number("o_custkey").alias("bucket"),
+        )
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("o_custkey")).alias("bm"))
+    )
+    return (
+        lvl1.groupBy("o_year", "bucket")
+        .agg(F.bitmap_count(F.bitmap_or_agg("bm")).alias("bucket_distinct"))
+        .groupBy("o_year")
+        .agg(F.sum("bucket_distinct").alias("n_customers"))
+    )
+
+
+HLL_SQL = None  # Datasketches HLL binaries are engine-specific: rows-only
+
+
+@register("hll_rollup_regions", HLL_SQL, tags=("agg", "sketch", "approx", "hll"))
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct customers per region by UNIONING per-nation
+    Datasketches HLL sketches — the mergeable twin of
+    `bitmap_distinct_rollup` for key spaces too wide for bitmaps.
+    Nation-level sketches aggregate once from the fact rows; the
+    region rollup is hll_union_agg over 25 sketch blobs (no second
+    fact scan). Engine-specific sketch -> rows-only contract;
+    tests/test_stats bounds the estimate against the exact count."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    per_nation = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_regionkey", "n_nationkey")
+        .agg(F.hll_sketch_agg("c_custkey", F.lit(14)).alias("sk"))
+    )
+    return (
+        per_nation.groupBy(F.col("n_regionkey").cast("long").alias("regionkey"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+        )
+    )

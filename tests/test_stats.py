@@ -27,6 +27,50 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
         assert abs(a99 - p99) / p99 < 0.01
 
 
+def test_bitmap_rollup_is_exact(spark, sf_dir):
+    from crane_spark.tables import table
+    from pyspark.sql import functions as F
+
+    got = {
+        r["o_year"]: r["n_customers"]
+        for r in REGISTRY["bitmap_distinct_rollup"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["o_year"]: r["n"]
+        for r in table(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert got == exact
+
+
+def test_hll_rollup_bounds(spark, sf_dir):
+    from crane_spark.tables import table
+    from pyspark.sql import functions as F
+
+    approx = {
+        r["regionkey"]: (r["approx_customers"], r["n_nations"])
+        for r in REGISTRY["hll_rollup_regions"].fn(spark, sf_dir).collect()
+    }
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    exact = {
+        r["regionkey"]: r["n"]
+        for r in cust.join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        .groupBy(F.col("n_regionkey").cast("long").alias("regionkey"))
+        .agg(F.count_distinct("c_custkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for rk, (est, n_nations) in approx.items():
+        assert n_nations == 5
+        # lgK=14 keeps relative error well under 2% at these cardinalities
+        assert abs(est - exact[rk]) / exact[rk] < 0.02
+
+
 def test_compact_rewrites_to_target_file_count(spark, sf_dir, tmp_path):
     from crane_spark.sources.sinks import compact
     from crane_spark.tables import table
