@@ -214,18 +214,20 @@ def simhash_hamming_pairs(
 ) -> DataFrame:
     """Near-dup pairs at Hamming distance <= 1 on the SimHash.
 
-    Bit-flip probing: each doc emits its signature plus the 16
-    one-bit-flip variants; docs sharing any probe value are within
-    Hamming distance 1. This is the multi-probe trick that finds
-    near-matches WITHOUT an all-pairs XOR scan — #probes rows per doc
-    through one shuffle, exactly like LSH banding.
+    Bit-flip probing, ONE-SIDED: the left side emits the signature plus
+    its 16 one-bit-flip variants; the right side emits only the raw
+    signature. A probe row equals a raw signature iff the pair is at
+    Hamming distance exactly 0 (identity probe) or 1 (flipped probe),
+    so the join admits no distance-2 pairs, each unordered pair
+    surfaces exactly once per direction (the a<b filter keeps one),
+    and no dedup shuffle is needed. Versus two-sided probing this
+    shrinks the join to 17n x n instead of 17n x 17n and drops the
+    trailing distinct — the near-match search never XOR-scans all
+    pairs either way, exactly like LSH banding.
 
     The signature table is materialized once (localCheckpoint — at
-    warehouse scale, the parquet signature index) and the probe lists
-    self-join: a codegen'd shuffled hash join beats collect_list
-    buckets + interpreted in-array pair generation ~2x, because pair
-    volume grows quadratically in bucket size and the join keeps it
-    in codegen while narrow filters prune before the one distinct.
+    warehouse scale, the parquet signature index), then both join
+    sides project from it.
     """
     sims = simhash_values(docs, text_col, id_col).localCheckpoint(eager=True)
     probes = F.array(
@@ -240,8 +242,7 @@ def simhash_hamming_pairs(
     )
     pb = sims.select(
         F.col(id_col).alias("doc_b"),
-        F.col("simhash").alias("sim_b"),
-        F.explode(probes).alias("probe"),
+        F.col("simhash").alias("probe"),
     )
     return (
         pa.join(pb, "probe")
@@ -249,12 +250,10 @@ def simhash_hamming_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("probe")))
             .cast("long")
             .alias("hamming"),
         )
-        .filter(F.col("hamming") <= 1)  # shared probes admit distance 2
-        .distinct()  # one dedup shuffle, after the cheap narrow filters
     )
 
 
