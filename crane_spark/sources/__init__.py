@@ -6,6 +6,7 @@ from crane_spark.sources.files import (
     pagerank_edges_from_tsv,
     read_csv,
     read_json,
+    read_orc,
     read_text_lines,
     twitter_rows_from_csv,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "read_text_lines",
     "read_csv",
     "read_json",
+    "read_orc",
     "twitter_rows_from_csv",
     "pagerank_edges_from_tsv",
     "TWITTER_SCHEMA",

@@ -71,6 +71,23 @@ def read_json(
     return spark.read.json(path) if schema is None else spark.read.schema(schema).json(path)
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    streaming: bool = False,
+) -> DataFrame:
+    """Columnar ORC twin of the parquet path (JVM-native reader:
+    predicate pushdown and column pruning apply exactly as for
+    parquet). Batch infers the schema from file footers; streaming
+    needs it up front like every file stream."""
+    if streaming:
+        if schema is None:
+            raise ValueError("streaming ORC requires an explicit schema")
+        return spark.readStream.schema(schema).orc(path)
+    return spark.read.orc(path) if schema is None else spark.read.schema(schema).orc(path)
+
+
 def twitter_rows_from_csv(
     spark: SparkSession, path: str, streaming: bool = False
 ) -> DataFrame:

@@ -44,6 +44,21 @@ def test_pagerank_ragged_tsv(spark, tmp_path):
     assert got == [("1", "2"), ("1", "3"), ("3", "1")]
 
 
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    from crane_spark.sources import read_orc
+    from crane_spark.tables import table
+
+    out = str(tmp_path / "nation_orc")
+    table(spark, sf_dir, "nation").write.orc(out)
+    back = read_orc(spark, out)
+    assert back.count() == 25
+    flt = back.filter(F.col("n_regionkey") == 0).select("n_name")
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    # the ORC scan must receive the filter and prune to the 2 read columns
+    assert "PushedFilters: [" in plan and "n_regionkey" in plan
+    assert flt.count() == 5
+
+
 def test_json_roundtrip(spark, tmp_path):
     import json
 
