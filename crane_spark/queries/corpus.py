@@ -371,3 +371,62 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
     )
+
+
+# --------------------------------------------------------------------
+# Per-source boilerplate n-grams (the C4-style repeated-template
+# signal: a 3-gram appearing in a large fraction of one source's
+# documents is navigation/footer/boilerplate, not content).
+# --------------------------------------------------------------------
+
+BOILERPLATE_SQL = """
+WITH g AS (
+  SELECT source, doc_id,
+         unnest(list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+                i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')))) AS gram
+  FROM documents
+),
+df AS (SELECT source, gram, CAST(count(*) AS BIGINT) AS n_docs FROM g GROUP BY 1, 2),
+tot AS (SELECT source, count(DISTINCT doc_id) AS total FROM documents GROUP BY 1)
+SELECT source, gram, n_docs,
+       round(CAST(n_docs AS DOUBLE) / total, 6) AS df_ratio
+FROM df JOIN tot USING (source)
+WHERE CAST(n_docs AS DOUBLE) / total >= 0.08 AND n_docs >= 2
+"""
+
+
+@register("boilerplate_ngrams", BOILERPLATE_SQL, tags=("llm", "text", "quality"))
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate 3-grams per source: grams present in >= 8% of a
+    source's documents. Distinct-per-doc grams collapse BEFORE the
+    shuffle (array_distinct inside the row), the (source, gram)
+    aggregate map-side combines, and the per-source totals table is
+    #sources rows — it broadcasts. At 100 TB the output feeds the
+    template-stripping pass; nothing here holds more than a
+    vocabulary-sized table per task."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams3 = F.array_distinct(
+        F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+            lambda _, i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        )
+    )
+    g = fan_out(docs).select(
+        "source", "doc_id", F.explode(grams3).alias("gram")
+    )
+    df = g.groupBy("source", "gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = docs.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("total")
+    )
+    ratio = F.col("n_docs").cast("double") / F.col("total")
+    return (
+        df.join(F.broadcast(tot), "source")
+        .filter((ratio >= 0.08) & (F.col("n_docs") >= 2))
+        .select("source", "gram", "n_docs", F.round(ratio, 6).alias("df_ratio"))
+    )

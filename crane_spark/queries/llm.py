@@ -646,3 +646,79 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
+
+
+# --------------------------------------------------------------------
+# Scalar (int8) embedding quantization — the 4x storage compression
+# that makes a 100 TB float32 vector store a 25 TB int8 one. Per-vector
+# affine quantization: codes = round((x - min) / scale) in 0..255,
+# reconstruction x' = min + code * scale. Everything is elementwise,
+# in-order arithmetic, so the two engines agree bit-for-bit; the MSE
+# rounds before output as the usual cross-engine guard.
+# --------------------------------------------------------------------
+
+_Q_ELEMS = f"list_transform(range(1, {EMBED_DIM + 1}), i -> CAST(embedding[i] AS DOUBLE))"
+
+INT8_QUANT_SQL = f"""
+WITH spans AS (
+  SELECT vec_id, xs, list_min(xs) AS mn,
+         (list_max(xs) - list_min(xs)) / 255 AS scale
+  FROM (SELECT vec_id, {_Q_ELEMS} AS xs FROM embeddings)
+),
+coded AS (
+  SELECT vec_id, xs, mn, scale,
+         list_transform(xs, x -> CAST(round((x - mn) / scale) AS INTEGER)) AS codes
+  FROM spans
+)
+SELECT vec_id,
+       round(mn, 6) AS q_min,
+       round(mn + 255 * scale, 6) AS q_max,
+       array_to_string(list_slice(codes, 1, 8), ',') AS codes_head,
+       round(list_sum(list_transform(range(1, {EMBED_DIM + 1}),
+             i -> pow(xs[i] - (mn + codes[i] * scale), 2))) / {EMBED_DIM}, 10)
+         AS mse
+FROM coded
+"""
+
+
+@register("int8_quantize", INT8_QUANT_SQL, tags=("llm", "similarity", "quantize"))
+def q_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization with reconstruction error.
+
+    One narrow pass over the vector column — no shuffle at all; at
+    warehouse scale this is the map-only job that rewrites the
+    embedding store at 1/4 size (plus a per-vector (min, scale)
+    header), and brute-force/IVF scans then run on int8 codes. The
+    synthetic embeddings never collapse to a constant vector, so
+    scale > 0; a production build would nullif-guard the division.
+    Codes surface as a joined string (head) because array columns
+    hash differently across engines."""
+    emb = table(spark, sf_dir, "embeddings")
+    xs = F.transform("embedding", lambda x: x.cast("double"))
+    spans = emb.select(
+        "vec_id",
+        xs.alias("xs"),
+        F.array_min(xs).alias("mn"),
+        ((F.array_max(xs) - F.array_min(xs)) / F.lit(255)).alias("scale"),
+    )
+    codes = F.transform(
+        "xs",
+        lambda x: F.round((x - F.col("mn")) / F.col("scale")).cast("int"),
+    )
+    coded = spans.select("vec_id", "xs", "mn", "scale", codes.alias("codes"))
+    sq_err = F.zip_with(
+        "xs",
+        "codes",
+        lambda x, c: F.pow(x - (F.col("mn") + c * F.col("scale")), F.lit(2)),
+    )
+    return coded.select(
+        "vec_id",
+        F.round("mn", 6).alias("q_min"),
+        F.round(F.col("mn") + F.lit(255) * F.col("scale"), 6).alias("q_max"),
+        F.array_join(F.slice("codes", 1, 8), ",").alias("codes_head"),
+        F.round(
+            F.aggregate(sq_err, F.lit(0.0), lambda acc, x: acc + x)
+            / F.lit(EMBED_DIM),
+            10,
+        ).alias("mse"),
+    )
