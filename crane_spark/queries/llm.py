@@ -722,3 +722,72 @@ def q_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).alias("mse"),
     )
+
+
+# --------------------------------------------------------------------
+# ANN over the quantized store: the search half of int8_quantize.
+# Queries and corpus both run on int8-RECONSTRUCTED vectors, which is
+# exactly what a production scan over a quantized index computes —
+# recall degrades only by the quantization error (test-bounded vs the
+# exact float path).
+# --------------------------------------------------------------------
+
+_Q_RECON_CTE = f"""
+recon AS (
+  SELECT vec_id,
+         list_transform(xs, x -> mn + round((x - mn) / scale) * scale) AS rv
+  FROM (
+    SELECT vec_id, xs, list_min(xs) AS mn,
+           (list_max(xs) - list_min(xs)) / 255 AS scale
+    FROM (SELECT vec_id, {_Q_ELEMS} AS xs FROM embeddings)
+  )
+)
+"""
+
+INT8_TOPK_SQL = f"""
+WITH {_Q_RECON_CTE},
+q AS (SELECT vec_id AS query_id, rv AS qv FROM recon WHERE vec_id < 5),
+sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({_sql_dot('q.qv', 'e.rv')}
+               / ({_sql_norm('q.qv')} * {_sql_norm('e.rv')}), 4) AS cosine
+  FROM recon e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rn FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn
+  FROM sims
+) WHERE rn <= 3
+"""
+
+
+@register("int8_topk", INT8_TOPK_SQL, tags=("llm", "similarity", "quantize"))
+def q_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 on the int8-reconstructed store (5
+    query vectors, self-matches excluded). Same plan shape as
+    `embedding_topk` — broadcast queries, one narrow scored pass, a
+    per-query top-k window — with the dequantization fused into the
+    scan projection (map-only, codegen'd arithmetic; at scale the
+    codes stream from a store 1/4 the size of the float one)."""
+    from crane_spark.llm.similarity import brute_force_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    xs = F.transform("embedding", lambda x: x.cast("double"))
+    spans = emb.select(
+        "vec_id",
+        xs.alias("xs"),
+        F.array_min(xs).alias("mn"),
+        ((F.array_max(xs) - F.array_min(xs)) / F.lit(255)).alias("scale"),
+    )
+    recon = spans.select(
+        "vec_id",
+        F.transform(
+            "xs",
+            lambda x: F.col("mn")
+            + F.round((x - F.col("mn")) / F.col("scale")) * F.col("scale"),
+        ).alias("embedding"),
+    )
+    return brute_force_topk(
+        recon.filter(F.col("vec_id") < 5), recon, k=3
+    ).select("query_id", "neighbor_id", "cosine", "rn")

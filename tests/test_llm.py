@@ -214,3 +214,19 @@ def test_ivf_probe_topk_recall_vs_brute_force(spark, sf_dir):
         by_q.setdefault(r["query_id"], []).append(r["cosine"])
     for cosines in by_q.values():
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_int8_topk_recall_vs_exact(spark, sf_dir):
+    """Quantization to int8 perturbs cosines by ~1e-3; the top-3
+    neighbor sets should survive nearly unchanged."""
+    from crane_spark.queries import REGISTRY
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in REGISTRY["embedding_topk"].fn(spark, sf_dir).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in REGISTRY["int8_topk"].fn(spark, sf_dir).collect()
+    }
+    assert len(quant & exact) / len(exact) >= 0.8
