@@ -44,16 +44,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader
+    """events.ts may be TIMESTAMP(NANOS) parquet, which Spark's reader
     rejects. Read nanos as long and truncate to microseconds with
     exact integer arithmetic (`div`, not double division — ns epochs
     exceed 2^53). Matches DuckDB's own ns -> us truncation, so the
-    oracle agrees on every timestamp."""
+    oracle agrees on every timestamp. Data generated with plain µs
+    timestamps may instead resolve as TIMESTAMP_NTZ; normalize to
+    TimestampType so time functions (`unix_micros`, `window`) apply —
+    the session timezone is pinned UTC, so values are unchanged.
+    """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 # fan_out decisions keyed by the scan's input-file set: computing the
