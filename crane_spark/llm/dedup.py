@@ -320,3 +320,59 @@ def ngram_jaccard_pairs(
             (inter.cast("double") / union).alias("jaccard"),
         )
     )
+
+
+def drop_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-corpus repeated-span removal (CCNet-style line dedup,
+    generalized to fixed-width token spans for corpora without line
+    structure): any span of ``span_tokens`` consecutive tokens (non-
+    overlapping grid) that appears in >= ``min_docs`` DISTINCT
+    documents is removed from every document; survivors reassemble in
+    original order. Documents whose every span was removed disappear.
+
+    Scale shape: spans explode narrow off the scan; the duplicate-span
+    set comes from one sketch-sized aggregate (distinct-doc count per
+    span hash, map-side combined) and is broadcast for an anti-join —
+    the corpus itself never shuffles by span. The common case (few
+    repeated spans) costs one broadcast; reassembly is the only wide
+    op, keyed by document.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(toks) / F.lit(float(span_tokens))).cast("int")
+    idxs = F.when(n_spans > 0, F.sequence(F.lit(0), n_spans - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = (
+        fan_out(docs)
+        .select(F.col(id_col), F.explode(idxs).alias("span_idx"), toks.alias("toks"))
+        .select(
+            id_col,
+            "span_idx",
+            F.array_join(
+                F.slice(F.col("toks"), F.col("span_idx") * span_tokens + 1, span_tokens),
+                " ",
+            ).alias("span"),
+        )
+        .withColumn("h", F.md5("span"))
+    )
+    dup = (
+        spans.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("h")
+    )
+    kept = spans.join(F.broadcast(dup), "h", "left_anti")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
+        lambda s: s["span"],
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(ordered, " ").alias("text_dedup"),
+        F.count(F.lit(1)).cast("long").alias("n_spans_kept"),
+    )

@@ -12,6 +12,7 @@ from crane_spark.queries import reference  # noqa: F401
 from crane_spark.queries import relational  # noqa: F401
 from crane_spark.queries import relational2  # noqa: F401
 from crane_spark.queries import corpus  # noqa: F401
+from crane_spark.queries import corpus2  # noqa: F401
 from crane_spark.queries import events  # noqa: F401
 from crane_spark.queries import iterative  # noqa: F401
 from crane_spark.queries import llm  # noqa: F401
