@@ -75,3 +75,31 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(int(frac * HASH_SPACE))
         ).otherwise(threshold)
     return df.filter(hash_bucket(key, salt) < threshold)
+
+
+def equal_mixture_sample(
+    df: DataFrame, key: Column | str, source_col: str = "source", salt: str = "mix"
+) -> DataFrame:
+    """Rebalance a corpus to EQUAL per-source shares by downsampling
+    (the data-mixing step of a training run, with uniform target
+    weights). The keep-rate for source s is n_min / n_s — the largest
+    rates that equalize shares without upsampling — applied as a
+    deterministic hash threshold, so the mix is reproducible under any
+    partitioning and incrementally stable as sources grow.
+
+    One aggregate computes the per-source counts (broadcast back as a
+    tiny join), then the sample is a pure per-row predicate on the
+    scan: no shuffle of the corpus itself.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    n_min = counts.agg(F.min("__n").alias("m"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        source_col,
+        "__n",
+        F.floor(F.lit(HASH_SPACE) * F.col("m") / F.col("__n")).alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(hash_bucket(key, salt) < F.col("__thr"))
+        .drop("__n", "__thr")
+    )

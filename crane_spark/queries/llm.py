@@ -791,3 +791,47 @@ def q_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(
         recon.filter(F.col("vec_id") < 5), recon, k=3
     ).select("query_id", "neighbor_id", "cosine", "rn")
+
+
+# --------------------------------------------------------------------
+# Data mixing: rebalance the corpus to equal per-source shares
+# --------------------------------------------------------------------
+
+MIXING_SQL = f"""
+WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+m AS (SELECT min(n_docs) AS n_min FROM counts),
+kept AS (
+  SELECT d.lang, count(*) AS n_kept
+  FROM documents d
+  JOIN counts c ON d.lang = c.lang
+  CROSS JOIN m
+  WHERE {sql_hash_bucket('doc_id', 'mix')}
+        < CAST(floor(65536.0 * m.n_min / c.n_docs) AS BIGINT)
+  GROUP BY d.lang
+)
+SELECT c.lang, CAST(c.n_docs AS BIGINT) AS n_docs,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM counts c LEFT JOIN kept k ON c.lang = k.lang
+"""
+
+
+@register("data_mixing", MIXING_SQL, tags=("llm", "sampling", "mixing"))
+def q_data_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-share language mixing: each language keeps n_min/n_lang
+    of its documents (the largest downsample-only rates that equalize
+    the mix), selected by content hash so the blend is
+    layout-independent and stable across incremental rebuilds.
+    Per-group counts are one tiny aggregate broadcast back onto the
+    scan — the corpus itself never shuffles (see
+    llm/sampling.equal_mixture_sample)."""
+    from crane_spark.llm.sampling import equal_mixture_sample
+
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    mixed = equal_mixture_sample(docs, "doc_id", "lang", salt="mix")
+    kept = mixed.groupBy("lang").agg(F.count(F.lit(1)).alias("k"))
+    return counts.join(kept, "lang", "left").select(
+        "lang",
+        "n_docs",
+        F.coalesce(F.col("k"), F.lit(0)).cast("long").alias("n_kept"),
+    )

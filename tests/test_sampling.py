@@ -55,3 +55,24 @@ def test_stratified_rates(spark, sf_dir):
     # fraction 1.0 keeps every 'en' doc, default 0.0 drops all others
     assert kept.filter(F.col("lang") != "en").count() == 0
     assert kept.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_equal_mixture_sample_balances_groups(spark, sf_dir):
+    from crane_spark.llm.sampling import equal_mixture_sample
+    from crane_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    counts = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_min = min(counts.values())
+    mixed = equal_mixture_sample(docs, "doc_id", "lang", salt="mix")
+    kept = {r["lang"]: r["n"] for r in mixed.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # The smallest group keeps everything; no group exceeds its size;
+    # every group lands within binomial noise of the equal share.
+    smallest = min(counts, key=counts.get)
+    assert kept[smallest] == counts[smallest]
+    for lang, n in counts.items():
+        assert kept.get(lang, 0) <= n
+        assert abs(kept.get(lang, 0) - n_min) <= max(6, int(0.5 * n_min))
+    # Determinism: same inputs -> identical kept set.
+    again = {r["lang"]: r["n"] for r in equal_mixture_sample(docs, "doc_id", "lang", salt="mix").groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == kept

@@ -219,3 +219,76 @@ def test_stream_static_enrich(spark, sf_dir, tmp_path):
     rows = {r["user_id"]: r["c_name"] for r in spark.table("enrich_sink").collect()}
     assert set(rows) == {3, 7}
     assert all(name is not None for name in rows.values())
+
+
+def test_stream_stream_left_outer_join_emits_nulls(spark, tmp_path):
+    """A left row with no match emits with nulls — but only once the
+    watermark passes its join bound; a later batch's events advance
+    the watermark and flush it."""
+    from crane_spark.streaming.pipelines import stream_stream_outer_join
+
+    clicks_src = str(tmp_path / "oclicks")
+    buys_src = str(tmp_path / "obuys")
+    _write_events(
+        spark,
+        clicks_src,
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 0.0),  # matched
+            (2, "2024-01-01 10:00:00", 2, "click", 0.0),  # never matched
+        ],
+    )
+    _write_events(
+        spark, buys_src, [(10, "2024-01-01 10:10:00", 1, "purchase", 5.0)]
+    )
+    # Second files: far-future rows whose only job is to advance the
+    # watermark in a later micro-batch so batch-1 unmatched state flushes.
+    _write_events(
+        spark, clicks_src, [(99, "2024-01-02 10:00:00", 9, "click", 0.0)]
+    )
+    _write_events(
+        spark, buys_src, [(98, "2024-01-02 10:00:00", 8, "purchase", 0.0)]
+    )
+    clicks = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(clicks_src)
+        .selectExpr("event_id AS click_id", "user_id AS cu", "ts AS click_ts")
+    )
+    buys = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(buys_src)
+        .selectExpr("event_id AS buy_id", "user_id AS cu", "ts AS buy_ts", "value")
+    )
+    out = stream_stream_outer_join(
+        clicks, buys, key="cu", left_ts="click_ts", right_ts="buy_ts",
+        watermark="10 minutes", within="30 minutes",
+    ).select("click_id", "buy_id")
+    run_available_now(out, "ss_outer_sink", output_mode="append")
+    rows = {(r["click_id"], r["buy_id"]) for r in spark.table("ss_outer_sink").collect()}
+    assert (1, 10) in rows          # matched pair
+    assert (2, None) in rows        # unmatched left flushed by watermark
+    assert (99, None) not in rows   # flusher's own bound never passed
+
+
+def test_stream_dedup_within_watermark_collapses_retries(spark, tmp_path):
+    """dropDuplicatesWithinWatermark dedups on business keys alone:
+    a replayed event whose retry carries a DIFFERENT timestamp still
+    collapses (plain dropDuplicates on keys+ts would keep both)."""
+    from crane_spark.streaming.pipelines import stream_dedup_within_watermark
+
+    src = str(tmp_path / "retries")
+    _write_events(
+        spark,
+        src,
+        [
+            (1, "2024-01-01 01:00:00", 1, "click", 1.0),
+            (1, "2024-01-01 01:00:07", 1, "click", 1.0),  # retry, ts drifted
+            (2, "2024-01-01 01:02:00", 2, "view", 2.0),
+        ],
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    deduped = stream_dedup_within_watermark(stream, ["event_id"], watermark="1 hour")
+    run_available_now(deduped.select("event_id", "user_id"), "ddww_sink", output_mode="append")
+    got = sorted(r["event_id"] for r in spark.table("ddww_sink").collect())
+    assert got == [1, 2]
