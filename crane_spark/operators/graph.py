@@ -110,3 +110,21 @@ def _local_union_find(und: DataFrame) -> DataFrame:
     return und.coalesce(1).mapInPandas(
         uf, f"v {vtype}, component_id {vtype}"
     )
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Enumerate triangles (a,b,c) of an undirected graph given as
+    CANONICAL edges (src < dst): each triangle appears exactly once as
+    a<b<c, via a two-step wedge join — e(a,b) ⋈ e(b,c) builds wedges,
+    e(a,c) closes them.
+
+    Scale notes: the joins shuffle by vertex id; for skewed (power-law)
+    graphs, orient edges by DEGREE instead of id before calling
+    (low-degree endpoint first) — that bounds every wedge list by the
+    arboricity and is the standard distributed-triangle trick. Output
+    is one row per triangle; aggregate downstream.
+    """
+    e1 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e2 = edges.select(F.col(src).alias("b"), F.col(dst).alias("c"))
+    e3 = edges.select(F.col(src).alias("a"), F.col(dst).alias("c"))
+    return e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")

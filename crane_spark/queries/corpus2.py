@@ -134,3 +134,114 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     return drop_duplicate_spans(docs, span_tokens=SPAN, min_docs=MIN_DOCS)
+
+
+# --------------------------------------------------------------------
+# The full preprocessing funnel, end-to-end in one query
+# --------------------------------------------------------------------
+
+LEN_LO, LEN_HI = 120, 520
+
+FUNNEL_SQL = f"""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id >= 20),
+len AS (SELECT * FROM corpus WHERE n_chars BETWEEN {LEN_LO} AND {LEN_HI}),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM len
+  ) WHERE rn = 1
+),
+bench AS (
+  SELECT DISTINCT md5(g) AS gh
+  FROM (
+    SELECT unnest(list_transform(range(1, len(string_split(text,' ')) - 6),
+           i -> array_to_string(list_slice(string_split(text,' '), i, i+7), ' '))) AS g
+    FROM documents WHERE doc_id < 20
+  )
+),
+contaminated AS (
+  SELECT DISTINCT doc_id
+  FROM (
+    SELECT doc_id,
+           md5(unnest(list_transform(range(1, len(string_split(text,' ')) - 6),
+           i -> array_to_string(list_slice(string_split(text,' '), i, i+7), ' ')))) AS gh
+    FROM dedup
+  ) t SEMI JOIN bench USING (gh)
+),
+clean AS (SELECT * FROM dedup ANTI JOIN contaminated USING (doc_id)),
+counts AS (SELECT lang, count(*) AS n FROM clean GROUP BY lang),
+m AS (SELECT min(n) AS n_min FROM counts),
+mixed AS (
+  SELECT d.* FROM clean d JOIN counts c ON d.lang = c.lang CROSS JOIN m
+  WHERE {{hb}} < CAST(floor(65536.0 * m.n_min / c.n) AS BIGINT)
+)
+SELECT stage, n_docs FROM (
+  SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM corpus
+  UNION ALL SELECT '1_length', count(*) FROM len
+  UNION ALL SELECT '2_exact_dedup', count(*) FROM dedup
+  UNION ALL SELECT '3_decontaminated', count(*) FROM clean
+  UNION ALL SELECT '4_mixed', count(*) FROM mixed
+)
+"""
+
+
+from crane_spark.llm.sampling import sql_hash_bucket  # noqa: E402
+
+
+@register(
+    "corpus_funnel",
+    FUNNEL_SQL.format(hb=sql_hash_bucket("doc_id", "mix")),
+    tags=("llm", "pipeline", "funnel"),
+)
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole preprocessing pipeline as ONE lazy plan: length
+    filter -> exact dedup (first-doc-wins) -> benchmark
+    decontamination (broadcast 8-gram semi-join) -> equal-share
+    language mixing, reporting surviving doc counts per stage. Each
+    stage is the already-verified operator; this proves they COMPOSE —
+    the plan a user would actually run over 100 TB, where every stage
+    is a scan-side predicate or broadcast join and the only wide ops
+    are the dedup window and the tiny per-stage counts."""
+    from pyspark.sql import Window
+
+    from crane_spark.llm.sampling import equal_mixture_sample
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    lenf = corpus.filter(F.col("n_chars").between(LEN_LO, LEN_HI))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dedup = (
+        lenf.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    n = 8
+    grams = F.expr(
+        f"transform(slice(split(text,' '), 1, size(split(text,' ')) - {n - 1}), "
+        f"(x, i) -> array_join(slice(split(text,' '), i + 1, {n}), ' '))"
+    )
+    bench = (
+        docs.filter(F.col("doc_id") < 20)
+        .select(F.explode(grams).alias("g"))
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+    )
+    train_grams = dedup.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.md5("g").alias("gh")
+    )
+    contaminated = (
+        train_grams.join(F.broadcast(bench), "gh", "left_semi").select("doc_id").distinct()
+    )
+    clean = dedup.join(contaminated, "doc_id", "left_anti")
+    mixed = equal_mixture_sample(clean, "doc_id", "lang", salt="mix")
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage("0_raw", corpus)
+        .unionByName(stage("1_length", lenf))
+        .unionByName(stage("2_exact_dedup", dedup))
+        .unionByName(stage("3_decontaminated", clean))
+        .unionByName(stage("4_mixed", mixed))
+    )

@@ -146,3 +146,45 @@ def _local_pagerank(edges: DataFrame, n_iter: int) -> DataFrame:
         yield pd.DataFrame({"vid": verts, "rank": [rank[v] for v in verts]})
 
     return edges.coalesce(1).mapInPandas(run, f"vid {vtype}, rank double")
+
+
+TRIANGLE_SQL = """
+WITH e AS (
+  SELECT a.n_regionkey AS rk, a.n_nationkey AS s, b.n_nationkey AS d
+  FROM nation a
+  JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+)
+SELECT CAST(e1.rk AS BIGINT) AS regionkey, CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e1.d = e2.s AND e1.rk = e2.rk
+JOIN e e3 ON e1.s = e3.s AND e2.d = e3.d
+GROUP BY e1.rk
+"""
+
+
+@register("triangle_count_regions", TRIANGLE_SQL, tags=("graph", "join"))
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting via wedge join (operators/graph.triangle_count)
+    on the same-region nation graph — each region is a 5-clique, so
+    every region closes C(5,3)=10 triangles; the oracle enumerates the
+    same 3-way self-join in SQL."""
+    from crane_spark.operators.graph import triangle_count
+
+    nation = table(spark, sf_dir, "nation")
+    a, b = nation.alias("a"), nation.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_regionkey").alias("rk"),
+        F.col("a.n_nationkey").alias("src"),
+        F.col("b.n_nationkey").alias("dst"),
+    )
+    tri = triangle_count(edges)
+    rk = edges.select(F.col("src").alias("a"), "rk").distinct()
+    return (
+        tri.join(rk, "a")
+        .groupBy(F.col("rk").cast("long").alias("regionkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )

@@ -498,3 +498,38 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v.min_value").alias("min_value"),
         F.col("v.max_value").alias("max_value"),
     )
+
+
+ANALYTICS2_SQL = """
+SELECT c_nationkey, c_custkey, c_acctbal,
+       cume_dist() OVER w AS cdist,
+       nth_value(c_acctbal, 3) OVER w AS third_bal,
+       first_value(CASE WHEN c_acctbal > 0 THEN c_acctbal END IGNORE NULLS) OVER wf
+         AS first_pos_bal,
+       last_value(c_acctbal) OVER wf AS min_bal_in_nation
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+       wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register("window_analytics2", ANALYTICS2_SQL, tags=("window",))
+def q_window_analytics2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second tier of window analytics: cume_dist, nth_value
+    (default running frame), and IGNORE NULLS first/last over the full
+    partition frame — the null-skipping navigation functions gap-fill
+    pipelines lean on."""
+    cust = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pos_bal = F.when(F.col("c_acctbal") > 0, F.col("c_acctbal"))
+    return cust.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.cume_dist().over(w).alias("cdist"),
+        F.nth_value("c_acctbal", 3).over(w).alias("third_bal"),
+        F.first(pos_bal, ignorenulls=True).over(wf).alias("first_pos_bal"),
+        F.last("c_acctbal").over(wf).alias("min_bal_in_nation"),
+    )
