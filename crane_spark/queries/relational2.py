@@ -533,3 +533,65 @@ def q_window_analytics2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first(pos_bal, ignorenulls=True).over(wf).alias("first_pos_bal"),
         F.last("c_acctbal").over(wf).alias("min_bal_in_nation"),
     )
+
+
+HOF_SQL = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS BIGINT)
+         AS n_long_tokens,
+       CAST(len(list_filter(string_split(text, ' '),
+                            t -> t IN ('the','a','of','and','in','to','is'))) > 0
+            AS BIGINT) AS has_stopword,
+       CAST(len(list_filter(string_split(text, ' '),
+                            t -> NOT regexp_matches(t, '^[a-z]+$'))) = 0
+            AS BIGINT) AS all_lower_alpha,
+       CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t)))
+            AS BIGINT) AS total_token_chars,
+       array_to_string(list_transform(list_slice(string_split(text, ' '), 1, 3),
+                                      t -> upper(t)), ' ') AS first3_upper
+FROM documents
+"""
+
+
+@register("hof_array_funcs", HOF_SQL, tags=("array", "hof", "projection"))
+def q_hof_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lambda higher-order functions (filter/exists/forall/
+    aggregate/transform) as first-class surface — per-element logic
+    without leaving the JVM (the alternative is a Python UDF, 10-100x
+    slower at 100 TB)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "in", "to", "is")])
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).cast("long").alias("n_long_tokens"),
+        F.exists(toks, lambda t: F.array_contains(stop, t)).cast("long").alias("has_stopword"),
+        F.forall(toks, lambda t: t.rlike("^[a-z]+$")).cast("long").alias("all_lower_alpha"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+        .alias("total_token_chars"),
+        F.array_join(F.transform(F.slice(toks, 1, 3), F.upper), " ").alias("first3_upper"),
+    )
+
+
+REGEX_SQL = """
+SELECT p_partkey,
+       regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+       CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT) AS n_vowel_runs,
+       regexp_replace(p_name, '[aeiou]', '*', 'g') AS masked,
+       CAST(regexp_matches(p_name, 'g(ear|izmo)') AS BIGINT) AS is_geared
+FROM part
+"""
+
+
+@register("regex_funcs", REGEX_SQL, tags=("string", "regex", "projection"))
+def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface: group extraction, match counting, global
+    replacement, boolean match — all codegen'd JVM expressions."""
+    part = table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word"),
+        F.regexp_count("p_name", F.lit("[aeiou]+")).cast("long").alias("n_vowel_runs"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("masked"),
+        F.col("p_name").rlike("g(ear|izmo)").cast("long").alias("is_geared"),
+    )

@@ -90,3 +90,35 @@ def test_partition_count_invariance(spark, sf_dir):
                     baseline[name] = rows
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
+def test_bloom_contamination_keeps_broadcast_only_joins(spark, sf_dir):
+    """The Bloom probe must be a scan-side FILTER (no join operator for
+    the pre-filter); the only joins in the plan are the broadcast exact
+    verify — at 100 TB, a shuffled join here is the failure mode."""
+    plan = _plan(spark, sf_dir, "bloom_contamination")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # The probe itself compiles into the scan-stage filter.
+    assert "shiftright" in plan
+
+
+def test_span_dedup_broadcasts_duplicate_set(spark, sf_dir):
+    """The duplicate-span set rides a broadcast anti-join; the
+    corpus-sized span stream must not shuffle for it."""
+    plan = _plan(spark, sf_dir, "span_dedup")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_cms_probe_is_broadcast(spark, sf_dir):
+    """The sketch (<= depth*width rows) must broadcast to the
+    candidate probes, never the reverse."""
+    plan = _plan(spark, sf_dir, "cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_data_mixing_rates_broadcast_onto_scan(spark, sf_dir):
+    """Per-group thresholds are a tiny aggregate broadcast back onto
+    the corpus scan — the corpus itself never shuffles to be sampled."""
+    plan = _plan(spark, sf_dir, "data_mixing")
+    assert "BroadcastHashJoin" in plan
