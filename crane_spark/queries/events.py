@@ -335,3 +335,46 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
     )
+
+
+ASOF_FWD_SQL = """
+SELECT c.event_id, c.user_id, c.ts,
+       CASE WHEN p.ts IS NOT NULL AND p.ts - c.ts <= INTERVAL 1 HOUR
+            THEN p.ts END AS next_purchase_ts,
+       CASE WHEN p.ts IS NOT NULL AND p.ts - c.ts <= INTERVAL 1 HOUR
+            THEN p.value END AS next_purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+
+@register("asof_next_purchase", ASOF_FWD_SQL, tags=("join", "asof"))
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with a tolerance: each click annotated with
+    the user's next purchase within one hour (conversion attribution).
+    Same one-shuffle union+window merge as the backward variant —
+    direction only flips the sort side and the carrying frame; the
+    tolerance nullifies the nearest match when it is too far, which is
+    equivalent to bounding the search."""
+    from crane_spark.operators.asof import as_of_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = as_of_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_time="ts",
+        right_time="ts",
+        direction="forward",
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof.ts").alias("next_purchase_ts"),
+        F.col("asof.value").alias("next_purchase_value"),
+    )
