@@ -595,3 +595,62 @@ def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("p_name", "[aeiou]", "*").alias("masked"),
         F.col("p_name").rlike("g(ear|izmo)").cast("long").alias("is_geared"),
     )
+
+
+NULLSEM_SQL = """
+SELECT c_nationkey,
+       CAST(bool_and(c_acctbal > 0) AS BIGINT) AS all_positive,
+       CAST(bool_or(c_acctbal < -500) AS BIGINT) AS any_deep_negative,
+       CAST(count(*) - count(CASE WHEN c_acctbal >= 0 THEN c_acctbal END) AS BIGINT)
+         AS n_neg_bal,
+       CAST(SUM(CASE WHEN (CASE WHEN c_acctbal >= 0 THEN floor(c_acctbal / 1000) END)
+                          IS NOT DISTINCT FROM
+                          (CASE WHEN c_acctbal >= -2000 THEN floor(c_acctbal / 1000) END)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+@register("null_semantics", NULLSEM_SQL, tags=("agg", "nulls"))
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null semantics as declared surface: bool_and/bool_or (every/any)
+    aggregates, count() null-skipping vs count(*), and null-safe
+    equality (eqNullSafe / IS NOT DISTINCT FROM) where both-null
+    compares true and null-vs-value compares false."""
+    cust = table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    a = F.when(bal >= 0, F.floor(bal / 1000))
+    b = F.when(bal >= -2000, F.floor(bal / 1000))
+    return cust.groupBy("c_nationkey").agg(
+        F.bool_and(bal > 0).cast("long").alias("all_positive"),
+        F.bool_or(bal < -500).cast("long").alias("any_deep_negative"),
+        (F.count(F.lit(1)) - F.count(F.when(bal >= 0, bal))).cast("long").alias("n_neg_bal"),
+        F.sum(a.eqNullSafe(b).cast("long")).cast("long").alias("n_nullsafe_eq"),
+    )
+
+
+SQL_CTE_TEXT = """
+WITH nation_totals AS (
+  SELECT c_nationkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS nation_rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey
+),
+ranked AS (
+  SELECT c_nationkey, nation_rev,
+         CAST(rank() OVER (ORDER BY nation_rev DESC, c_nationkey) AS BIGINT) AS rev_rank
+  FROM nation_totals
+)
+SELECT * FROM ranked WHERE rev_rank <= 10
+"""
+
+
+@register("sql_cte_window", SQL_CTE_TEXT, tags=("sql", "cte", "window"))
+def q_sql_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql SURFACE itself as a capability: one SQL text —
+    CTE chain, join, decimal-exact aggregate, ranking window — parsed
+    by BOTH engines verbatim (shared ANSI subset). Catalyst gets the
+    identical declarative plan the DataFrame queries build."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(SQL_CTE_TEXT)

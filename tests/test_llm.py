@@ -230,3 +230,30 @@ def test_int8_topk_recall_vs_exact(spark, sf_dir):
         for r in REGISTRY["int8_topk"].fn(spark, sf_dir).collect()
     }
     assert len(quant & exact) / len(exact) >= 0.8
+
+
+def test_multimodal_features_feed_ann_store(spark):
+    """End-to-end multimodal -> vector-store chain: binary assets
+    decode (fake) into feature vectors, features flow through the SAME
+    brute-force cosine top-k used for text embeddings (schema: id +
+    array<float/double>), and the nearest neighbor of each asset is
+    the byte-identical copy planted in the set. Proves the multimodal
+    plumbing terminates in the similarity operators, not a dead end."""
+    from crane_spark.llm.similarity import brute_force_topk
+
+    payloads = [
+        (0, bytearray(b"\x01\x02\x03\x04" * 64), "image/png"),
+        (1, bytearray(b"\x01\x02\x03\x04" * 64), "image/png"),  # dup of 0
+        (2, bytearray(b"\xf0\x0f" * 200), "image/png"),
+        (3, bytearray(b"\xf0\x0f" * 200), "image/png"),  # dup of 2
+        (4, bytearray(bytes(range(256))), "audio/wav"),
+    ]
+    assets = spark.createDataFrame(payloads, "asset_id long, data binary, mime string")
+    feats = extract_features(assets, fake=True).select(
+        F.col("asset_id").alias("vec_id"),
+        F.col("feature").alias("embedding"),
+    )
+    top1 = brute_force_topk(feats, feats, k=1).collect()
+    nearest = {r["query_id"]: r["neighbor_id"] for r in top1}
+    assert nearest[0] == 1 and nearest[1] == 0
+    assert nearest[2] == 3 and nearest[3] == 2
