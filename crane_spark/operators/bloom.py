@@ -65,7 +65,12 @@ def filter_might_contain(
     Python. Follow with an exact join on the survivors for exactness.
     """
     m_bits = 64 * len(words)
-    probed = df.withColumn("__bloom", F.lit(words))
+    # One server-side expression for the whole bit array: F.lit(list)
+    # would issue one py4j call per element (~seconds of driver time
+    # for a 4096-word filter, per query build); a single array(...) SQL
+    # literal parses JVM-side and constant-folds identically.
+    arr_sql = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    probed = df.withColumn("__bloom", F.expr(arr_sql))
     preds = []
     for j, p in enumerate(_positions(F.col(col), m_bits, k)):
         probed = probed.withColumn(f"__bp{j}", p)
