@@ -157,3 +157,34 @@ def test_chunk_document_udtf_lateral(spark):
     # consecutive chunks overlap by exactly one token
     for a, b in zip(rows, rows[1:]):
         assert a["chunk_text"].split()[-1] == b["chunk_text"].split()[0]
+
+
+def test_map_in_arrow_batch_iterator(spark, sf_dir):
+    """mapInArrow: the zero-copy tier below mapInPandas — the UDF sees
+    raw pyarrow RecordBatches (no pandas conversion), the right surface
+    for byte-level / columnar-native operators at scale. Computes
+    per-batch token totals and checks against the JVM aggregate."""
+    import pyarrow as pa
+
+    from crane_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def batch_sums(batches):
+        for batch in batches:
+            n = batch.num_rows
+            total = pa.compute.sum(batch.column("n_chars")).as_py() or 0
+            yield pa.RecordBatch.from_pydict(
+                {"batch_rows": pa.array([n], pa.int64()),
+                 "batch_chars": pa.array([total], pa.int64())}
+            )
+
+    out = docs.mapInArrow(batch_sums, "batch_rows long, batch_chars long")
+    agg = out.agg(
+        F.sum("batch_rows").alias("rows"), F.sum("batch_chars").alias("chars")
+    ).collect()[0]
+    exact = docs.agg(
+        F.count(F.lit(1)).alias("rows"), F.sum("n_chars").alias("chars")
+    ).collect()[0]
+    assert agg["rows"] == exact["rows"]
+    assert agg["chars"] == exact["chars"]
