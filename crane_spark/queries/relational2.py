@@ -654,3 +654,41 @@ def q_sql_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(SQL_CTE_TEXT)
+
+
+ARGMAX_SQL = """
+WITH r AS (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice ASC, o_orderkey DESC) AS rmin
+  FROM orders
+)
+SELECT o_orderstatus,
+       max(CASE WHEN rmax = 1 THEN o_orderkey END) AS biggest_order,
+       max(CASE WHEN rmax = 1 THEN o_totalprice END) AS biggest_price,
+       max(CASE WHEN rmin = 1 THEN o_orderkey END) AS smallest_order,
+       max(CASE WHEN rmin = 1 THEN o_totalprice END) AS smallest_price
+FROM r GROUP BY o_orderstatus
+"""
+
+
+@register("argmax_funcs", ARGMAX_SQL, tags=("agg", "argmax"))
+def q_argmax_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin): top-of-group WITHOUT a window —
+    one hash aggregate with map-side combine instead of a
+    partition-sort, the cheaper plan whenever only the extreme row is
+    needed. Ties broken by orderkey through a struct ordering so both
+    engines pick the same row."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.max_by(
+            "o_orderkey", F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+        ).alias("biggest_order"),
+        F.max("o_totalprice").alias("biggest_price"),
+        F.min_by(
+            "o_orderkey", F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")))
+        ).alias("smallest_order"),
+        F.min("o_totalprice").alias("smallest_price"),
+    )

@@ -292,3 +292,38 @@ def test_stream_dedup_within_watermark_collapses_retries(spark, tmp_path):
     run_available_now(deduped.select("event_id", "user_id"), "ddww_sink", output_mode="append")
     got = sorted(r["event_id"] for r in spark.table("ddww_sink").collect())
     assert got == [1, 2]
+
+
+def test_incremental_ingest_dedups_across_runs(spark, tmp_path):
+    """Two ingestion runs over one store: run 2 re-delivers a document
+    whose text already landed in run 1 plus an in-batch duplicate pair;
+    only genuinely novel texts append."""
+    from crane_spark.streaming.pipelines import stream_incremental_ingest
+
+    src = str(tmp_path / "crawl")
+    store = str(tmp_path / "corpus_store")
+    ck = str(tmp_path / "ingest_ck")
+    schema = "doc_id long, text string"
+
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = stream_incremental_ingest(
+        spark.readStream.schema(schema).parquet(src), store, ck
+    )
+    q.awaitTermination(60)
+
+    spark.createDataFrame(
+        [(3, "gamma delta"),   # cross-run duplicate text
+         (4, "epsilon zeta"),
+         (5, "epsilon zeta")],  # in-batch duplicate pair
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = stream_incremental_ingest(
+        spark.readStream.schema(schema).parquet(src), store, ck
+    )
+    q.awaitTermination(60)
+
+    stored = spark.read.parquet(store)
+    texts = sorted(r["text"] for r in stored.collect())
+    assert texts == ["alpha beta", "epsilon zeta", "gamma delta"]
