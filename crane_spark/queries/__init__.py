@@ -24,5 +24,6 @@ from crane_spark.queries import pipeline  # noqa: F401
 from crane_spark.queries import udf  # noqa: F401
 from crane_spark.queries import search  # noqa: F401
 from crane_spark.queries import mixture  # noqa: F401
+from crane_spark.queries import sql4  # noqa: F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "queries", "oracle_sql"]
