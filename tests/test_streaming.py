@@ -327,3 +327,31 @@ def test_incremental_ingest_dedups_across_runs(spark, tmp_path):
     stored = spark.read.parquet(store)
     texts = sorted(r["text"] for r in stored.collect())
     assert texts == ["alpha beta", "epsilon zeta", "gamma delta"]
+
+
+def test_statestore_reader_exposes_streaming_state(spark, tmp_path):
+    """Spark 4 state-store data source: the persisted state of a
+    stateful streaming query is itself queryable as a DataFrame from
+    the checkpoint — the observability surface for debugging a
+    100 TB streaming job's state without instrumenting the job
+    (which keys, what counts, which shuffle partition holds them)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_text("x\nx\ny\n")
+    ck = str(tmp_path / "ck")
+    counts = spark.readStream.text(str(src)).groupBy("value").count()
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("state_reader_probe")
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    state = spark.read.format("statestore").load(ck)
+    got = {(r["key"]["value"], r["value"]["count"]) for r in state.collect()}
+    assert got == {("x", 2), ("y", 1)}
+    # every state row carries its owning shuffle partition — the handle
+    # for locating skewed state at scale
+    assert all(r["partition_id"] >= 0 for r in state.collect())
