@@ -179,3 +179,124 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
     )
+
+
+# --------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+# --------------------------------------------------------------------
+
+_WS_K = 50
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH pri AS (
+  SELECT doc_id, n_chars,
+         round(
+           ln((CAST('0x' || substring(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) + 1.0) / 1152921504606846976.0)
+           / CAST(n_chars AS DOUBLE), 9) AS priority
+  FROM documents
+)
+SELECT doc_id, n_chars, rank FROM (
+  SELECT doc_id, n_chars,
+         CAST(row_number() OVER (ORDER BY priority DESC, doc_id) AS BIGINT) AS rank
+  FROM pri
+) WHERE rank <= {_WS_K}
+"""
+
+
+@register(
+    "weighted_sample", WEIGHTED_SAMPLE_SQL, tags=("llm", "sampling", "weighted")
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, Efraimidis–Spirakis
+    A-ES: each row draws u from its content hash and gets key
+    u^(1/w); the top-k keys are an exact weight-proportional sample.
+    Ordering by ln(u)/w is the same ordering computed stably (u from
+    md5 -> identical in both engines; priorities round to 9 decimals
+    with doc_id tiebreak so a last-ulp ln() difference cannot flip a
+    rank). One scan + TakeOrderedAndProject per-partition heaps — no
+    global sort, no RNG state, reproducible on any layout. Weights
+    here are document lengths (longer docs proportionally likelier)."""
+    docs = table(spark, sf_dir, "documents")
+    u64 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ws"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    u = (u64 + 1.0) / float(1 << 60)
+    pri = docs.select(
+        "doc_id",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars").cast("double"), 9).alias("priority"),
+    )
+    top = pri.orderBy(F.desc("priority"), F.asc("doc_id")).limit(_WS_K)
+    w = Window.orderBy(F.desc("priority"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("doc_id", "n_chars", "rank")
+    )
+
+
+# --------------------------------------------------------------------
+# Equi-depth histogram (ntile) and k-fold assignment
+# --------------------------------------------------------------------
+
+EQUIDEPTH_SQL = """
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi
+FROM (
+  SELECT o_totalprice,
+         CAST(ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
+  FROM orders
+)
+GROUP BY bucket
+"""
+
+
+@register("equidepth_histogram", EQUIDEPTH_SQL, tags=("agg", "histogram", "window"))
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram: 8 buckets of equal row count with
+    data-dependent boundaries (`price_histogram` is the equi-width
+    twin). ntile over a total order (price, orderkey tiebreak) makes
+    bucket membership deterministic — the rank-arithmetic approach
+    that avoids comparing data against interpolated quantile cuts
+    (engine last-ulp differences would flip boundary rows). This is
+    the optimizer-statistics / feature-binning primitive."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(8).over(w).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+KFOLD_SQL = f"""
+SELECT {sql_hash_bucket('doc_id', 'fold')} % 5 AS fold,
+       lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY fold, lang
+"""
+
+
+@register("kfold_assign", KFOLD_SQL, tags=("llm", "sampling", "split"))
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold (k=5) cross-validation assignment by content hash:
+    fold membership is a pure function of doc_id — stable across
+    engines, layouts, and incremental corpus rebuilds (a re-ingested
+    doc lands in the same fold). Per-(fold, lang) counts verify the
+    folds are balanced and language-representative without
+    materializing the split."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select((hash_bucket("doc_id", "fold") % 5).alias("fold"), "lang")
+        .groupBy("fold", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
