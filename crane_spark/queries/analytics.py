@@ -1,0 +1,191 @@
+"""Product-analytics query shapes: cohorts, transitions, baskets,
+shares.
+
+The BI surface a reference user would expect from any analytics
+engine, each as one declarative plan Catalyst can optimize end to end:
+
+* `cohort_retention` — users grouped by first-activity day, retention
+  counted at day offsets (two aggregations + one co-partitioned join).
+* `event_transitions` — the first-order Markov transition matrix of
+  event types per user (lag window inside the user partition, then a
+  global hash-agg).
+* `copurchase_pairs` — market-basket pair mining: parts appearing in
+  the same order, counted corpus-wide (self-join co-partitioned on the
+  order key — the join carries no shuffle beyond the two scans' hash
+  exchange on l_orderkey).
+* `revenue_share` — percent-of-total within a hierarchy (nation share
+  of region revenue) via a partition-frame window over decimal-exact
+  sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crane_spark.functions.aggregates import dsum, sql_dsum
+from crane_spark.queries.core import register
+from crane_spark.tables import table
+
+COHORT_SQL = """
+WITH first_day AS (
+  SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS active_day
+  FROM events
+)
+SELECT f.cohort_day,
+       CAST(datediff('day', f.cohort_day, a.active_day) AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM first_day f JOIN activity a ON f.user_id = a.user_id
+WHERE datediff('day', f.cohort_day, a.active_day) <= 7
+GROUP BY f.cohort_day, day_offset
+"""
+
+
+@register("cohort_retention", COHORT_SQL, tags=("events", "analytics", "cohort"))
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-activity day, then
+    counted on each later active day (offsets 0..7). Both the cohort
+    assignment and the activity set aggregate on user_id first —
+    the join runs on two already-user-keyed aggregates (AQE reuses
+    the hash partitioning, no extra shuffle), and the per-user row
+    counts are tiny regardless of event volume. The fact table is
+    scanned twice but each scan reduces immediately."""
+    ev = table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("cohort_day")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("active_day")
+    ).distinct()
+    off = F.datediff(F.col("active_day"), F.col("cohort_day"))
+    return (
+        first_day.join(activity, "user_id")
+        .filter(off <= 7)
+        .groupBy("cohort_day", off.cast("long").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+TRANSITIONS_SQL = """
+SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
+@register("event_transitions", TRANSITIONS_SQL, tags=("events", "analytics", "window"))
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix of user behavior: each user's
+    time-ordered event stream yields (previous, next) event-type
+    bigrams via a lag window inside the user partition; one hash-agg
+    counts the 25 cells. One shuffle on user_id for the window (the
+    natural key the stream is already bucketed by in production),
+    map-side combine collapses the bigrams before the final
+    aggregation."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select("event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+COPURCHASE_SQL = """
+SELECT part_a, part_b, n_orders, rank FROM (
+  SELECT part_a, part_b, n_orders,
+         CAST(row_number() OVER (ORDER BY n_orders DESC, part_a, part_b) AS BIGINT) AS rank
+  FROM (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(DISTINCT a.l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+  )
+) WHERE rank <= 20
+"""
+
+
+@register("copurchase_pairs", COPURCHASE_SQL, tags=("join", "analytics", "basket"))
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the top-20 part pairs co-occurring
+    in the most orders. The self-join is co-partitioned on
+    l_orderkey (both sides hash-shuffle on the same key, then join
+    locally — order-sized groups keep the pair blowup bounded by the
+    per-order item count, not the table size), `<` halves the pair
+    space, and distinct-order counting dedups multi-quantity repeats.
+    Top-20 via orderBy+limit (per-partition heaps) before the 20-row
+    rank window."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count_distinct(F.col("a.l_orderkey")).alias("n_orders"))
+    )
+    top = pairs.orderBy(F.desc("n_orders"), "part_a", "part_b").limit(20)
+    w = Window.orderBy(F.desc("n_orders"), "part_a", "part_b")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+REVENUE_SHARE_SQL = f"""
+WITH nation_rev AS (
+  SELECT r.r_name, n.n_name,
+         {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT r_name, n_name, revenue,
+       CAST(round(revenue / sum(revenue) OVER (PARTITION BY r_name), 6) AS DOUBLE)
+         AS region_share
+FROM nation_rev
+"""
+
+
+@register("revenue_share", REVENUE_SHARE_SQL, tags=("window", "analytics", "agg"))
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total inside a hierarchy: each nation's share of its
+    region's supplier revenue. The fact scan aggregates down to 25
+    (region, nation) rows through broadcast dimension joins before
+    the full-partition window computes shares — the window input is
+    dimension-sized, never fact-sized. Revenue sums ride DECIMAL;
+    the share divides two identical doubles in both engines (single
+    division, rounded to 6)."""
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+    )
+    w = Window.partitionBy("r_name")
+    return rev.select(
+        "r_name",
+        "n_name",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("region_share"),
+    )
