@@ -189,3 +189,43 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("region_share"),
     )
+
+
+FOLLOWUP_SQL = """
+SELECT a.user_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(epoch_us(b.ts) - epoch_us(a.ts)) AS BIGINT) AS min_gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'purchase' AND b.event_type = 'error'
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+GROUP BY a.user_id
+"""
+
+
+@register("event_followup_join", FOLLOWUP_SQL, tags=("events", "join", "range", "streaming-twin"))
+def q_event_followup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded event correlation — errors within 5 minutes after
+    a purchase, per user. The batch twin of the watermarked
+    stream-stream join (streaming/pipelines.stream_stream_join): the
+    same equi-key (user_id) carries the join, the time bound rides as
+    a join filter, so the plan co-partitions both scans on user_id —
+    never a cross product. Gaps measured in exact integer
+    microseconds (unix_micros) on both engines."""
+    ev = table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").alias("a")
+    b = ev.filter(F.col("event_type") == "error").alias("b")
+    gap = F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(gap).alias("min_gap_us"),
+        )
+    )

@@ -122,3 +122,34 @@ def test_data_mixing_rates_broadcast_onto_scan(spark, sf_dir):
     the corpus scan — the corpus itself never shuffles to be sampled."""
     plan = _plan(spark, sf_dir, "data_mixing")
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_topk_before_rank_window(spark, sf_dir):
+    """Top-10 must come from per-partition heaps (TakeOrderedAndProject)
+    feeding a 10-row window — never a full-corpus single-partition
+    window sort."""
+    plan = _plan(spark, sf_dir, "bm25_search")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window")
+
+
+def test_copurchase_join_copartitioned_on_orderkey(spark, sf_dir):
+    """The basket self-join must be an equi-join keyed on l_orderkey
+    (both sides exchange on the same key), not a nested-loop over the
+    inequality — the l_partkey < comparison rides as a join filter."""
+    plan = _plan(spark, sf_dir, "copurchase_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "l_orderkey" in plan
+
+
+def test_revenue_share_window_input_is_dimension_sized(spark, sf_dir):
+    """All three dimension joins broadcast; the percent-of-total window
+    runs after the (region, nation)-sized aggregate."""
+    plan = _plan(spark, sf_dir, "revenue_share")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_weighted_sample_no_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "weighted_sample")
+    assert "TakeOrderedAndProject" in plan
