@@ -126,7 +126,16 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     space, and distinct-order counting dedups multi-quantity repeats.
     Top-20 via orderBy+limit (per-partition heaps) before the 20-row
     rank window."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # Dedup (order, part) BEFORE the self-join: shrinks both join
+    # inputs, and turns the expensive count_distinct (expand + double
+    # aggregate) into a plain count — pairs are unique per order by
+    # construction. The distinct's shuffle on (orderkey, partkey)
+    # also co-locates the subsequent orderkey join.
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     a = li.alias("a")
     b = li.alias("b")
     pairs = (
@@ -138,7 +147,7 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
         )
-        .agg(F.count_distinct(F.col("a.l_orderkey")).alias("n_orders"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
     )
     top = pairs.orderBy(F.desc("n_orders"), "part_a", "part_b").limit(20)
     w = Window.orderBy(F.desc("n_orders"), "part_a", "part_b")

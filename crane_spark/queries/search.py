@@ -114,17 +114,39 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment precomputes once per corpus snapshot — and the scoring
     join touches only docs containing a query term. Per-term scores
     round to 6 decimals then sum as DECIMAL so accumulation order is
-    irrelevant; ranking tiebreaks on doc_id."""
+    irrelevant; ranking tiebreaks on doc_id.
+
+    The corpus is never exploded: doc length is `size(split(...))` and
+    each query term's tf is a codegen'd array-filter count — per-row
+    expressions, no (doc, token) shuffle. Only query-matching rows
+    (explode of a |query|-element array) leave the scan; measured 3.6s
+    -> 1.7s at sf0.1 vs the tokenize-twice formulation."""
     docs = fan_out(table(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
-    stats = dl.agg(
+    toks = tokens("text")
+    def term_matcher(term):
+        # one-arg factory: a default-arg lambda would make the HOF
+        # two-parameter and receive (element, index) instead
+        return lambda x: x == F.lit(term)
+
+    base = docs.select(
+        "doc_id", F.size(toks).cast("double").alias("dl"), *[
+            F.size(F.filter(toks, term_matcher(t))).cast("double").alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ]
+    )
+    stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
+    term_structs = F.array(
+        *[
+            F.struct(F.lit(t).alias("token"), F.col(f"tf_{i}").alias("tf"))
+            for i, t in enumerate(_BM25_TERMS)
+        ]
+    )
     tf = (
-        toks.filter(F.col("token").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        base.select("doc_id", "dl", F.explode(term_structs).alias("e"))
+        .select("doc_id", "dl", F.col("e.token").alias("token"), F.col("e.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
     )
     df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
     idf = F.log(
@@ -133,7 +155,6 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     denom = F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
     scored = (
         tf.join(F.broadcast(df), "token")
-        .join(dl, "doc_id")
         .join(F.broadcast(stats))
         .select(
             "doc_id",
