@@ -238,3 +238,108 @@ def q_event_followup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(gap).alias("min_gap_us"),
         )
     )
+
+
+SCD2_SQL = """
+WITH updates AS (
+  SELECT c_custkey, c_acctbal - 1000 AS new_acctbal
+  FROM customer WHERE c_acctbal > 5000
+),
+history AS (
+  SELECT c.c_custkey, c.c_acctbal AS acctbal,
+         DATE '2024-01-01' AS valid_from,
+         CASE WHEN u.c_custkey IS NOT NULL THEN DATE '2024-06-01' END AS valid_to,
+         CASE WHEN u.c_custkey IS NULL THEN 1 ELSE 0 END AS is_current
+  FROM customer c LEFT JOIN updates u ON c.c_custkey = u.c_custkey
+  UNION ALL
+  SELECT c_custkey, new_acctbal AS acctbal,
+         DATE '2024-06-01' AS valid_from,
+         CAST(NULL AS DATE) AS valid_to,
+         1 AS is_current
+  FROM updates
+)
+SELECT c_custkey, acctbal, valid_from, valid_to,
+       CAST(is_current AS BIGINT) AS is_current
+FROM history
+"""
+
+
+@register("scd2_customer_history", SCD2_SQL, tags=("join", "warehouse", "cdc"))
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 merge — the CDC apply shape:
+    a change set (here: balances over 5000 take a 1000-unit debit effective
+    2024-06-01) closes the affected current rows (valid_to stamped,
+    no longer current) and appends new versions, while untouched rows
+    pass through. One left join against the broadcast-sized change
+    set + a union — no MERGE statement required, the pattern works on
+    plain parquet and is idempotent under re-runs. The streaming twin
+    is foreachBatch upsert (streaming.stream_upsert_parquet)."""
+    cust = table(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_acctbal") > 5000).select(
+        "c_custkey", (F.col("c_acctbal") - 1000).alias("new_acctbal")
+    )
+    u = updates.alias("u")
+    closed = (
+        cust.alias("c")
+        .join(F.broadcast(u), F.col("c.c_custkey") == F.col("u.c_custkey"), "left")
+        .select(
+            F.col("c.c_custkey").alias("c_custkey"),
+            F.col("c.c_acctbal").alias("acctbal"),
+            F.lit("2024-01-01").cast("date").alias("valid_from"),
+            F.when(
+                F.col("u.c_custkey").isNotNull(), F.lit("2024-06-01").cast("date")
+            ).alias("valid_to"),
+            F.when(F.col("u.c_custkey").isNull(), 1).otherwise(0)
+            .cast("long")
+            .alias("is_current"),
+        )
+    )
+    fresh = updates.select(
+        "c_custkey",
+        F.col("new_acctbal").alias("acctbal"),
+        F.lit("2024-06-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(1).cast("long").alias("is_current"),
+    )
+    return closed.unionByName(fresh)
+
+
+TRY_ARITH_SQL = """
+SELECT l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN l_discount = 0 THEN NULL
+                ELSE CAST(round(l_quantity / l_discount, 4) AS DECIMAL(28,4)) END)
+            AS DOUBLE) AS sum_qty_per_disc,
+       CAST(sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_div,
+       CAST(sum(try_cast(CASE WHEN l_linenumber % 2 = 0
+                         THEN CAST(l_linenumber AS VARCHAR)
+                         ELSE l_returnflag END AS BIGINT)) AS BIGINT) AS dirty_sum
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+@register("try_arithmetic", TRY_ARITH_SQL, tags=("functions", "null", "ansi"))
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant expressions: `try_divide` nulls out
+    divide-by-zero (instead of ANSI-failing the job — one bad row in
+    100 TB must not kill the pipeline) and `try_cast` nulls
+    non-numeric strings. Null results then flow through null-skipping
+    aggregates; the divide-by-zero count is reported alongside so
+    data-quality loss is observable, not silent."""
+    li = table(spark, sf_dir, "lineitem")
+    ratio = F.try_divide(F.col("l_quantity"), F.col("l_discount"))
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(ratio, 4).cast("decimal(28,4)")).cast("double").alias(
+            "sum_qty_per_disc"
+        ),
+        F.sum(F.when(F.col("l_discount") == 0, 1).otherwise(0)).alias("n_null_div"),
+        F.sum(
+            F.when(
+                F.col("l_linenumber") % 2 == 0, F.col("l_linenumber").cast("string")
+            )
+            .otherwise(F.col("l_returnflag"))
+            .try_cast("bigint")
+        ).alias("dirty_sum"),
+    )
