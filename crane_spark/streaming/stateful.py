@@ -141,3 +141,92 @@ def running_totals_tws(
             timeMode="None",
         )
     )
+
+
+# --------------------------------------------------------------------
+# Timer-driven session finalization (event-time timeout)
+# --------------------------------------------------------------------
+
+SESSION_OUTPUT = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+# epoch microseconds — integers survive the state store exactly
+SESSION_STATE = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def finalized_sessions(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Sessions emitted ONLY when they end — the timer pattern the
+    built-in session_window cannot express in update-free sinks: state
+    accumulates (start, last, count) per key, every input re-arms an
+    EVENT-TIME timeout at last_ts + gap, and when the watermark passes
+    it the handler fires with ``state.hasTimedOut``, emits the single
+    finalized session row, and removes the state. Emission is
+    append-mode (each session exactly once), which is what downstream
+    training-data jobs want: closed sessions, no retractions.
+
+    This is the Spark analog of Crane's run-to-completion batch close
+    (crane_master.py:58-61) generalized to per-key completion under
+    continuous input. State per key is 3 longs — millions of live
+    sessions fit one executor; RocksDB state store at production scale.
+    """
+    import datetime as _dt
+
+    gap_ms = gap_minutes * 60 * 1000
+
+    def update(key, batches, state) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "session_start": [
+                        _dt.datetime.utcfromtimestamp(start_us / 1e6)
+                    ],
+                    "session_end": [_dt.datetime.utcfromtimestamp(last_us / 1e6)],
+                    "n_events": [n],
+                }
+            )
+            return
+        start_us, last_us, n = state.get if state.exists else (None, None, 0)
+        for pdf in batches:
+            ts_us = pdf["ts"].astype("int64")  # datetime64[ns] -> ns; see below
+            # pandas stores ns since epoch; convert to us exactly
+            ts_us = ts_us // 1000
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            start_us = lo if start_us is None else min(start_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+            n += len(pdf)
+        state.update((start_us, last_us, n))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .selectExpr(f"CAST({key_col} AS STRING) AS key", f"{ts_col} AS ts")
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )

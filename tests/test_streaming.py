@@ -355,3 +355,54 @@ def test_statestore_reader_exposes_streaming_state(spark, tmp_path):
     # every state row carries its owning shuffle partition — the handle
     # for locating skewed state at scale
     assert all(r["partition_id"] >= 0 for r in state.collect())
+
+
+def test_timer_finalized_sessions(spark, tmp_path):
+    """Event-time timeout timers: sessions are emitted exactly once,
+    only after the watermark passes last_event + gap, then their state
+    is removed. Run 1 accumulates open sessions (nothing emitted);
+    run 2's far-future event advances the watermark, firing the
+    timeout handler for both idle sessions."""
+    from crane_spark.streaming.stateful import finalized_sessions
+    from crane_spark.streaming.pipelines import stream_to_parquet
+
+    src = str(tmp_path / "events")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(rows):
+        spark.createDataFrame(rows, "user string, ts timestamp").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema("user string, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = stream_to_parquet(
+            finalized_sessions(stream, "user", "ts", gap_minutes=30), sink, ckpt
+        )
+        q.awaitTermination(120)
+
+    import datetime as dt
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    write(
+        [
+            ("a", t("2024-01-01 01:00:00")),
+            ("a", t("2024-01-01 01:10:00")),
+            ("b", t("2024-01-01 01:05:00")),
+        ]
+    )
+    run()
+    write([("c", t("2024-01-01 09:00:00"))])
+    run()
+    got = {
+        r["key"]: (str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got["a"] == ("2024-01-01 01:00:00", "2024-01-01 01:10:00", 2)
+    assert got["b"] == ("2024-01-01 01:05:00", "2024-01-01 01:05:00", 1)
+    assert "c" not in got  # still open: watermark has not passed 09:30
