@@ -343,3 +343,38 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             .try_cast("bigint")
         ).alias("dirty_sum"),
     )
+
+
+GROUPING_ID_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+         AS level_id,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("grouping_id_rollup", GROUPING_ID_SQL, tags=("agg", "rollup", "grouping"))
+def q_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() indicators: subtotal rows are labeled by
+    which key is aggregated away (level_id 0 = detail, 1 = per-status
+    subtotal, 3 = grand total) so consumers can tell a real NULL key
+    from a rollup NULL — the standard cube-consumption contract. One
+    Expand + hash-agg plan; map-side partials apply per grouping set."""
+    orders = table(spark, sf_dir, "orders")
+    level = (
+        F.grouping("o_orderstatus").cast("long") * 2
+        + F.grouping("o_orderpriority").cast("long")
+    )
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(level.alias("level_id"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "level_id",
+            "n_orders",
+        )
+    )

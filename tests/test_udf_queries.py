@@ -188,3 +188,28 @@ def test_map_in_arrow_batch_iterator(spark, sf_dir):
     ).collect()[0]
     assert agg["rows"] == exact["rows"]
     assert agg["chars"] == exact["chars"]
+
+
+def test_apply_in_arrow_grouped(spark):
+    """Grouped-map via applyInArrow: the zero-pandas hop for grouped
+    custom logic — each group arrives as a pyarrow.Table, results
+    return as Arrow, no pandas conversion cost on either side."""
+    import pyarrow as pa
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0)], "k string, v double"
+    )
+
+    def centered(table: pa.Table) -> pa.Table:
+        v = table.column("v")
+        mean = pa.compute.mean(v)
+        return pa.table(
+            {
+                "k": table.column("k"),
+                "centered": pa.compute.subtract(v, mean),
+            }
+        )
+
+    out = df.groupBy("k").applyInArrow(centered, schema="k string, centered double")
+    got = {(r["k"], r["centered"]) for r in out.collect()}
+    assert got == {("a", -1.0), ("a", 1.0), ("b", 0.0)}
