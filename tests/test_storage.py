@@ -144,3 +144,36 @@ def test_zorder_layout_tightens_both_dimensions(spark, sf_dir, tmp_path):
     assert sum(s[1] for s in z_spans) / len(z_spans) < 0.6
     # and no rows lost in the rewrite
     assert spark.read.parquet(zord).count() == orders.count()
+
+
+def test_analyze_table_records_cbo_statistics(spark, sf_dir, tmp_path):
+    """Catalog statistics surface: ANALYZE TABLE records table size /
+    row count and per-column NDV+min/max — what the cost-based
+    optimizer consumes for join reordering and broadcast decisions at
+    scales where guessing is fatal. (Plan-level broadcast assertions
+    live in test_plans; this verifies the stats pipeline itself.)"""
+    from crane_spark.tables import table
+
+    spark.sql("DROP TABLE IF EXISTS t_nation_stats")
+    table(spark, sf_dir, "nation").write.option(
+        "path", str(tmp_path / "t_nation")
+    ).saveAsTable("t_nation_stats")
+    try:
+        spark.sql(
+            "ANALYZE TABLE t_nation_stats COMPUTE STATISTICS FOR ALL COLUMNS"
+        )
+        detail = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql("DESCRIBE TABLE EXTENDED t_nation_stats").collect()
+        }
+        assert "25 rows" in detail.get("Statistics", "")
+        col = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(
+                "DESCRIBE TABLE EXTENDED t_nation_stats n_nationkey"
+            ).collect()
+        }
+        assert col["distinct_count"] == "25"
+        assert col["min"] == "0" and col["max"] == "24"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_nation_stats")
