@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from crane_spark.functions.aggregates import dsum, sql_dsum
 from crane_spark.queries.core import register
-from crane_spark.tables import table
+from crane_spark.tables import fan_out, table
 
 COHORT_SQL = """
 WITH first_day AS (
@@ -326,8 +326,13 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB must not kill the pipeline) and `try_cast` nulls
     non-numeric strings. Null results then flow through null-skipping
     aggregates; the divide-by-zero count is reported alongside so
-    data-quality loss is observable, not silent."""
-    li = table(spark, sf_dir, "lineitem")
+    data-quality loss is observable, not silent.
+
+    try_cast of a string is interpreted per row (format + parse) —
+    CPU-heavy enough that the file's 3 row-group splits serialize it;
+    fan_out spreads the scan across the cluster (the general rule:
+    re-partition when per-row compute outweighs I/O)."""
+    li = fan_out(table(spark, sf_dir, "lineitem"))
     ratio = F.try_divide(F.col("l_quantity"), F.col("l_discount"))
     return li.groupBy("l_linestatus").agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -135,3 +135,26 @@ def q_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY discount_band(l_discount)
         """
     )
+
+
+FILTERED_AGG_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT) AS n_big,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(28,2)))
+            FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_total,
+       CAST(count(*) FILTER (WHERE year(o_orderdate) = 1997) AS BIGINT) AS n_1997
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("filtered_aggregates", FILTERED_AGG_SQL, tags=("sql", "agg", "filter-clause"))
+def q_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER clause, one SQL text for both engines: several
+    differently-predicated aggregates in ONE scan + ONE hash-agg
+    (the alternative — one query per predicate — multiplies full-table
+    scans, the classic dashboard anti-pattern at 100 TB). Decimal sums
+    keep the money aggregate order-independent."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(FILTERED_AGG_SQL)
