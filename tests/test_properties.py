@@ -54,3 +54,94 @@ def _session():
     from crane_spark import get_spark
 
     return get_spark("crane_spark_tests")
+
+
+def test_entropy_bounds_and_sampling_invariance(spark, sf_dir):
+    """Three invariants over the real fixture tables in one job each:
+
+    * token entropy is within [0, log2(n_tokens)] for every document;
+    * the A-ES weighted sample is IDENTICAL under any repartitioning
+      (content-hash priorities carry no layout dependence);
+    * temperature mixing keeps every rate in (0, 1] and gives the
+      smallest source rate exactly 1 (downsample-only contract).
+    """
+    import math
+
+    from crane_spark.queries import REGISTRY
+
+    ent = REGISTRY["token_entropy"].fn(spark, sf_dir).collect()
+    assert ent, "entropy query returned no rows"
+    # entropy is rounded to 5 decimals, so allow half a rounding step
+    for r in ent:
+        assert -1e-4 <= r["entropy"] <= math.log2(max(r["n_tokens"], 2)) + 1e-4
+
+    base = {
+        (r["doc_id"], r["rank"])
+        for r in REGISTRY["weighted_sample"].fn(spark, sf_dir).collect()
+    }
+    from crane_spark.llm.sampling import HASH_SPACE, hash_bucket
+    from crane_spark.tables import table
+    import pyspark.sql.functions as F2
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").repartition(7, "lang")
+    u64 = F2.conv(
+        F2.substring(
+            F2.md5(F2.concat(F2.lit("ws"), F2.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    pri = docs.select(
+        "doc_id",
+        F2.round(
+            F2.log((u64 + 1.0) / float(1 << 60)) / F2.col("n_chars").cast("double"), 9
+        ).alias("priority"),
+    )
+    w = Window.orderBy(F2.desc("priority"), F2.asc("doc_id"))
+    repart = {
+        (r["doc_id"], r["rank"])
+        for r in pri.withColumn("rank", F2.row_number().over(w).cast("long"))
+        .filter(F2.col("rank") <= 50)
+        .collect()
+    }
+    assert repart == base
+
+    rates = REGISTRY["temperature_mixture"].fn(spark, sf_dir).collect()
+    assert all(0.0 < r["rate"] <= 1.0 for r in rates)
+    smallest = min(rates, key=lambda r: r["n_docs"])
+    assert smallest["rate"] == 1.0
+
+
+def test_key_queries_survive_empty_input(spark, tmp_path):
+    """Engine robustness: the core query shapes must return cleanly
+    (zero rows, correct schema — not divide-by-zero, not NPE) when a
+    table is empty, because at 100 TB a partition-pruned scan
+    routinely IS empty."""
+    import os
+
+    from crane_spark.queries import REGISTRY
+    from crane_spark.tables import TABLE_NAMES, table
+
+    empty_dir = str(tmp_path / "empty_sf")
+    os.makedirs(empty_dir)
+    src = "/root/testdata/sf0.001"
+    for name in TABLE_NAMES:
+        table(spark, src, name).limit(0).write.parquet(
+            os.path.join(empty_dir, f"{name}.parquet")
+        )
+    for qname in (
+        "wordcount",
+        "q1_pricing_summary",
+        "q5_local_supplier_volume",
+        "top_customers_per_nation",
+        "exact_dedup",
+        "bm25_search",
+        "token_entropy",
+        "cohort_retention",
+        "copurchase_pairs",
+        "equidepth_histogram",
+    ):
+        out = REGISTRY[qname].fn(spark, empty_dir)
+        assert out.count() == 0, qname
+        assert len(out.schema) >= 1, qname
