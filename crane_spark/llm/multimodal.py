@@ -129,3 +129,60 @@ def asset_stats(assets: DataFrame) -> DataFrame:
             F.max("n_bytes").alias("max_bytes"),
         )
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("data", T.BinaryType()),
+        T.StructField("orig_bytes", T.LongType()),
+        T.StructField("resized_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_assets(
+    assets: DataFrame, target_bytes: int = 256, fake: bool = False
+) -> DataFrame:
+    """Resize/transcode plumbing: binary in -> (smaller) binary out,
+    with before/after sizes carried as typed metadata. The real op is
+    PIL `Image.resize` / ffmpeg scale behind the same signature; the
+    deterministic stand-in STRIDES the byte stream down to
+    ``target_bytes`` (every k-th byte), which preserves the
+    content-dependence tests need (two different inputs resize to two
+    different outputs). Arrow-batched mapInPandas, binary-safe both
+    directions — the round-trip every multimodal pipeline stage
+    (decode -> transform -> re-encode) rides on."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image/video resize requires codec libraries not "
+                    "present in this environment; pass fake=True"
+                )
+
+            def shrink(d):
+                d = d or b""
+                if len(d) <= target_bytes:
+                    return bytes(d)
+                step = max(1, len(d) // target_bytes)
+                return bytes(d[::step][:target_bytes])
+
+            out = pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "mime": pdf["mime"],
+                    "data": pdf["data"].map(shrink),
+                    "orig_bytes": pdf["data"].map(
+                        lambda d: len(d) if d is not None else 0
+                    ),
+                    "resized_bytes": pdf["data"].map(
+                        lambda d: len(shrink(d))
+                    ),
+                }
+            )
+            yield out
+
+    return assets.mapInPandas(run, schema=RESIZE_SCHEMA)

@@ -257,3 +257,25 @@ def test_multimodal_features_feed_ann_store(spark):
     nearest = {r["query_id"]: r["neighbor_id"] for r in top1}
     assert nearest[0] == 1 and nearest[1] == 0
     assert nearest[2] == 3 and nearest[3] == 2
+
+
+def test_multimodal_resize_roundtrip(spark):
+    """Resize plumbing: binary in -> smaller binary out with typed
+    before/after metadata; small assets pass through untouched;
+    distinct inputs stay distinct. (Real codec stubbed: fake=True.)"""
+    import pytest
+
+    from crane_spark.llm.multimodal import resize_assets
+
+    rows = [
+        (1, "image/png", bytes(range(256)) * 8),   # 2048 B -> shrinks
+        (2, "image/png", b"tiny"),                  # under target -> kept
+        (3, "audio/wav", bytes([7]) * 2048),        # constant stream
+    ]
+    assets = spark.createDataFrame(rows, "asset_id long, mime string, data binary")
+    out = {r["asset_id"]: r for r in resize_assets(assets, 256, fake=True).collect()}
+    assert out[1]["orig_bytes"] == 2048 and out[1]["resized_bytes"] <= 256
+    assert bytes(out[2]["data"]) == b"tiny" and out[2]["resized_bytes"] == 4
+    assert bytes(out[1]["data"]) != bytes(out[3]["data"])
+    with pytest.raises(Exception, match="NotImplementedError|resize"):
+        resize_assets(assets, 256, fake=False).collect()
