@@ -835,3 +835,74 @@ def q_data_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.coalesce(F.col("k"), F.lit(0)).cast("long").alias("n_kept"),
     )
+
+
+KMEANS_STEP_SQL = f"""
+WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+sims AS (
+  SELECT v.vec_id, c.centroid_id, v.embedding,
+         round({_sql_dot('v.embedding', 'c.cv')}
+               / ({_sql_norm('v.embedding')} * {_sql_norm('c.cv')}), 4) AS cosine
+  FROM v CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, centroid_id, embedding,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id) AS rn
+  FROM sims
+),
+comp AS (
+  SELECT centroid_id, CAST(u.dim AS BIGINT) AS dim, CAST(u.val AS DOUBLE) AS val
+  FROM (
+    SELECT centroid_id,
+           unnest(list_transform(range(1, len(embedding) + 1),
+                  i -> {{'dim': i, 'val': embedding[i]}})) AS u
+    FROM assigned WHERE rn = 1
+  )
+  WHERE u.dim <= 8
+)
+SELECT centroid_id, dim,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(round(CAST(sum(CAST(round(val, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                  / count(*), 6) AS DOUBLE) AS centroid_val
+FROM comp
+GROUP BY centroid_id, dim
+"""
+
+
+@register("kmeans_step", KMEANS_STEP_SQL, tags=("llm", "similarity", "iterative", "clustering"))
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full k-means training iteration, distributed: assign every
+    vector to its max-cosine centroid (broadcast centroids — the E
+    step), then recompute each centroid as the per-dimension mean of
+    its members (the M step; first 8 dims shown). The mean's sum runs
+    over 6-decimal DECIMAL so the new centroids are identical on any
+    partitioning — the property that makes distributed k-means
+    converge identically to a single-node reference run. Per-dim
+    means come from ONE posexplode + hash-agg (map-side partials);
+    the driver loop repeats this plan to train (cf.
+    pagerank_iterations for lineage control)."""
+    from crane_spark.llm.similarity import ivf_assign
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    vectors = emb.filter(F.col("vec_id") >= 8)
+    member_vecs = ivf_assign(vectors, centroids).select("vec_id", "centroid_id").join(
+        vectors, "vec_id"
+    )
+    comp = member_vecs.select(
+        "centroid_id", F.posexplode("embedding").alias("pos0", "valf")
+    ).select(
+        "centroid_id",
+        (F.col("pos0") + 1).cast("long").alias("dim"),
+        F.col("valf").cast("double").alias("val"),
+    ).filter(F.col("dim") <= 8)
+    n = F.count(F.lit(1))
+    return comp.groupBy("centroid_id", "dim").agg(
+        n.cast("long").alias("n_members"),
+        F.round(
+            F.sum(F.round("val", 6).cast("decimal(28,6)")).cast("double") / n, 6
+        ).alias("centroid_val"),
+    )
