@@ -279,3 +279,22 @@ def test_multimodal_resize_roundtrip(spark):
     assert bytes(out[1]["data"]) != bytes(out[3]["data"])
     with pytest.raises(Exception, match="NotImplementedError|resize"):
         resize_assets(assets, 256, fake=False).collect()
+
+
+def test_kmeans_train_reduces_inertia(spark, sf_dir):
+    """Driver-loop k-means over the embeddings table: total cosine
+    distance to assigned centroids must not increase across
+    iterations (monotone convergence of Lloyd's algorithm), centroids
+    keep shape k x 64, and a re-run reproduces inertia exactly
+    (decimal-summed training is layout-independent)."""
+    from crane_spark.llm.similarity import kmeans_train
+    from crane_spark.tables import table
+
+    vecs = table(spark, sf_dir, "embeddings")
+    cents, inertia = kmeans_train(vecs, k=6, n_iter=3)
+    assert len(inertia) == 3
+    assert inertia[1] <= inertia[0] + 1e-6 and inertia[2] <= inertia[1] + 1e-6
+    rows = cents.collect()
+    assert len(rows) == 6 and all(len(r["embedding"]) == 64 for r in rows)
+    _, again = kmeans_train(vecs, k=6, n_iter=3)
+    assert again == inertia
