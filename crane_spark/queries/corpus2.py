@@ -325,3 +325,111 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(10).over(w).cast("long").alias("decile"),
         hash_bucket("doc_id", "cur").alias("cur_key"),
     )
+
+
+DECILES_SQL = """
+SELECT source, decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS lo,
+       CAST(max(n_chars) AS BIGINT) AS hi
+FROM (
+  SELECT source, n_chars,
+         CAST(ntile(10) OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+  FROM documents
+)
+GROUP BY source, decile
+"""
+
+
+@register("length_deciles_by_source", DECILES_SQL, tags=("llm", "stats", "drift", "window"))
+def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring: per-source document-length
+    deciles (boundary lo/hi per decile). Comparing decile tables
+    between two corpus snapshots — or two sources — is the standard
+    drift check a training pipeline runs before mixing; rank
+    arithmetic (ntile with a doc_id tiebreak) keeps bucket membership
+    deterministic instead of comparing against interpolated quantile
+    cuts. The window partitions by source, so each source sorts
+    independently — no global sort."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return (
+        docs.select("source", "n_chars", F.ntile(10).over(w).cast("long").alias("decile"))
+        .groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("long").alias("lo"),
+            F.max("n_chars").cast("long").alias("hi"),
+        )
+    )
+
+
+VOCAB_OVERLAP_SQL = """
+WITH vocab AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+sizes AS (SELECT source, count(*) AS n FROM vocab GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+  FROM vocab a JOIN vocab b ON a.token = b.token AND a.source < b.source
+  GROUP BY source_a, source_b
+)
+SELECT i.source_a, i.source_b,
+       CAST(i.n_common AS BIGINT) AS n_common,
+       CAST(round(CAST(i.n_common AS DOUBLE)
+                  / (sa.n + sb.n - i.n_common), 6) AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.source_a = sa.source
+JOIN sizes sb ON i.source_b = sb.source
+"""
+
+
+@register("vocab_overlap", VOCAB_OVERLAP_SQL, tags=("llm", "text", "similarity", "join"))
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary Jaccard: how much word inventory two
+    sources share — the cheap corpus-homogeneity signal (near-1 means
+    a source adds no lexical diversity to the mix). One tokenize ->
+    distinct pass builds per-source vocabularies; the pair join runs
+    on the token key (vocabulary-sized, not corpus-sized) and the
+    source<source guard halves the pair space. Jaccard from exact
+    integer counts — one double division, rounded."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select("source", F.explode(tokens("text")).alias("token"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = vocab.alias("a")
+    b = vocab.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(F.broadcast(sa), F.col("source_a") == F.col("sa.source"))
+        .join(F.broadcast(sb), F.col("source_b") == F.col("sb.source"))
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
