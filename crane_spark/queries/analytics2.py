@@ -1,0 +1,319 @@
+"""Product/corpus analytics, batch 3: rolling distinct users, anomaly
+detection, interval-overlap joins, an n-gram LM quality score, and an
+ordered conversion funnel.
+
+Reference scope note: the reference's only analytics are three fixed
+topologies (util.py:28-38, crane_master.py:18); everything here is
+declared gap-fill on the same capability surface (SURVEY.md §2.2),
+built shuffle-friendly for the 100 TB design point:
+
+* rolling distinct -> bounded explode (7x of the DEDUPED user-day
+  pairs, not of raw events) instead of an unsupported
+  COUNT(DISTINCT) OVER RANGE frame;
+* overlap join -> bin-and-join (each interval lands in O(1) hour
+  buckets; the quadratic blow-up is confined to one bucket) instead
+  of an unbounded theta join;
+* trigram LM -> the model side is a bounded vocabulary (alphabet^3),
+  so scoring is a broadcast join, never a shuffle of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crane_spark.queries.core import register
+from crane_spark.tables import fan_out, table
+
+# --------------------------------------------------------------------
+# Rolling 7-day distinct users (WAU) per activity day
+# --------------------------------------------------------------------
+
+ROLLING_WAU_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+contrib AS (
+  SELECT user_id,
+         CAST(UNNEST(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM pairs
+)
+SELECT c.day, count(DISTINCT c.user_id) AS wau_7d
+FROM contrib c
+WHERE c.day IN (SELECT DISTINCT d FROM pairs)
+GROUP BY c.day
+"""
+
+
+@register("rolling_7d_active_users", ROLLING_WAU_SQL, tags=("window", "distinct", "timeseries"))
+def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day count of users active in the trailing 7 days. COUNT
+    (DISTINCT) over a RANGE frame isn't supported (and materializing
+    per-day user sets doesn't scale), so each deduped (user, day) pair
+    is exploded to the <=7 later days it contributes to and the
+    distinct count runs per day — the fan-out is 7x of the deduped
+    pairs, the distinct agg is one shuffle on day, and partial
+    aggregation still applies to the dedup step."""
+    events = table(spark, sf_dir, "events")
+    pairs = events.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    days = pairs.select("d").distinct()
+    contrib = pairs.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("day"),
+    )
+    return (
+        contrib.join(days, contrib.day == days.d, "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau_7d"))
+    )
+
+
+# --------------------------------------------------------------------
+# Per-group z-score anomaly detection
+# --------------------------------------------------------------------
+
+ZSCORE_SQL = """
+WITH s AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+  FROM events GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n, sx / n AS mu,
+         sqrt((sxx - sx * sx / n) / (n - 1)) AS sigma
+  FROM s
+)
+SELECT e.event_type,
+       count(*) FILTER (WHERE abs((e.value - m.mu) / m.sigma) > 3) AS n_outliers,
+       CAST(round(max(abs((e.value - m.mu) / m.sigma)), 4) AS DOUBLE) AS max_abs_z
+FROM events e JOIN m ON e.event_type = m.event_type
+GROUP BY e.event_type
+"""
+
+
+@register("zscore_outliers", ZSCORE_SQL, tags=("agg", "stats", "anomaly"))
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection: per event_type, count of |z| > 3 values and
+    the max |z|. Moments come from exact decimal sums (order-free, so
+    both engines agree bit-for-bit; see stats.py), then a broadcast
+    join streams the stats back over the fact scan — two scans, one
+    tiny shuffle, no window over the whole fact table."""
+    events = table(spark, sf_dir, "events")
+    v = F.round(F.col("value"), 6).cast("decimal(28,6)")
+    vv = F.round(F.col("value") * F.col("value"), 6).cast("decimal(38,6)")
+    s = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("sx"),
+        F.sum(vv).cast("double").alias("sxx"),
+    )
+    m = s.select(
+        "event_type",
+        (F.col("sx") / F.col("n")).alias("mu"),
+        F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)).alias("sigma"),
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    return (
+        events.join(F.broadcast(m), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(z > 3, 1)).alias("n_outliers"),
+            F.round(F.max(z), 4).cast("double").alias("max_abs_z"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Interval-overlap self-join (bin-and-join at scale)
+# --------------------------------------------------------------------
+
+OVERLAP_SQL = """
+WITH iv AS (
+  SELECT event_id, user_id, ts AS s, ts + INTERVAL 1 HOUR AS e
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(greatest(a.s, b.s) AS DATE) AS day,
+       count(*) AS n_overlaps
+FROM iv a JOIN iv b
+  ON a.event_id < b.event_id
+ AND a.s < b.e AND b.s < a.e
+ AND a.user_id <> b.user_id
+GROUP BY day
+"""
+
+
+@register("interval_overlap_counts", OVERLAP_SQL, tags=("join", "range", "interval"))
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrency analysis: pairs of different-user purchase windows
+    ([ts, ts+1h)) that overlap, counted per day. The oracle states the
+    quadratic theta join; the engine runs the scalable twin — each
+    interval is exploded to the hour bins it touches (O(1) per
+    interval since span/bin = 1), the pair join is an equi-join on
+    bin, and a pair is counted only in the bin containing the overlap
+    start (greatest(a.s, b.s)), so bins never double-count. At 100 TB
+    the quadratic cost is confined to co-bucketed rows instead of a
+    full cross join."""
+    events = table(spark, sf_dir, "events")
+    iv = events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e"),
+    )
+    hour = lambda c: F.floor(F.unix_timestamp(c) / 3600)  # noqa: E731
+    binned = iv.withColumn(
+        "bin",
+        F.explode(F.sequence(hour(F.col("s")), hour(F.expr("e - INTERVAL 1 MICROSECOND")))),
+    )
+    a, b = binned.alias("a"), binned.alias("b")
+    A, B = (lambda c: F.col(f"a.{c}")), (lambda c: F.col(f"b.{c}"))
+    pairs = a.join(
+        b,
+        (A("bin") == B("bin"))
+        & (A("event_id") < B("event_id"))
+        & (A("s") < B("e"))
+        & (B("s") < A("e"))
+        & (A("user_id") != B("user_id")),
+    ).filter(hour(F.greatest(A("s"), B("s"))) == A("bin"))
+    return pairs.groupBy(
+        F.to_date(F.greatest(A("s"), B("s"))).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_overlaps"))
+
+
+# --------------------------------------------------------------------
+# Char-trigram LM quality score (perplexity proxy)
+# --------------------------------------------------------------------
+
+TRIGRAM_LM_SQL = """
+WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+           WHERE length(text) >= 3),
+tri AS (
+  SELECT doc_id, substr(t, CAST(i AS INT), 3) AS tg
+  FROM d, UNNEST(range(1, CAST(length(t) AS BIGINT) - 1)) AS u(i)
+),
+model AS (SELECT tg, count(*) AS c FROM tri GROUP BY tg),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM model),
+doc_tg AS (SELECT doc_id, tg, count(*) AS k FROM tri GROUP BY doc_id, tg),
+s AS (
+  SELECT doc_tg.doc_id,
+         CAST(sum(k) AS BIGINT) AS n_trigrams,
+         CAST(sum(
+           k * CAST(round(ln(CAST(model.c AS DOUBLE) / tot.total) * 1e9) AS BIGINT)
+         ) AS BIGINT) AS s9
+  FROM doc_tg JOIN model USING (tg) CROSS JOIN tot
+  GROUP BY doc_tg.doc_id
+)
+SELECT doc_id, n_trigrams,
+       -(CAST((2 * (-s9) + n_trigrams * 10000) // (2 * n_trigrams * 10000)
+              AS DOUBLE) / 100000) AS avg_logp
+FROM s
+"""
+
+
+@register("trigram_lm_quality", TRIGRAM_LM_SQL, tags=("llm", "text", "quality", "lm"))
+def q_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style model-based quality scoring without an external LM:
+    train a char-trigram unigram model on the corpus itself, score
+    each document by mean log-probability (low = gibberish/boiler).
+    The model is a bounded vocabulary (<= alphabet^3 rows regardless
+    of corpus size), so it broadcast-joins back onto per-doc trigram
+    counts: corpus-sized data crosses the network once (the doc_id
+    shuffle), model-sized data twice. Per-term log-probs integerize
+    to nano-units (the token_entropy rounding idiom, as BIGINT) and
+    the final 5-dp average is computed with integer division — the
+    per-term grid makes exact .5 rounding ties REACHABLE, and
+    double rounding of a tie diverges between engines, so the tie
+    break must happen in integer space."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    # Guard: Spark's sequence(1, n) DESCENDS when n < 1 (it never
+    # yields an empty array), so sub-trigram docs must be filtered,
+    # not left to produce an empty explode.
+    d = docs.filter(F.length("text") >= 3).select(
+        "doc_id", F.lower("text").alias("t")
+    )
+    tri = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")
+        ).alias("tg"),
+    )
+    doc_tg = tri.groupBy("doc_id", "tg").agg(F.count(F.lit(1)).alias("k"))
+    model = doc_tg.groupBy("tg").agg(F.sum("k").alias("c"))
+    total = model.agg(F.sum("c").cast("double").alias("total"))
+    logp9 = F.round(
+        F.log(F.col("c").cast("double") / F.col("total")) * F.lit(1e9)
+    ).cast("long")
+    s = (
+        doc_tg.join(F.broadcast(model), "tg")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_trigrams"),
+            F.sum(F.col("k") * logp9).cast("long").alias("s9"),
+        )
+    )
+    # round-half-away of (-s9) / (n*1e4) via integer floor division
+    # (numerator is positive: ln p < 0 for every trigram).
+    a = F.expr("(2 * (-s9) + n_trigrams * 10000) div (2 * n_trigrams * 10000)")
+    return s.select(
+        "doc_id",
+        "n_trigrams",
+        (-(a.cast("double") / F.lit(100000.0))).alias("avg_logp"),
+    )
+
+
+# --------------------------------------------------------------------
+# Ordered conversion funnel (signup -> view -> purchase)
+# --------------------------------------------------------------------
+
+FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM s1) AS n_signup,
+       (SELECT count(*) FROM s2) AS n_view_after_signup,
+       (SELECT count(*) FROM s3) AS n_purchase_after_view
+"""
+
+
+@register("ordered_funnel", FUNNEL_SQL, tags=("window", "funnel", "behavioral"))
+def q_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel: users whose first signup
+    precedes a view precedes a purchase. Min-timestamp chaining —
+    each stage is a groupBy(user) min over a filtered scan joined to
+    the previous stage's frontier. All three joins and aggs key on
+    user_id, so at scale the shuffle partitioning is computed once
+    and reused; stage frontiers only shrink."""
+    events = table(spark, sf_dir, "events")
+
+    def stage(et: str, prev: DataFrame | None, tcol: str) -> DataFrame:
+        df = events.filter(F.col("event_type") == et)
+        if prev is not None:
+            prev_t = prev.columns[1]
+            df = df.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
+        return df.groupBy("user_id").agg(F.min("ts").alias(tcol))
+
+    s1 = stage("signup", None, "t1")
+    s2 = stage("view", s1, "t2")
+    s3 = stage("purchase", s2, "t3")
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_view_after_signup")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase_after_view")))
+    )
