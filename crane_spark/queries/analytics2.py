@@ -201,15 +201,20 @@ s AS (
   SELECT doc_tg.doc_id,
          CAST(sum(k) AS BIGINT) AS n_trigrams,
          CAST(sum(
-           k * CAST(round(ln(CAST(model.c AS DOUBLE) / tot.total) * 1e9) AS BIGINT)
-         ) AS BIGINT) AS s9
-  FROM doc_tg JOIN model USING (tg) CROSS JOIN tot
+           k * CAST(round(ln(CAST(model.c AS DOUBLE)) * 1e9) AS BIGINT)
+         ) AS BIGINT) AS sc9
+  FROM doc_tg JOIN model USING (tg)
   GROUP BY doc_tg.doc_id
+),
+f AS (
+  SELECT doc_id, n_trigrams,
+         n_trigrams * CAST(round(ln(tot.total) * 1e9) AS BIGINT) - sc9 AS m9
+  FROM s CROSS JOIN tot
 )
 SELECT doc_id, n_trigrams,
-       -(CAST((2 * (-s9) + n_trigrams * 10000) // (2 * n_trigrams * 10000)
+       -(CAST((2 * m9 + n_trigrams * 10000) // (2 * n_trigrams * 10000)
               AS DOUBLE) / 100000) AS avg_logp
-FROM s
+FROM f
 """
 
 
@@ -243,22 +248,33 @@ def q_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_tg = tri.groupBy("doc_id", "tg").agg(F.count(F.lit(1)).alias("k"))
     model = doc_tg.groupBy("tg").agg(F.sum("k").alias("c"))
     total = model.agg(F.sum("c").cast("double").alias("total"))
-    logp9 = F.round(
-        F.log(F.col("c").cast("double") / F.col("total")) * F.lit(1e9)
-    ).cast("long")
+    # ln p = ln c - ln total, integerized per side: the per-term join
+    # only needs ln(c), so the scalar `total` enters once per DOC
+    # (tiny cross join after the doc_id agg), not once per term — and
+    # the exact integer identity m9 = n*lnc9(total) - sum(k*lnc9(c))
+    # keeps both engines bit-identical.
+    lnc9 = F.round(F.log(F.col("c").cast("double")) * F.lit(1e9)).cast("long")
     s = (
         doc_tg.join(F.broadcast(model), "tg")
-        .join(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.sum("k").cast("long").alias("n_trigrams"),
-            F.sum(F.col("k") * logp9).cast("long").alias("s9"),
+            F.sum(F.col("k") * lnc9).cast("long").alias("sc9"),
         )
     )
-    # round-half-away of (-s9) / (n*1e4) via integer floor division
-    # (numerator is positive: ln p < 0 for every trigram).
-    a = F.expr("(2 * (-s9) + n_trigrams * 10000) div (2 * n_trigrams * 10000)")
-    return s.select(
+    f = s.join(F.broadcast(total)).select(
+        "doc_id",
+        "n_trigrams",
+        (
+            F.col("n_trigrams")
+            * F.round(F.log(F.col("total")) * F.lit(1e9)).cast("long")
+            - F.col("sc9")
+        ).alias("m9"),
+    )
+    # round-half-away of -m9 / (n*1e4) via integer floor division
+    # (m9 is positive: ln p < 0 for every trigram).
+    a = F.expr("(2 * m9 + n_trigrams * 10000) div (2 * n_trigrams * 10000)")
+    return f.select(
         "doc_id",
         "n_trigrams",
         (-(a.cast("double") / F.lit(100000.0))).alias("avg_logp"),
