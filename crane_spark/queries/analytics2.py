@@ -333,3 +333,94 @@ def q_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_view_after_signup")))
         .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase_after_view")))
     )
+
+
+# --------------------------------------------------------------------
+# EWMA (exponential smoothing as a closed-form window sum)
+# --------------------------------------------------------------------
+
+EWMA_SQL = """
+WITH o AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events WHERE event_type = 'click'
+)
+SELECT user_id,
+       CAST(max(n) AS BIGINT) AS n_clicks,
+       CAST(round(sum(
+         CAST(round(value * power(CAST(0.5 AS DOUBLE), n - rn), 9) AS DECIMAL(28,9))
+       ) * CAST(0.5 AS DOUBLE), 5) AS DOUBLE) AS ewma_value
+FROM o GROUP BY user_id
+"""
+
+
+@register("ewma_user_values", EWMA_SQL, tags=("window", "timeseries", "stats"))
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted average of click values,
+    newest-heavy (alpha = 1/2). The recurrence unrolls to a closed
+    form — one window pass for (rn, n), one grouped sum — instead of
+    a sequential scan, so it parallelizes like any agg. Decay 0.5 is
+    CHOSEN because 0.5**k is exact in binary: value * 0.5**k is a
+    single correctly-rounded multiply in both engines, and the
+    many-term sum goes through the round-9dp + DECIMAL idiom."""
+    events = table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = events.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+    )
+    contrib = F.round(
+        F.col("value") * F.pow(F.lit(0.5), F.col("n") - F.col("rn")), 9
+    ).cast("decimal(28,9)")
+    return o.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_clicks"),
+        F.round(F.sum(contrib) * F.lit(0.5), 5).cast("double").alias("ewma_value"),
+    )
+
+
+# --------------------------------------------------------------------
+# Gaps-and-islands: consecutive-day activity streaks
+# --------------------------------------------------------------------
+
+STREAK_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+grp AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS g
+  FROM days
+),
+streaks AS (
+  SELECT user_id, count(*) AS len FROM grp GROUP BY user_id, g
+)
+SELECT len AS streak_days, count(*) AS n_streaks
+FROM streaks GROUP BY len
+"""
+
+
+@register("activity_streaks", STREAK_SQL, tags=("window", "gaps-islands"))
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: distribution of consecutive-day activity
+    streak lengths. The island key is the classic date-minus-
+    row_number trick; all three shuffles key on user_id (dedup,
+    window, island agg), so the exchange is planned once."""
+    events = table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    days = events.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.select(
+        "user_id",
+        "d",
+        F.date_sub("d", F.row_number().over(w)).alias("g"),
+    )
+    streaks = grp.groupBy("user_id", "g").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy(F.col("len").alias("streak_days")).agg(
+        F.count(F.lit(1)).alias("n_streaks")
+    )

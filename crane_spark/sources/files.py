@@ -114,3 +114,57 @@ def pagerank_edges_from_tsv(
         )
         .filter(F.col("dst") != "")
     )
+
+
+def read_binary_assets(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    streaming: bool = False,
+) -> DataFrame:
+    """Raw media files as a multimodal asset table via the built-in
+    ``binaryFile`` source — the ingestion edge for image/audio/video
+    blobs (decode itself is the stubbed step, llm/multimodal.py).
+
+    Output matches the asset-column convention:
+    ``asset_id`` (stable 64-bit hash of the file path), ``data``
+    (binary payload), ``mime`` (from the extension), ``path``,
+    ``length``. The source prunes columns: a query that never touches
+    ``data`` (e.g. a size audit) reads file metadata only, no blob
+    I/O. At 100 TB, payload partition sizing is governed by
+    ``spark.sql.files.maxPartitionBytes``; files never split, so one
+    asset always lands whole in one task.
+    """
+    # binaryFile's schema is fixed by the source; file streams always
+    # need it stated up front.
+    binary_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    reader = (
+        spark.readStream.format("binaryFile").schema(binary_schema)
+        if streaming
+        else spark.read.format("binaryFile")
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    mime = (
+        F.when(ext.isin("jpg", "jpeg"), "image/jpeg")
+        .when(ext == "png", "image/png")
+        .when(ext == "wav", "audio/wav")
+        .when(ext == "mp4", "video/mp4")
+        .otherwise(F.concat(F.lit("application/"), ext))
+    )
+    return df.select(
+        F.xxhash64("path").alias("asset_id"),
+        F.col("content").alias("data"),
+        mime.alias("mime"),
+        "path",
+        "length",
+    )

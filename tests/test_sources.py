@@ -86,3 +86,60 @@ def test_xml_roundtrip(spark, sf_dir, tmp_path):
     orig = {(r["n_nationkey"], r["n_name"]) for r in nation.collect()}
     got = {(r["n_nationkey"], r["n_name"]) for r in back.collect()}
     assert got == orig
+
+
+def test_binary_asset_source(spark, tmp_path):
+    """binaryFile ingestion -> asset schema -> stubbed multimodal
+    feature extraction end-to-end (SURVEY.md §2.2 multimodal edge)."""
+    from crane_spark.llm.multimodal import extract_features
+    from crane_spark.sources.files import read_binary_assets
+
+    payloads = {
+        "a.png": b"\x89PNG fake" * 40,
+        "b.jpg": b"\xff\xd8 fake jpeg" * 30,
+        "notes.txt": b"not media",
+    }
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+
+    assets = read_binary_assets(spark, str(tmp_path), glob="*.{png,jpg}")
+    rows = {r["mime"]: r for r in assets.collect()}
+    assert set(rows) == {"image/png", "image/jpeg"}
+    assert rows["image/png"]["data"] == payloads["a.png"]
+    assert rows["image/png"]["length"] == len(payloads["a.png"])
+    assert all(r["asset_id"] is not None for r in rows.values())
+
+    # metadata-only projection must not read blob contents: the scan's
+    # ReadSchema should exclude `content`.
+    meta = read_binary_assets(spark, str(tmp_path)).select("path", "length")
+    scan_line = [
+        line
+        for line in meta._jdf.queryExecution().executedPlan().toString().splitlines()
+        if "FileScan" in line
+    ][0]
+    assert "content" not in scan_line
+
+    feats = extract_features(
+        assets.select("asset_id", "data", "mime"), fake=True
+    ).collect()
+    assert len(feats) == 2 and all(len(f["feature"]) == 4 for f in feats)
+    by_mime = {f["mime"]: f for f in feats}
+    assert by_mime["image/png"]["n_bytes"] == len(payloads["a.png"])
+
+
+def test_binary_asset_source_streaming(spark, tmp_path):
+    """The same binaryFile edge as an availableNow stream."""
+    from crane_spark.sources.files import read_binary_assets
+
+    (tmp_path / "x.wav").write_bytes(b"RIFF fake wav" * 10)
+    stream = read_binary_assets(spark, str(tmp_path), streaming=True)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("bin_assets")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql("select mime, length from bin_assets").collect()
+    assert [(r["mime"], r["length"]) for r in got] == [("audio/wav", 130)]

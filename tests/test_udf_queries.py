@@ -213,3 +213,31 @@ def test_apply_in_arrow_grouped(spark):
     out = df.groupBy("k").applyInArrow(centered, schema="k string, centered double")
     got = {(r["k"], r["centered"]) for r in out.collect()}
     assert got == {("a", -1.0), ("a", 1.0), ("b", 0.0)}
+
+
+def test_arrow_optimized_python_udf(spark, sf_dir):
+    """Spark 4 Arrow-optimized scalar Python UDF (useArrow=True):
+    batches cross as Arrow, not pickled rows. Cross-checked against
+    the JVM-side expression twin on real data."""
+    from crane_spark.tables import table
+
+    @F.udf("double", useArrow=True)
+    def vowel_ratio(s: str) -> float:
+        if not s:
+            return 0.0
+        return sum(c in "aeiou" for c in s.lower()) / len(s)
+
+    docs = table(spark, sf_dir, "documents").limit(200)
+    got = docs.select("doc_id", F.round(vowel_ratio("text"), 6).alias("r"))
+    want = docs.select(
+        "doc_id",
+        F.round(
+            (
+                F.length(F.lower("text"))
+                - F.length(F.translate(F.lower("text"), "aeiou", ""))
+            )
+            / F.length("text"),
+            6,
+        ).alias("r"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
