@@ -193,14 +193,16 @@ def stream_stream_outer_join(
     right_ts: str = "ts",
     watermark: str = "10 minutes",
     within: str = "30 minutes",
+    how: str = "leftOuter",
 ) -> DataFrame:
-    """Watermarked stream-stream LEFT OUTER join: matched pairs emit
-    like the inner join; a left row with no match emits once with
+    """Watermarked stream-stream OUTER join (left or full): matched
+    pairs emit like the inner join; an unmatched row emits once with
     nulls — but only after the watermark passes its join bound (before
     that, a match could still arrive), which is why outer results
     trail the data by watermark + within. Both the time-bound and the
     watermark are mandatory here: they are what lets Spark ever
-    declare a left row unmatchable and evict it."""
+    declare a row unmatchable and evict it. ``how="fullOuter"`` adds
+    the symmetric right-side null emission."""
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     cond = (
@@ -208,7 +210,7 @@ def stream_stream_outer_join(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
     )
-    return lw.join(rw, cond, "leftOuter")
+    return lw.join(rw, cond, how)
 
 
 def stream_dedup_within_watermark(
