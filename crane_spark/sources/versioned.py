@@ -1,0 +1,120 @@
+"""Versioned dataset snapshots — the Spark-idiomatic analog of the
+reference's DFS file plane.
+
+The reference ships a versioned distributed file store with a client
+CLI `put/get/delete/ls/get-versions` (`dfs/dfs_client.py:101-173`),
+server-side version naming `name-vN` (`dfs/dfs_server.py:280-288`) and
+3-replica placement — all of it byte-oriented and, as committed,
+non-functional (SURVEY.md §2.4). Here the same *capability* is
+re-expressed over datasets instead of bytes: a named dataset is a
+directory of immutable parquet snapshot versions
+
+    {root}/{name}/v000001/  (parquet files + _SUCCESS)
+    {root}/{name}/v000002/  ...
+
+on ANY Hadoop-compatible filesystem (local, HDFS, S3A, ABFS) — so
+replication, durability, and placement come from the storage layer,
+which is the part of the reference's DFS that Spark deployments never
+re-implement.
+
+Commit protocol: a version is visible only once its `_SUCCESS` marker
+exists (written atomically by Spark's FileOutputCommitter after all
+tasks finish), so readers never observe a half-written snapshot and a
+crashed `put` leaves no committed garbage — the same job the
+reference's ack/replay machinery did for its writes, obtained from
+the committer for free. Versions are append-only and immutable;
+`latest` is derived by listing, never stored, so there is no
+metadata file to corrupt and concurrent readers are always consistent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_VPREFIX = "v"
+_VDIGITS = 6
+
+
+def _fs_and_path(spark: SparkSession, uri: str):
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path, jvm
+
+
+def _vdir(root: str, name: str, version: int) -> str:
+    return f"{root}/{name}/{_VPREFIX}{version:0{_VDIGITS}d}"
+
+
+def versions(spark: SparkSession, root: str, name: str) -> list[int]:
+    """Committed version numbers of ``name``, ascending (``ls`` +
+    ``get-versions`` plane, ref dfs_client.py:139-151,160-173). Only
+    snapshots whose _SUCCESS marker exists count."""
+    fs, path, jvm = _fs_and_path(spark, f"{root}/{name}")
+    if not fs.exists(path):
+        return []
+    out = []
+    for status in fs.listStatus(path):
+        base = status.getPath().getName()
+        if status.isDirectory() and base.startswith(_VPREFIX):
+            try:
+                v = int(base[len(_VPREFIX):])
+            except ValueError:
+                continue
+            marker = jvm.org.apache.hadoop.fs.Path(
+                status.getPath(), "_SUCCESS"
+            )
+            if fs.exists(marker):
+                out.append(v)
+    return sorted(out)
+
+
+def put(df: DataFrame, root: str, name: str) -> int:
+    """Write a new immutable snapshot version; returns its number
+    (ref `put`, dfs_client.py:101-121). The snapshot becomes visible
+    atomically with the committer's _SUCCESS marker."""
+    spark = df.sparkSession
+    existing = versions(spark, root, name)
+    v = (existing[-1] if existing else 0) + 1
+    df.write.mode("errorifexists").parquet(_vdir(root, name, v))
+    return v
+
+
+def get(
+    spark: SparkSession, root: str, name: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot — latest by default, or a specific version
+    (ref `get`, dfs_client.py:122-138)."""
+    vs = versions(spark, root, name)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions of {name!r} under {root}")
+    if version is None:
+        version = vs[-1]
+    elif version not in vs:
+        raise FileNotFoundError(f"{name!r} has versions {vs}, not {version}")
+    return spark.read.parquet(_vdir(root, name, version))
+
+
+def get_versions(
+    spark: SparkSession, root: str, name: str, num_versions: int
+) -> dict[int, DataFrame]:
+    """The newest ``num_versions`` snapshots, keyed by version number
+    (ref `get-versions num-versions`, dfs_client.py:160-173)."""
+    vs = versions(spark, root, name)[-num_versions:]
+    return {v: spark.read.parquet(_vdir(root, name, v)) for v in vs}
+
+
+def delete(
+    spark: SparkSession, root: str, name: str, version: int | None = None
+) -> list[int]:
+    """Drop one version, or the whole dataset when ``version`` is None
+    (ref `delete`, dfs_client.py:152-159). Returns versions removed."""
+    fs, _, jvm = _fs_and_path(spark, root)
+    if version is None:
+        removed = versions(spark, root, name)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/{name}"), True)
+        return removed
+    if version not in versions(spark, root, name):
+        return []
+    fs.delete(jvm.org.apache.hadoop.fs.Path(_vdir(root, name, version)), True)
+    return [version]

@@ -1,0 +1,63 @@
+"""Versioned dataset snapshots — the DFS-plane analog (SURVEY.md §2.4;
+ref dfs/dfs_client.py:101-173, server naming dfs/dfs_server.py:280-288).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from crane_spark.sources import versioned as V
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "store")
+
+
+def test_put_get_roundtrip_and_version_monotonicity(spark, root):
+    df1 = spark.range(5).withColumnRenamed("id", "x")
+    df2 = spark.range(9).withColumnRenamed("id", "x")
+    assert V.put(df1, root, "nums") == 1
+    assert V.put(df2, root, "nums") == 2
+    assert V.versions(spark, root, "nums") == [1, 2]
+    # latest by default, pinned version on demand (ref `get`)
+    assert V.get(spark, root, "nums").count() == 9
+    assert V.get(spark, root, "nums", version=1).count() == 5
+    # immutability: snapshots are separate directories; v1 unchanged
+    assert sorted(r["x"] for r in V.get(spark, root, "nums", 1).collect()) == list(range(5))
+
+
+def test_get_versions_newest_k(spark, root):
+    for n in (3, 4, 5):
+        V.put(spark.range(n), root, "d")
+    got = V.get_versions(spark, root, "d", 2)
+    assert sorted(got) == [2, 3]
+    assert got[3].count() == 5
+
+
+def test_uncommitted_snapshot_is_invisible(spark, root):
+    """A version directory without _SUCCESS (crashed put) never counts
+    as committed — readers can't observe partial writes."""
+    V.put(spark.range(3), root, "d")
+    fake = f"{root}/d/v000002"
+    spark.range(1).write.parquet(fake)
+    fs, path, jvm = V._fs_and_path(spark, fake)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(fake + "/_SUCCESS"), False)
+    assert V.versions(spark, root, "d") == [1]
+    assert V.get(spark, root, "d").count() == 3
+    # the next put must NOT reuse the torn directory's number blindly:
+    # it fails loudly on the existing path rather than overwriting.
+    with pytest.raises(Exception):
+        V.put(spark.range(2), root, "d")
+
+
+def test_delete_one_version_and_whole_dataset(spark, root):
+    for n in (1, 2, 3):
+        V.put(spark.range(n), root, "d")
+    assert V.delete(spark, root, "d", version=2) == [2]
+    assert V.versions(spark, root, "d") == [1, 3]
+    assert V.delete(spark, root, "d", version=99) == []
+    assert V.delete(spark, root, "d") == [1, 3]
+    assert V.versions(spark, root, "d") == []
+    with pytest.raises(FileNotFoundError):
+        V.get(spark, root, "d")
