@@ -376,3 +376,73 @@ def drop_duplicate_spans(
         F.array_join(ordered, " ").alias("text_dedup"),
         F.count(F.lit(1)).cast("long").alias("n_spans_kept"),
     )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
+    """EXACT set-similarity self-join with AllPairs/PPJoin prefix
+    filtering: every pair with shingle-Jaccard >= t_num/t_den, no
+    approximation — the lossless counterpart to MinHash-LSH.
+
+    Why it scales: shingle sets are ordered by GLOBAL rarity (document
+    frequency, then shingle text), and a pair with J >= t must share a
+    shingle within the first ``m - ceil(t*m) + 1`` of each side's
+    ordering — so only those prefix shingles enter the candidate join.
+    Rare-first ordering makes prefix buckets tiny (most prefix
+    shingles occur in ~1 doc), which kills both the candidate count
+    and the bucket skew that plagues token-join approaches; the exact
+    verify then runs only on candidates, as array_intersect on the
+    two shingle arrays. The per-doc ordering is a local array_sort
+    after one df-lookup join — no global rank assignment, no global
+    sort. Thresholds stay integer end-to-end (t_den*inter >=
+    t_num*union), so the >= decision can never float-drift.
+    """
+    d = shingle_sets(docs, text_col, id_col, shingle_n)
+    tok = d.select(F.col(id_col), F.explode("sh").alias("token"))
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    ordered = (
+        tok.join(dfreq, "token")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dfreq", "token"))),
+                lambda s: s.token,
+            ).alias("arr")
+        )
+    )
+    m = F.size("arr")
+    # p = m - ceil(t*m) + 1, all-integer
+    ceil_tm = (F.lit(t_num) * m + F.lit(t_den - 1)).cast("long") / F.lit(t_den)
+    p = (m - F.floor(ceil_tm) + 1).cast("int")
+    pref = ordered.select(
+        F.col(id_col), "arr", F.explode(F.slice("arr", F.lit(1), p)).alias("token")
+    )
+    a = pref.select(
+        F.col(id_col).alias("doc_a"), F.col("arr").alias("sh_a"), "token"
+    )
+    b = pref.select(
+        F.col(id_col).alias("doc_b"), F.col("arr").alias("sh_b"), "token"
+    )
+    cand = (
+        a.join(b, ["token"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .drop("token")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.filter(F.lit(t_den) * inter >= F.lit(t_num) * union)
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("long").alias("n_common"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+    )

@@ -20,6 +20,7 @@ from crane_spark.llm.dedup import (
     fingerprint_dedup,
     minhash_band_pairs,
     ngram_jaccard_pairs,
+    prefix_filter_jaccard_pairs,
     simhash_groups,
 )
 from crane_spark.llm.similarity import brute_force_topk, ivf_assign
@@ -905,4 +906,39 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.round("val", 6).cast("decimal(28,6)")).cast("double") / n, 6
         ).alias("centroid_val"),
+    )
+
+
+PREFIX_JACCARD_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(string_split(text,' '))),
+                        i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS sh
+  FROM documents
+  WHERE len(string_split(text,' ')) >= 2
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS i,
+         len(a.sh) + len(b.sh)
+           - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS u
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(i AS BIGINT) AS n_common,
+       CAST(i AS DOUBLE) / u AS jaccard
+FROM pairs WHERE 2 * i >= u
+"""
+
+
+@register("prefix_jaccard_join", PREFIX_JACCARD_SQL, tags=("llm", "dedup", "similarity"))
+def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT similarity self-join over the WHOLE corpus (2-gram
+    Jaccard >= 1/2) via AllPairs/PPJoin prefix filtering — the
+    lossless complement to `minhash_lsh_pairs`: the oracle states the
+    quadratic all-pairs definition; the engine touches only pairs
+    whose rarity-ordered shingle prefixes collide. Integer threshold
+    arithmetic (2*inter >= union) keeps the boundary decision
+    float-free in both engines."""
+    return prefix_filter_jaccard_pairs(
+        table(spark, sf_dir, "documents"), shingle_n=2, t_num=1, t_den=2
     )

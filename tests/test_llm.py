@@ -298,3 +298,31 @@ def test_kmeans_train_reduces_inertia(spark, sf_dir):
     assert len(rows) == 6 and all(len(r["embedding"]) == 64 for r in rows)
     _, again = kmeans_train(vecs, k=6, n_iter=3)
     assert again == inertia
+
+
+def test_prefix_filter_jaccard_lossless_vs_brute_force(spark, sf_dir):
+    """Prefix filtering must be LOSSLESS: the pruned join returns
+    exactly the brute-force all-pairs result at the same threshold."""
+    from crane_spark.llm.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+    from crane_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    pruned = {
+        (r["doc_a"], r["doc_b"], r["n_common"])
+        for r in prefix_filter_jaccard_pairs(docs, shingle_n=2).collect()
+    }
+    # recover the exact union from n_common/jaccard (both derived from
+    # the same integers), guarding the zero-overlap pairs
+    brute = {
+        (r["doc_a"], r["doc_b"], r["n_common"])
+        for r in ngram_jaccard_pairs(docs, shingle_n=2)
+        .filter(F.col("n_common") > 0)
+        .withColumn("u", F.round(F.col("n_common") / F.col("jaccard")).cast("long"))
+        .filter(2 * F.col("n_common") >= F.col("u"))
+        .collect()
+    }
+    assert pruned == brute
+    assert len(pruned) > 0  # planted near-dups exist in the fixture
