@@ -25,7 +25,7 @@ from crane_spark.llm.dedup import (
 )
 from crane_spark.llm.similarity import brute_force_topk, ivf_assign
 from crane_spark.queries.core import register
-from crane_spark.tables import table
+from crane_spark.tables import fan_out, table
 
 EMBED_DIM = 64
 
@@ -941,4 +941,86 @@ def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-free in both engines."""
     return prefix_filter_jaccard_pairs(
         table(spark, sf_dir, "documents"), shingle_n=2, t_num=1, t_den=2
+    )
+
+
+GOPHER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n,
+         list_sum(list_transform(toks, x -> len(x))) AS chars,
+         len(list_distinct(toks)) AS dis,
+         list_max(list_transform(list_distinct(toks),
+                   t -> len(list_filter(toks, x -> x = t)))) AS top_cnt,
+         len(list_filter(toks, x -> x IN {SQL_STOPWORDS})) AS stop_cnt
+  FROM t
+)
+SELECT count(*) AS n_docs,
+       count(*) FILTER (WHERE n < 20 OR n > 1000) AS fail_len,
+       count(*) FILTER (WHERE 3 * n > chars OR chars > 10 * n) AS fail_word_len,
+       count(*) FILTER (WHERE stop_cnt < 2) AS fail_stopwords,
+       count(*) FILTER (WHERE 5 * dis < 2 * n) AS fail_ttr,
+       count(*) FILTER (WHERE 5 * top_cnt > n) AS fail_dominance,
+       count(*) FILTER (WHERE NOT (n < 20 OR n > 1000)
+                          AND NOT (3 * n > chars OR chars > 10 * n)
+                          AND stop_cnt >= 2
+                          AND 5 * dis >= 2 * n
+                          AND 5 * top_cnt <= n) AS n_keep
+FROM m
+"""
+
+
+@register("gopher_quality_report", GOPHER_SQL, tags=("llm", "text", "quality"))
+def q_gopher_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level Gopher-style quality gate report: per-rule failure
+    counts and the overall keep count, in ONE scan (conditional
+    aggregation over per-doc derived metrics; the only shuffle is the
+    one-row final agg). Rules are the subset meaningful on
+    unpunctuated text — token-count bounds, mean-word-length bounds,
+    required-stopword count, type-token ratio, and top-token
+    dominance — each stated in integer arithmetic so the pass/fail
+    boundary can never float-drift between engines."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    toks = tokens("text")
+    t = docs.select(F.col("doc_id"), toks.alias("toks"))
+    n = F.size("toks")
+    chars = F.aggregate(
+        F.transform(F.col("toks"), F.length),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    dis = F.size(F.array_distinct("toks"))
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("toks"),
+            lambda tkn: F.size(F.filter(F.col("toks"), lambda x: x == tkn)),
+        )
+    )
+    stop_cnt = F.size(
+        F.filter(F.col("toks"), lambda x: x.isin(*STOPWORDS))
+    )
+    m = t.select(
+        n.alias("n"),
+        chars.alias("chars"),
+        dis.alias("dis"),
+        top_cnt.alias("top_cnt"),
+        stop_cnt.alias("stop_cnt"),
+    )
+    fail_len = (F.col("n") < 20) | (F.col("n") > 1000)
+    fail_wl = (3 * F.col("n") > F.col("chars")) | (F.col("chars") > 10 * F.col("n"))
+    fail_stop = F.col("stop_cnt") < 2
+    fail_ttr = 5 * F.col("dis") < 2 * F.col("n")
+    fail_dom = 5 * F.col("top_cnt") > F.col("n")
+    cnt = lambda c: F.count(F.when(c, 1))  # noqa: E731
+    return m.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        cnt(fail_len).alias("fail_len"),
+        cnt(fail_wl).alias("fail_word_len"),
+        cnt(fail_stop).alias("fail_stopwords"),
+        cnt(fail_ttr).alias("fail_ttr"),
+        cnt(fail_dom).alias("fail_dominance"),
+        cnt(~fail_len & ~fail_wl & ~fail_stop & ~fail_ttr & ~fail_dom).alias("n_keep"),
     )
