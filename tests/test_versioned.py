@@ -61,3 +61,43 @@ def test_delete_one_version_and_whole_dataset(spark, root):
     assert V.versions(spark, root, "d") == []
     with pytest.raises(FileNotFoundError):
         V.get(spark, root, "d")
+
+
+def test_streaming_snapshot_publisher(spark, tmp_path, root):
+    """foreachBatch + versioned.put: each micro-batch publishes the
+    refreshed aggregate as a new immutable snapshot — readers always
+    see a complete version while the stream keeps appending (the
+    streaming analog of the reference's put-then-get workflow)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "pub_src")
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    spark.createDataFrame([("a", 1), ("b", 2)], schema).write.mode("append").parquet(src)
+    spark.createDataFrame([("a", 10)], schema).write.mode("append").parquet(src)
+
+    counts = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .groupBy("k")
+        .agg(F.sum("v").alias("total"))
+    )
+
+    def publish(batch, _bid):
+        V.put(batch, root, "agg")
+
+    q = (
+        counts.writeStream.outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "pub_ck"))
+        .foreachBatch(publish)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    vs = V.versions(spark, root, "agg")
+    assert len(vs) >= 1
+    latest = {r["k"]: r["total"] for r in V.get(spark, root, "agg").collect()}
+    assert latest == {"a": 11, "b": 2}
