@@ -424,3 +424,70 @@ def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaks.groupBy(F.col("len").alias("streak_days")).agg(
         F.count(F.lit(1)).alias("n_streaks")
     )
+
+
+# --------------------------------------------------------------------
+# Conversion latency distribution (funnel completion times)
+# --------------------------------------------------------------------
+
+CONV_LATENCY_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+),
+lat AS (
+  SELECT s3.user_id,
+         CAST(epoch_us(s3.t3) - epoch_us(s1.t1) AS BIGINT) // 1000000 AS sec
+  FROM s3 JOIN s1 ON s3.user_id = s1.user_id
+)
+SELECT count(*) AS n_converters,
+       CAST(round(median(sec) / 60, 4) AS DOUBLE) AS median_minutes,
+       CAST(round(quantile_cont(sec, 0.9) / 60, 4) AS DOUBLE) AS p90_minutes,
+       CAST(min(sec) AS BIGINT) AS min_seconds,
+       CAST(max(sec) AS BIGINT) AS max_seconds
+FROM lat
+"""
+
+
+@register("conversion_latency", CONV_LATENCY_SQL, tags=("window", "funnel", "percentile"))
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the strict-order funnel
+    (first signup -> eventual ordered purchase): median/p90/min/max
+    latency. Latencies become exact integer seconds BEFORE the
+    interpolated percentiles, so both engines interpolate over
+    identical integers (the percentiles_by_status contract). Same
+    user_id-keyed join chain as `ordered_funnel` — one reusable
+    shuffle partitioning."""
+    events = table(spark, sf_dir, "events")
+
+    def stage(et: str, prev: DataFrame | None, tcol: str) -> DataFrame:
+        df = events.filter(F.col("event_type") == et)
+        if prev is not None:
+            prev_t = prev.columns[1]
+            df = df.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
+        return df.groupBy("user_id").agg(F.min("ts").alias(tcol))
+
+    s1 = stage("signup", None, "t1")
+    s2 = stage("view", s1, "t2")
+    s3 = stage("purchase", s2, "t3")
+    sec = F.expr("(unix_micros(t3) - unix_micros(t1)) div 1000000")
+    lat = s3.join(s1, "user_id").select(sec.alias("sec"))
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.round(F.percentile("sec", 0.5) / 60, 4).cast("double").alias("median_minutes"),
+        F.round(F.percentile("sec", 0.9) / 60, 4).cast("double").alias("p90_minutes"),
+        F.min("sec").cast("long").alias("min_seconds"),
+        F.max("sec").cast("long").alias("max_seconds"),
+    )

@@ -123,38 +123,56 @@ def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 READABILITY_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS t,
+         (2068350 - 10150 * len(string_split(text, ' ')))
+           * len(string_split(text, ' ')) - 846000 * n_chars AS n
+  FROM documents
+)
 SELECT doc_id,
-       round(CAST(206.835 AS DOUBLE)
-             - CAST(1.015 AS DOUBLE) * len(string_split(text, ' '))
-             - CAST(84.6 AS DOUBLE) * (CAST(n_chars AS DOUBLE)
-                                       / len(string_split(text, ' '))), 4)
+       CAST(CASE WHEN n >= 0 THEN (2 * n + t) // (2 * t)
+                 ELSE -((2 * (-n) + t) // (2 * t)) END AS DOUBLE) / 10000
          AS readability
-FROM documents
+FROM m
 """
 
 
 @register("pandas_readability", READABILITY_SQL, tags=("llm", "udf", "pandas"))
 def q_pandas_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized SCALAR pandas_udf (Arrow-batched, whole-column numpy
-    arithmetic per batch) — the Flesch-like readability shape. The
-    formula is fixed-order double arithmetic on exact integers, so the
-    pandas result is bit-identical to the oracle's SQL evaluation.
-    The final rounding happens JVM-side: pandas `.round` is
-    round-half-even while Spark/DuckDB `round` are half-away-from-zero,
-    and a .xxxx5 tie must break the same way on both engines.
-    Demonstrates the scalar tier of the UDF surface; mapInPandas /
-    applyInPandas cover the batch-iterator tiers."""
+    arithmetic per batch) — the Flesch-like readability shape,
+    206.835 - 1.015*t - 84.6*(chars/t), reported at 4 dp.
+
+    The UDF computes the EXACT integer numerator of the score scaled
+    by 10^4*t (pure int64 numpy ops — no float enters Python at all);
+    the 4-dp value is then recovered JVM-side with integer
+    round-half-away division. A plain `round(double, 4)` here is a
+    trap: the score grid genuinely lands on .xxxx5 ties (first hits at
+    sf0.1), where Spark rounds the shortest decimal representation
+    and DuckDB the binary value — integer tie-breaking is the only
+    representation both engines share. Demonstrates the scalar tier
+    of the UDF surface; mapInPandas / applyInPandas cover the
+    batch-iterator tiers."""
     docs = table(spark, sf_dir, "documents")
 
-    @F.pandas_udf("double")
-    def readability(n_tokens: pd.Series, n_chars: pd.Series) -> pd.Series:
-        t = n_tokens.astype("float64")
-        return 206.835 - 1.015 * t - 84.6 * (n_chars.astype("float64") / t)
+    @F.pandas_udf("long")
+    def readability_n(n_tokens: pd.Series, n_chars: pd.Series) -> pd.Series:
+        t = n_tokens.astype("int64")
+        return (2068350 - 10150 * t) * t - 846000 * n_chars.astype("int64")
 
     n_tokens = F.size(F.split(F.col("text"), " "))
-    return docs.select(
+    scored = docs.select(
         "doc_id",
-        F.round(readability(n_tokens, F.col("n_chars")), 4).alias("readability"),
+        n_tokens.alias("t"),
+        readability_n(n_tokens, F.col("n_chars")).alias("n"),
+    )
+    rounded = F.when(
+        F.col("n") >= 0, F.expr("(2 * n + t) div (2 * t)")
+    ).otherwise(-F.expr("(2 * (-n) + t) div (2 * t)"))
+    return scored.select(
+        "doc_id",
+        (rounded.cast("double") / F.lit(10000.0)).alias("readability"),
     )
 
 
