@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 from crane_spark.functions.text import SQL_STOPWORDS, STOPWORDS, stopword_ratio, tokens
 from crane_spark.llm.dedup import (
@@ -1023,4 +1024,118 @@ def q_gopher_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(fail_ttr).alias("fail_ttr"),
         cnt(fail_dom).alias("fail_dominance"),
         cnt(~fail_len & ~fail_wl & ~fail_stop & ~fail_ttr & ~fail_dom).alias("n_keep"),
+    )
+
+
+MIPS_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({_sql_dot('q.qv', 'e.embedding')}, 4) AS dot
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, dot, rn FROM (
+  SELECT query_id, neighbor_id, dot,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS BIGINT) AS rn
+  FROM sims
+) WHERE rn <= 3
+"""
+
+
+@register("mips_topk", MIPS_SQL, tags=("llm", "similarity", "mips"))
+def q_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-3 (recommendation scoring: magnitude
+    matters, so no normalization — a vector with large norm can beat a
+    better-aligned small one, which cosine top-k deliberately ignores).
+    Same broadcast scatter + per-query heap plan as the cosine path.
+    The LSH scale path for MIPS is the standard augmentation
+    reduction (append sqrt(M^2-|v|^2) as an extra coordinate, then
+    cosine-LSH applies; see embedding_srp_lsh)."""
+    from crane_spark.llm.similarity import dot as _dot
+    from crane_spark.tables import fan_out as _fan_out
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = _fan_out(emb).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("qv"), F.col("cv")), 4).alias("dot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w).cast("long")).filter(
+        F.col("rn") <= 3
+    )
+
+
+JL_DIM = 16
+
+JL_SQL = f"""
+WITH signs AS (
+  SELECT j, i,
+         CASE WHEN strpos('02468ace', substring(md5(j || ':' || i), 1, 1)) > 0
+              THEN 1 ELSE -1 END AS s
+  FROM (SELECT UNNEST(range(0, {JL_DIM})) AS j),
+       (SELECT UNNEST(range(1, {EMBED_DIM + 1})) AS i)
+),
+elems AS (
+  SELECT vec_id, CAST(i AS INT) AS i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+  FROM embeddings, (SELECT UNNEST(range(1, {EMBED_DIM + 1})) AS i)
+)
+SELECT e.vec_id, CAST(signs.j AS BIGINT) AS j,
+       CAST(round(SUM(CAST(round(e.v * signs.s, 9) AS DECIMAL(28,9))), 4) AS DOUBLE) AS proj
+FROM elems e JOIN signs ON e.i = signs.i
+GROUP BY e.vec_id, signs.j
+"""
+
+
+@register("jl_projection", JL_SQL, tags=("llm", "similarity", "compression"))
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64-d -> 16-d with a
+    deterministic md5-derived +-1 matrix (the float sibling of the
+    int8 quantizer: 4x store compression that approximately preserves
+    pairwise distances, test_llm asserts the JL ratio bound). The
+    projection is stated relationally — explode elements, join the
+    1024-row sign matrix, sum per (vec, j) — so it is one broadcast
+    join plus one map-side-combined aggregate at any corpus size, and
+    the summation runs through the decimal idiom to stay order-free."""
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    elems = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("p", "vf"),
+    ).select(
+        "vec_id", (F.col("p") + 1).alias("i"), F.col("vf").cast("double").alias("v")
+    )
+    signs = (
+        spark.range(JL_DIM)
+        .withColumnRenamed("id", "j")
+        .crossJoin(spark.range(1, EMBED_DIM + 1).withColumnRenamed("id", "i"))
+        .select(
+            "j",
+            "i",
+            F.when(
+                F.instr(
+                    F.lit("02468ace"),
+                    F.substring(F.md5(F.concat_ws(":", "j", "i")), 1, 1),
+                )
+                > 0,
+                1,
+            )
+            .otherwise(-1)
+            .alias("s"),
+        )
+    )
+    contrib = F.round(F.col("v") * F.col("s"), 9).cast("decimal(28,9)")
+    return (
+        elems.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.round(F.sum(contrib), 4).cast("double").alias("proj"))
+        .select("vec_id", F.col("j").cast("long").alias("j"), "proj")
     )

@@ -326,3 +326,41 @@ def test_prefix_filter_jaccard_lossless_vs_brute_force(spark, sf_dir):
     }
     assert pruned == brute
     assert len(pruned) > 0  # planted near-dups exist in the fixture
+
+
+def test_jl_projection_preserves_distances(spark, sf_dir):
+    """JL bound sanity: squared distances in the 16-d projection
+    (scaled by d/k) approximate the 64-d originals for sampled pairs —
+    the property that makes the compressed store usable for ANN."""
+    import math
+
+    from crane_spark.queries import REGISTRY
+    from crane_spark.tables import table
+
+    proj_rows = (
+        REGISTRY["jl_projection"].fn(spark, sf_dir).filter(F.col("vec_id") < 30).collect()
+    )
+    proj = {}
+    for r in proj_rows:
+        proj.setdefault(r["vec_id"], {})[r["j"]] = r["proj"]
+    orig = {
+        r["vec_id"]: r["embedding"]
+        for r in table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 30).collect()
+    }
+    ids = sorted(orig)
+    ratios = []
+    for a_i in range(0, len(ids), 3):
+        for b_i in range(a_i + 1, len(ids), 7):
+            a, b = ids[a_i], ids[b_i]
+            d_orig = sum((x - y) ** 2 for x, y in zip(orig[a], orig[b]))
+            pa, pb = proj[a], proj[b]
+            d_proj = sum((pa[j] - pb[j]) ** 2 for j in pa) / 16.0 * 1.0
+            if d_orig > 0:
+                ratios.append(d_proj / d_orig)
+    assert len(ratios) >= 20
+    mean = sum(ratios) / len(ratios)
+    # unbiased in expectation; wide individual spread at k=16 but the
+    # mean over pairs concentrates
+    assert 0.7 <= mean <= 1.3, mean
+    assert all(0.2 <= r <= 3.0 for r in ratios), (min(ratios), max(ratios))
+    assert math.isfinite(mean)
