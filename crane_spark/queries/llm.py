@@ -1139,3 +1139,40 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(contrib), 4).cast("double").alias("proj"))
         .select("vec_id", F.col("j").cast("long").alias("j"), "proj")
     )
+
+
+GROUPED_SPLIT_SQL = f"""
+WITH tagged AS (
+  SELECT user_id, event_id,
+         CASE WHEN {sql_hash_bucket('user_id', 'gsplit')} < 13107
+              THEN 'test' ELSE 'train' END AS split
+  FROM events
+)
+SELECT split,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM tagged GROUP BY split
+"""
+
+
+@register("grouped_split_events", GROUPED_SPLIT_SQL, tags=("llm", "sampling", "split"))
+def q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-aware 80/20 split: membership hashes the GROUP key
+    (user_id), so every event of a user lands in the same split — the
+    guard against train/test contamination through correlated rows
+    that a row-level split (`train_test_split`) cannot give. Pure
+    map-side tagging; the only shuffle is the count-distinct."""
+    from crane_spark.llm.sampling import hash_bucket as _hash_bucket
+
+    events = table(spark, sf_dir, "events")
+    split = F.when(_hash_bucket("user_id", "gsplit") < 13107, "test").otherwise(
+        "train"
+    )
+    return (
+        events.select("user_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -143,3 +143,26 @@ def test_binary_asset_source_streaming(spark, tmp_path):
     q.awaitTermination(60)
     got = spark.sql("select mime, length from bin_assets").collect()
     assert [(r["mime"], r["length"]) for r in got] == [("audio/wav", 130)]
+
+
+def test_input_file_provenance(spark, tmp_path):
+    """Ingest-time provenance tagging with input_file_name(): every
+    row records which physical file produced it — the lineage column a
+    100 TB multi-source corpus build carries from day one."""
+    from pyspark.sql import functions as F
+
+    for name, rows in {"src_a": ["x", "y"], "src_b": ["z"]}.items():
+        spark.createDataFrame([(r,) for r in rows], "value string").coalesce(
+            1
+        ).write.mode("overwrite").text(str(tmp_path / name))
+    df = (
+        spark.read.text(str(tmp_path / "src_*"))
+        .withColumn("src_file", F.input_file_name())
+        .withColumn(
+            "source", F.regexp_extract("src_file", r"(src_[ab])", 1)
+        )
+    )
+    got = {r["value"]: r["source"] for r in df.collect()}
+    assert got == {"x": "src_a", "y": "src_a", "z": "src_b"}
+    counts = {r["source"]: r["n"] for r in df.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"src_a": 2, "src_b": 1}
