@@ -1176,3 +1176,99 @@ def q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+DIM_STATS_SQL = f"""
+WITH elems AS (
+  SELECT CAST(i AS INT) AS dim, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+  FROM embeddings, (SELECT UNNEST(range(1, {EMBED_DIM + 1})) AS i)
+)
+SELECT dim,
+       count(*) AS n,
+       CAST(round(CAST(SUM(CAST(round(v, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                  / count(*), 4) AS DOUBLE) AS mean_v,
+       CAST(round(sqrt(
+         (CAST(SUM(CAST(round(v * v, 6) AS DECIMAL(38,6))) AS DOUBLE)
+          - CAST(SUM(CAST(round(v, 6) AS DECIMAL(28,6))) AS DOUBLE)
+            * CAST(SUM(CAST(round(v, 6) AS DECIMAL(28,6))) AS DOUBLE) / count(*))
+         / (count(*) - 1)), 4) AS DOUBLE) AS std_v,
+       CAST(round(min(v), 4) AS DOUBLE) AS min_v,
+       CAST(round(max(v), 4) AS DOUBLE) AS max_v
+FROM elems GROUP BY dim
+"""
+
+
+@register("embedding_dim_stats", DIM_STATS_SQL, tags=("llm", "similarity", "stats", "profile"))
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-store profiling: per-dimension mean/std/min/max across
+    the corpus — the input to whitening/standardization and the drift
+    check between embedding model versions. One explode + one 64-group
+    aggregate with decimal-exact moments; map-side combine collapses
+    the explosion before the (64-key) shuffle."""
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    elems = emb.select(
+        F.posexplode("embedding").alias("p", "vf")
+    ).select((F.col("p") + 1).alias("dim"), F.col("vf").cast("double").alias("v"))
+    n = F.count(F.lit(1))
+    sx = F.sum(F.round(F.col("v"), 6).cast("decimal(28,6)")).cast("double")
+    sxx = F.sum(F.round(F.col("v") * F.col("v"), 6).cast("decimal(38,6)")).cast("double")
+    return elems.groupBy("dim").agg(
+        n.alias("n"),
+        F.round(sx / n, 4).cast("double").alias("mean_v"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))), 4).cast("double").alias("std_v"),
+        F.round(F.min("v"), 4).cast("double").alias("min_v"),
+        F.round(F.max("v"), 4).cast("double").alias("max_v"),
+    )
+
+
+PURITY_SQL = f"""
+WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 10),
+v AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 10),
+sims AS (
+  SELECT v.vec_id, v.label, c.centroid_id,
+         round({_sql_dot('v.embedding', 'c.cv')}
+               / ({_sql_norm('v.embedding')} * {_sql_norm('c.cv')}), 4) AS cosine
+  FROM v CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, label, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id) AS rn
+  FROM sims
+),
+cells AS (SELECT centroid_id, label, count(*) AS n FROM assigned WHERE rn = 1 GROUP BY 1, 2)
+SELECT centroid_id,
+       CAST(SUM(n) AS BIGINT) AS n_members,
+       CAST(max_by(label, n * 1000000 - label) AS BIGINT) AS majority_label,
+       CAST(max(n) AS BIGINT) AS majority_n
+FROM cells GROUP BY centroid_id
+"""
+
+
+@register("ivf_cell_purity", PURITY_SQL, tags=("llm", "similarity", "ivf", "eval"))
+def q_ivf_cell_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation: per IVF cell, the member count
+    and the majority ground-truth label (ties broken toward the
+    smaller label on both engines via max_by on the composite integer
+    key n*1e6 - label) — the purity diagnostic for whether the coarse quantizer
+    respects label structure. Reuses the one-broadcast assignment
+    pass; the evaluation itself is two tiny keyed aggregates."""
+    from crane_spark.llm.similarity import ivf_assign as _ivf_assign
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    vectors = emb.filter(F.col("vec_id") >= 10)
+    assigned = _ivf_assign(vectors, centroids).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    cells = assigned.groupBy("centroid_id", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return cells.groupBy("centroid_id").agg(
+        F.sum("n").cast("long").alias("n_members"),
+        F.max_by("label", F.col("n") * 1000000 - F.col("label"))
+        .cast("long")
+        .alias("majority_label"),
+        F.max("n").cast("long").alias("majority_n"),
+    )
