@@ -1272,3 +1272,58 @@ def q_ivf_cell_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("majority_label"),
         F.max("n").cast("long").alias("majority_n"),
     )
+
+
+MLM_KEY = "CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)"
+
+MLM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, string_split(text, ' ')[CAST(i AS INT)] AS token
+  FROM (SELECT doc_id, text FROM documents),
+       LATERAL (SELECT UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS i)
+),
+flagged AS (
+  SELECT doc_id, pos, token,
+         {sql_hash_bucket(MLM_KEY, 'mlm')} < 9830 AS masked
+  FROM tok
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       count(*) FILTER (WHERE masked) AS n_masked,
+       string_agg(CASE WHEN masked THEN '[MASK]' ELSE token END, ' ' ORDER BY pos)
+         AS masked_text,
+       coalesce(string_agg(token, ' ' ORDER BY pos) FILTER (WHERE masked), '')
+         AS targets
+FROM flagged GROUP BY doc_id
+"""
+
+
+@register("mlm_masking", MLM_SQL, tags=("llm", "text", "training-prep"))
+def q_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sample materialization: BERT-style masking, ~15% of
+    token positions chosen by CONTENT hash (doc_id:pos), so the same
+    corpus always yields the same masked dataset on any cluster — the
+    reproducibility property ad-hoc RNG masking loses. One explode,
+    one doc_id-keyed aggregate; text reassembles via the struct-sorted
+    collect_list idiom (no second sort pass)."""
+    from crane_spark.llm.sampling import hash_bucket as _hash_bucket
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("p", "token")
+    ).select("doc_id", (F.col("p") + 1).alias("pos"), "token")
+    key = F.concat(
+        F.col("doc_id").cast("string"), F.lit(":"), F.col("pos").cast("string")
+    )
+    flagged = tok.withColumn("masked", _hash_bucket(key, "mlm") < 9830)
+    out_tok = F.when(F.col("masked"), "[MASK]").otherwise(F.col("token"))
+    ordered_all = F.array_sort(F.collect_list(F.struct(F.col("pos"), out_tok.alias("t"))))
+    ordered_masked = F.array_sort(
+        F.collect_list(F.when(F.col("masked"), F.struct(F.col("pos"), F.col("token").alias("t"))))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(F.when(F.col("masked"), 1)).alias("n_masked"),
+        F.array_join(F.transform(ordered_all, lambda s: s.t), " ").alias("masked_text"),
+        F.array_join(F.transform(ordered_masked, lambda s: s.t), " ").alias("targets"),
+    )
