@@ -927,21 +927,25 @@ pairs AS (
 )
 SELECT doc_a, doc_b, CAST(i AS BIGINT) AS n_common,
        CAST(i AS DOUBLE) / u AS jaccard
-FROM pairs WHERE 2 * i >= u
+FROM pairs WHERE 3 * i >= 2 * u
 """
 
 
 @register("prefix_jaccard_join", PREFIX_JACCARD_SQL, tags=("llm", "dedup", "similarity"))
 def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT similarity self-join over the WHOLE corpus (2-gram
-    Jaccard >= 1/2) via AllPairs/PPJoin prefix filtering — the
+    Jaccard >= 2/3) via AllPairs/PPJoin prefix filtering — the
     lossless complement to `minhash_lsh_pairs`: the oracle states the
     quadratic all-pairs definition; the engine touches only pairs
     whose rarity-ordered shingle prefixes collide. Integer threshold
-    arithmetic (2*inter >= union) keeps the boundary decision
-    float-free in both engines."""
+    arithmetic (3*inter >= 2*union) keeps the boundary decision
+    float-free in both engines. The threshold is the pruning lever:
+    prefix length is m - ceil(t*m) + 1, so t=2/3 indexes a third of
+    each set where t=1/2 would index half — on this corpus's dense
+    synthetic vocabulary (every 2-gram is common) that is the
+    difference between bucket joins and a near-cross-join."""
     return prefix_filter_jaccard_pairs(
-        table(spark, sf_dir, "documents"), shingle_n=2, t_num=1, t_den=2
+        table(spark, sf_dir, "documents"), shingle_n=2, t_num=2, t_den=3
     )
 
 
