@@ -692,3 +692,26 @@ def q_argmax_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("smallest_order"),
         F.min("o_totalprice").alias("smallest_price"),
     )
+
+
+SQL_HINT_TEXT = """
+SELECT /*+ BROADCAST(customer) */
+       c_mktsegment,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("sql_hint_join", SQL_HINT_TEXT, tags=("sql", "join", "hint"))
+def q_sql_hint_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer hints through the shared SQL surface: the /*+
+    BROADCAST(t) */ hint rides a standard comment, so Catalyst honors
+    it (plan shows BroadcastHashJoin regardless of statistics) while
+    DuckDB parses the same text and simply ignores it — one query
+    string, both engines, intent preserved. Hints are how broadcast
+    decisions survive CBO misestimates at 100 TB (TUNING.md)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(SQL_HINT_TEXT)
