@@ -1331,3 +1331,22 @@ def q_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.transform(ordered_all, lambda s: s.t), " ").alias("masked_text"),
         F.array_join(F.transform(ordered_masked, lambda s: s.t), " ").alias("targets"),
     )
+
+
+@register("bpe_merges", None, tags=("llm", "text", "tokenizer", "iterative"))
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (llm/bpe.py): 8 merge
+    rounds learned from the documents corpus. Iterative argmax-loop
+    algorithm (like k-means/PageRank) — no SQL oracle exists, so this
+    is a rows-only contract; determinism and the canonical-corpus
+    merges are asserted in tests/test_bpe.py. The corpus collapses to
+    the word-frequency table in ONE scan; every iteration then runs
+    on vocabulary-sized data."""
+    from crane_spark.llm.bpe import bpe_train
+
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=8)
+    return spark.createDataFrame(
+        [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "merge_rank int, left string, right string, pair_freq long",
+    )

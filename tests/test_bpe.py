@@ -1,0 +1,58 @@
+"""Distributed BPE tokenizer training (llm/bpe.py): known-corpus
+merges, determinism, and inference replay."""
+
+from __future__ import annotations
+
+from crane_spark.llm.bpe import END, apply_merges, bpe_train, word_freqs
+
+
+def _corpus(spark):
+    # classic BPE teaching corpus: 'low'x5, 'lower'x2, 'newest'x6,
+    # 'widest'x3 — first merges learn 'es', 'est', 'est</w>' ...
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    return spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+
+
+def test_word_freqs(spark):
+    got = {r["word"]: r["freq"] for r in word_freqs(_corpus(spark)).collect()}
+    assert got == {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+
+def test_bpe_learns_canonical_merges(spark):
+    merges = bpe_train(_corpus(spark), n_merges=4)
+    # 'e s' occurs in newest(6)+widest(3)=9, the unique max
+    assert merges[0] == ("e", "s", 9)
+    # then 'es t' (9), then 'est </w>' (9); tie-breaks are lexicographic
+    assert merges[1] == ("es", "t", 9)
+    assert merges[2] == ("est", END, 9)
+    assert len(merges) == 4 and all(n >= 2 for _, _, n in merges)
+
+
+def test_bpe_training_is_reproducible(spark):
+    assert bpe_train(_corpus(spark), n_merges=5) == bpe_train(
+        _corpus(spark), n_merges=5
+    )
+
+
+def test_apply_merges_tokenizes(spark):
+    merges = bpe_train(_corpus(spark), n_merges=3)
+    seqs = {r["word"]: r["syms"] for r in apply_merges(_corpus(spark), merges).collect()}
+    # after (e,s),(es,t),(est,</w>): 'newest' -> n e w est</w>
+    assert seqs["newest"] == ["n", "e", "w", "est" + END]
+    assert seqs["low"] == ["l", "o", "w", END]
+    # symbols always reassemble to word + end marker
+    for w, syms in seqs.items():
+        assert "".join(syms) == w + END
+
+
+def test_bpe_on_fixture_corpus(spark, sf_dir):
+    """Merges learned from the real documents table: deterministic,
+    non-empty, counts non-increasing is NOT required (BPE counts may
+    rise after unlocking merges) but all counts are positive."""
+    from crane_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").limit(100)
+    merges = bpe_train(docs, n_merges=5)
+    assert len(merges) == 5
+    assert all(n > 0 for _, _, n in merges)
+    assert merges == bpe_train(docs, n_merges=5)
