@@ -190,3 +190,31 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_nations"),
         )
     )
+
+
+@register("rolling_7d_hll", None, tags=("window", "sketch", "approx", "hll", "timeseries"))
+def q_rolling_7d_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-backed twin of `rolling_7d_active_users`: one HLL
+    sketch per DAY (a single pass over deduped user-days), then each
+    day's 7-day answer is hll_union_agg over at most 7 sketch blobs.
+    This is THE rolling-distinct plan at 100 TB — the exact variant
+    re-explodes every user-day pair 7x, while this one shuffles ~30
+    sketch blobs however wide the user space is, and yesterday's
+    per-day sketches never recompute on a growing corpus.
+    Engine-specific sketch -> rows-only; the error bound vs the exact
+    query is asserted in tests/test_stats.py."""
+    events = table(spark, sf_dir, "events")
+    per_day = (
+        events.select(F.to_date("ts").alias("d"), "user_id")
+        .groupBy("d")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    days = per_day.select("d")
+    contrib = per_day.select(
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("day"), "sk"
+    )
+    return (
+        contrib.join(days, contrib.day == days.d, "left_semi")
+        .groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wau_7d_approx"))
+    )

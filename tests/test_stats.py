@@ -85,3 +85,21 @@ def test_compact_rewrites_to_target_file_count(spark, sf_dir, tmp_path):
     files = glob.glob(f"{out}/*.parquet")
     assert len(files) == 2
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_rolling_hll_tracks_exact_wau(spark, sf_dir):
+    """The sketch-based rolling distinct stays within HLL error of the
+    exact explode-based answer on every day."""
+    from crane_spark.queries import REGISTRY
+
+    exact = {
+        r["day"]: r["wau_7d"]
+        for r in REGISTRY["rolling_7d_active_users"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r["day"]: r["wau_7d_approx"]
+        for r in REGISTRY["rolling_7d_hll"].fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(3, 0.05 * n), (day, n, approx[day])
