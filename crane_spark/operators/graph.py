@@ -128,3 +128,65 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     e2 = edges.select(F.col(src).alias("b"), F.col(dst).alias("c"))
     e3 = edges.select(F.col(src).alias("a"), F.col(dst).alias("c"))
     return e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    vertex_col: str = "v",
+    label_col: str = "label",
+    n_rounds: int = 5,
+) -> DataFrame:
+    """Semi-supervised label propagation: seed vertices carry fixed
+    labels; every round, each unlabeled vertex takes the majority
+    label among its labeled neighbors (ties -> smallest label, so the
+    result is deterministic on any cluster/partitioning). Returns
+    (v, label, round_assigned); vertices never reached keep no row.
+
+    Each round is one join (edges x current labels) and one majority
+    aggregate — the degree-weighted shuffle an iterative Pregel step
+    costs, with localCheckpoint bounding lineage like the k-means and
+    PageRank loops. Seeds are immutable: propagation never overwrites
+    a seed (the CASE keeps the fixed point stable).
+    """
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = seeds.select(
+        F.col(vertex_col).alias("v"),
+        F.col(label_col).alias("label"),
+        F.lit(0).alias("round_assigned"),
+        F.lit(True).alias("is_seed"),
+    ).localCheckpoint(eager=True)
+    for rnd in range(1, n_rounds + 1):
+        # labeled neighbors vote; majority with smallest-label tiebreak
+        votes = (
+            und.join(labels.select(F.col("v").alias("s"), "label"), "s")
+            .groupBy(F.col("t").alias("v"), "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        majority = (
+            votes.groupBy("v")
+            .agg(
+                F.max_by(
+                    "label", F.struct(F.col("n"), (-F.col("label")).alias("nl"))
+                ).alias("new_label")
+            )
+            .select("v", "new_label")
+        )
+        labels = (
+            majority.join(labels, "v", "full_outer")
+            .select(
+                "v",
+                F.coalesce("label", "new_label").alias("label"),
+                F.coalesce("round_assigned", F.lit(rnd)).alias("round_assigned"),
+                F.coalesce("is_seed", F.lit(False)).alias("is_seed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("v", "label", "round_assigned")

@@ -491,3 +491,73 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sec").cast("long").alias("min_seconds"),
         F.max("sec").cast("long").alias("max_seconds"),
     )
+
+
+# --------------------------------------------------------------------
+# Rate-spike detection (rolling baseline over hourly counts)
+# --------------------------------------------------------------------
+
+SPIKE_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events WHERE event_type = 'error' GROUP BY 1
+),
+w AS (
+  SELECT h, n,
+         CAST(SUM(n) OVER win AS BIGINT) AS s,
+         CAST(SUM(n * n) OVER win AS BIGINT) AS ss,
+         CAST(COUNT(*) OVER win AS BIGINT) AS k
+  FROM hourly
+  WINDOW win AS (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT h, n, k AS baseline_hours,
+       CAST(round(CAST(s AS DOUBLE) / k, 4) AS DOUBLE) AS baseline_mean,
+       CASE WHEN k >= 12
+             AND CAST(n AS DOUBLE) * k > 2 * s
+             AND (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / k)
+                 > 3 * sqrt((ss - CAST(s AS DOUBLE) * s / k) / (k - 1))
+            THEN 1 ELSE 0 END AS is_spike
+FROM w
+"""
+
+
+@register("error_rate_spikes", SPIKE_SQL, tags=("window", "timeseries", "anomaly"))
+def q_error_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational anomaly detection: each hour's error count against
+    the trailing-24h baseline (mean + 3 sigma AND 2x mean, needing
+    >= 12 baseline hours). The rolling moments come from integer SUM
+    and SUM-of-squares window frames — counts are ints, so the frame
+    sums are exact in both engines and only the final scalar math is
+    float. The window input is hours, i.e. pre-aggregated: the frame
+    never touches raw events."""
+    from pyspark.sql import Window
+
+    events = table(spark, sf_dir, "events")
+    hourly = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    win = Window.orderBy("h").rowsBetween(-24, -1)
+    w = hourly.select(
+        "h",
+        "n",
+        F.sum("n").over(win).cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(win).cast("long").alias("ss"),
+        F.count(F.lit(1)).over(win).cast("long").alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    sigma = F.sqrt((F.col("ss") - sd * F.col("s") / F.col("k")) / (F.col("k") - 1))
+    spike = (
+        (F.col("k") >= 12)
+        & (nd * F.col("k") > 2 * F.col("s"))
+        & ((nd - sd / F.col("k")) > 3 * sigma)
+    )
+    return w.select(
+        "h",
+        "n",
+        F.col("k").alias("baseline_hours"),
+        F.round(sd / F.col("k"), 4).cast("double").alias("baseline_mean"),
+        F.when(spike, 1).otherwise(0).alias("is_spike"),
+    )
