@@ -715,3 +715,52 @@ def q_sql_hint_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(SQL_HINT_TEXT)
+
+
+RI_SQL = """
+SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+         AS n_orphans,
+       (SELECT count(*) FROM lineitem) AS n_rows
+UNION ALL
+SELECT 'orders.o_custkey -> customer',
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+       (SELECT count(*) FROM orders)
+UNION ALL
+SELECT 'customer.c_nationkey -> nation',
+       (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)),
+       (SELECT count(*) FROM customer)
+"""
+
+
+@register("referential_integrity", RI_SQL, tags=("dq", "join", "anti"))
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract audit: orphan counts along the star schema's
+    foreign-key edges, one row per edge. Each check is an anti join
+    (broadcast for dimension parents, shuffle for fact-fact) feeding
+    a count — no row data moves, and at 100 TB this is the cheap
+    pre-flight that catches a bad partition-drop before a training
+    run consumes it."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+
+    def edge(name: str, child: DataFrame, ck: str, parent: DataFrame, pk: str) -> DataFrame:
+        orphans = child.join(
+            parent.select(pk), child[ck] == parent[pk], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        total = child.agg(F.count(F.lit(1)).alias("n_rows"))
+        return (
+            orphans.crossJoin(total)
+            .select(F.lit(name).alias("fk_edge"), "n_orphans", "n_rows")
+        )
+
+    return (
+        edge("lineitem.l_orderkey -> orders", li, "l_orderkey", orders, "o_orderkey")
+        .unionByName(edge("orders.o_custkey -> customer", orders, "o_custkey", cust, "c_custkey"))
+        .unionByName(edge("customer.c_nationkey -> nation", cust, "c_nationkey", nation, "n_nationkey"))
+    )

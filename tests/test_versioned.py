@@ -101,3 +101,34 @@ def test_streaming_snapshot_publisher(spark, tmp_path, root):
     assert len(vs) >= 1
     latest = {r["k"]: r["total"] for r in V.get(spark, root, "agg").collect()}
     assert latest == {"a": 11, "b": 2}
+
+
+def test_incremental_aggregate_maintenance(spark, root):
+    """Partial-aggregate mergeability across snapshot versions: the
+    aggregate of snapshot v2 equals merge(agg(v1), agg(delta)) — no
+    re-scan of v1's rows. The decomposition (sum/count are
+    commutative monoids) is what makes incremental materialized
+    views correct at 100 TB; snapshots give the immutable inputs."""
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 1)], "k string, v long"
+    )
+    delta = spark.createDataFrame([("a", 2), ("c", 7)], "k string, v long")
+    V.put(base, root, "rows")
+    V.put(base.unionByName(delta), root, "rows")
+
+    def agg(df):
+        return df.groupBy("k").agg(
+            F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+
+    # merge(agg(v1), agg(delta)): re-aggregate the partials
+    merged = (
+        agg(V.get(spark, root, "rows", version=1))
+        .unionByName(agg(delta))
+        .groupBy("k")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    )
+    full = agg(V.get(spark, root, "rows", version=2))
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
