@@ -153,3 +153,39 @@ def test_revenue_share_window_input_is_dimension_sized(spark, sf_dir):
 def test_weighted_sample_no_global_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "weighted_sample")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_interval_overlap_is_bin_equijoin(spark, sf_dir):
+    """The overlap join must plan as an equi-join on the hour bin —
+    never a cartesian/nested-loop product of the interval sets."""
+    plan = _plan(spark, sf_dir, "interval_overlap_counts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters" in plan and "purchase" in plan  # type filter reaches scan
+
+
+def test_prefix_jaccard_no_cartesian(spark, sf_dir):
+    """Candidate generation is an equi-join on the interned rank;
+    nothing in the pipeline may fall back to a cross product."""
+    plan = _plan(spark, sf_dir, "prefix_jaccard_join")
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_wau_single_distinct_shuffle(spark, sf_dir):
+    """The bounded-explode plan: the user-day dedup and per-day
+    distinct both plan as hash aggregates (partial+final), no window
+    operator over raw events."""
+    plan = _plan(spark, sf_dir, "rolling_7d_active_users")
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+
+
+def test_spike_detection_prefilters_scan(spark, sf_dir):
+    """Only error events feed the hourly pre-aggregate; the window
+    frame then runs over hours, not raw events."""
+    plan = _plan(spark, sf_dir, "error_rate_spikes")
+    assert "PushedFilters" in plan and "error" in plan
+    # the window's input is the aggregated hourly frame: the tree
+    # prints consumers first, so Window must appear ABOVE (before)
+    # the HashAggregate feeding it
+    assert plan.index("Window") < plan.index("HashAggregate")
