@@ -561,3 +561,74 @@ def q_error_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sd / F.col("k"), 4).cast("double").alias("baseline_mean"),
         F.when(spike, 1).otherwise(0).alias("is_spike"),
     )
+
+
+# --------------------------------------------------------------------
+# Winsorized mean (rank-based robust aggregation)
+# --------------------------------------------------------------------
+
+WINSOR_SQL = """
+WITH r AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+b AS (
+  SELECT event_type,
+         max(CASE WHEN rn = (n // 100) + 1 THEN value END) AS lo,
+         max(CASE WHEN rn = n - (n // 100) THEN value END) AS hi
+  FROM r GROUP BY event_type
+)
+SELECT r.event_type,
+       CAST(max(r.n) AS BIGINT) AS n,
+       CAST(round(CAST(SUM(CAST(round(
+         CASE WHEN r.value < b.lo THEN b.lo
+              WHEN r.value > b.hi THEN b.hi
+              ELSE r.value END, 6) AS DECIMAL(28,6))) AS DOUBLE) / max(r.n), 5)
+         AS DOUBLE) AS winsorized_mean
+FROM r JOIN b ON r.event_type = b.event_type
+GROUP BY r.event_type
+"""
+
+
+@register("winsorized_mean", WINSOR_SQL, tags=("agg", "stats", "robust", "window"))
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust aggregation: per-type mean after clamping the bottom and
+    top 1% of values to the boundary DATA values. The boundaries come
+    from integer rank positions (row_number with an event_id
+    tiebreak), never from interpolated quantiles — comparing data to
+    an interpolated cut is the cross-engine trap the verify notes
+    document. Clamped values then sum through the decimal idiom."""
+    from pyspark.sql import Window
+
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    r = events.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    k = F.expr("n div 100")
+    b = r.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == k + 1, F.col("value"))).alias("lo"),
+        F.max(F.when(F.col("rn") == F.col("n") - k, F.col("value"))).alias("hi"),
+    )
+    clamped = F.round(
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value")),
+        6,
+    ).cast("decimal(28,6)")
+    return (
+        r.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.round(F.sum(clamped).cast("double") / F.max("n"), 5)
+            .cast("double")
+            .alias("winsorized_mean"),
+        )
+    )

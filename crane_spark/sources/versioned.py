@@ -118,3 +118,32 @@ def delete(
         return []
     fs.delete(jvm.org.apache.hadoop.fs.Path(_vdir(root, name, version)), True)
     return [version]
+
+
+def diff(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    from_version: int,
+    to_version: int,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level change set between two committed snapshots: returns
+    the union of rows only in ``to_version`` (change = 'added') and
+    rows only in ``from_version`` (change = 'removed'), by full-row
+    multiset comparison (``exceptAll``), or by key columns when given
+    (then a changed key shows as removed+added). This is the audit
+    companion to `get_versions` — the reference's version plane
+    (dfs_client.py:160-173) could fetch old bytes but never explain
+    what changed; immutable snapshot pairs make the diff a pure
+    relational operation."""
+    from pyspark.sql import functions as F
+
+    newer = get(spark, root, name, to_version)
+    older = get(spark, root, name, from_version)
+    if key_cols:
+        newer = newer.select(*key_cols)
+        older = older.select(*key_cols)
+    added = newer.exceptAll(older).withColumn("change", F.lit("added"))
+    removed = older.exceptAll(newer).withColumn("change", F.lit("removed"))
+    return added.unionByName(removed)

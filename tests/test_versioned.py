@@ -132,3 +132,23 @@ def test_incremental_aggregate_maintenance(spark, root):
     )
     full = agg(V.get(spark, root, "rows", version=2))
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_snapshot_diff(spark, root):
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b"), (3, "c")], "id long, s string"
+    )
+    nxt = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "CHANGED"), (4, "d")], "id long, s string"
+    )
+    V.put(base, root, "t")
+    V.put(nxt, root, "t")
+    got = {
+        (r["id"], r["s"], r["change"]) for r in V.diff(spark, root, "t", 1, 2).collect()
+    }
+    assert got == {
+        (3, "CHANGED", "added"),
+        (4, "d", "added"),
+        (2, "b", "removed"),   # multiset: one of the two dup rows went away
+        (3, "c", "removed"),
+    }
