@@ -632,3 +632,73 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("winsorized_mean"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Per-source exact-duplicate rate (corpus health reporting)
+# --------------------------------------------------------------------
+
+DEDUP_RATE_SQL = """
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_unique,
+       CAST(round(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+                  / count(*), 4) AS DOUBLE) AS dup_rate
+FROM documents GROUP BY source
+"""
+
+
+@register("dedup_rate_by_source", DEDUP_RATE_SQL, tags=("llm", "dedup", "profile"))
+def q_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health report: exact-duplicate rate per source (the
+    number every ingest dashboard tracks per feed). Distinct counting
+    runs on the md5, not the text — the shuffle carries 16-byte
+    hashes, not documents."""
+    docs = table(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    u = F.count_distinct(F.md5("text"))
+    return docs.groupBy("source").agg(
+        n.alias("n_docs"),
+        u.alias("n_unique"),
+        F.round((n - u).cast("double") / n, 4).cast("double").alias("dup_rate"),
+    )
+
+
+# --------------------------------------------------------------------
+# Month-over-month growth (lag-based KPI)
+# --------------------------------------------------------------------
+
+MOM_SQL = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+       CAST(round((revenue - lag(revenue) OVER (ORDER BY month))
+                  / lag(revenue) OVER (ORDER BY month) * 100, 4) AS DOUBLE)
+         AS mom_growth_pct
+FROM m
+"""
+
+
+@register("orders_mom_growth", MOM_SQL, tags=("window", "timeseries", "kpi"))
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: decimal-exact monthly sums,
+    then a lag window over the MONTH series (window input is months —
+    the global order never touches order rows). First month's growth
+    is NULL in both engines."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)")).cast("double").alias("revenue")
+    )
+    prev = F.lag("revenue").over(Window.orderBy("month"))
+    return m.select(
+        "month",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev * 100, 4)
+        .cast("double")
+        .alias("mom_growth_pct"),
+    )
