@@ -430,3 +430,61 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((ratio >= 0.08) & (F.col("n_docs") >= 2))
         .select("source", "gram", "n_docs", F.round(ratio, 6).alias("df_ratio"))
     )
+
+
+# --------------------------------------------------------------------
+# Cross-source overlap matrix: shared 8-grams between every source pair
+# --------------------------------------------------------------------
+
+SOURCE_OVERLAP_SQL = """
+WITH spans AS (
+  SELECT DISTINCT source, md5(g) AS gh
+  FROM (
+    SELECT source,
+           unnest(list_transform(range(1, len(string_split(text,' ')) - 6),
+           i -> array_to_string(list_slice(string_split(text,' '), i, i+7), ' '))) AS g
+    FROM documents
+  )
+)
+SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared_grams
+FROM spans a JOIN spans b ON a.gh = b.gh AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+@register("source_overlap_matrix", SOURCE_OVERLAP_SQL, tags=("llm", "dedup", "contamination", "profile"))
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source duplication matrix: for every pair of
+    sources, the number of distinct 8-grams both contain — the feed-
+    level contamination picture (which crawls re-serve each other).
+    NOT a pairwise scan: one gram pass dedups (source, gram-hash),
+    then pairs generate INSIDE each gram's source-bucket (sorted
+    in-array combinations, the LSH bucket idiom), so a gram shared by
+    k of the S sources costs k^2/2 pair rows once — never S separate
+    comparisons of corpus data. The oracle states the quadratic join;
+    shuffles here carry 16-byte hashes only."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    n = 8
+    grams = F.expr(
+        f"transform(slice(split(text,' '), 1, size(split(text,' ')) - {n - 1}), "
+        f"(x, i) -> array_join(slice(split(text,' '), i + 1, {n}), ' '))"
+    )
+    spans = (
+        docs.select("source", F.explode(grams).alias("g"))
+        .select("source", F.md5("g").alias("gh"))
+        .distinct()
+    )
+    buckets = spans.groupBy("gh").agg(
+        F.sort_array(F.collect_list("source")).alias("srcs")
+    )
+    pairs = F.expr(
+        "flatten(transform(srcs, (x, i) -> "
+        "transform(slice(srcs, i + 2, size(srcs) - i - 1), "
+        "y -> struct(x AS src_a, y AS src_b))))"
+    )
+    return (
+        buckets.filter(F.size("srcs") > 1)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
