@@ -168,3 +168,46 @@ def read_binary_assets(
         "path",
         "length",
     )
+
+
+def read_parquet_evolved(
+    spark: SparkSession, *paths: str, streaming: bool = False
+) -> DataFrame:
+    """Read parquet written under an EVOLVING schema as one DataFrame
+    with the union schema (``mergeSchema``): columns added by later
+    writers appear as nulls in older files, reordered columns align by
+    name, and the scan still prunes/pushes down per file.
+
+    At 100 TB a table accretes schema versions for years; requiring a
+    full rewrite per added column is a non-starter, so additive
+    evolution must be a READ-side property. Schema merging is exactly
+    that — footer-only union at planning time, no data pass. (The
+    reference is schema-less by construction — a tuple's payload is
+    whatever a bolt emits, util.py:41-44 — so evolution "worked" there
+    by positional convention; here it works with real types.)
+
+    ``streaming=True`` returns the readStream twin pinned to the same
+    merged schema (streaming sources need an explicit schema).
+    """
+    merged = spark.read.option("mergeSchema", "true").parquet(*paths)
+    if not streaming:
+        return merged
+    return (
+        spark.readStream.schema(merged.schema)
+        .option("mergeSchema", "true")
+        .parquet(paths[0] if len(paths) == 1 else paths[0])
+    )
+
+
+def union_evolved(*frames: DataFrame) -> DataFrame:
+    """Multiset union of frames with ADDITIVELY different schemas:
+    align columns by NAME (never position) and fill columns missing on
+    either side with nulls — the DataFrame-level counterpart of
+    ``read_parquet_evolved`` for sources that were read separately
+    (different formats, different stores, a migration boundary).
+    Column order follows the first frame, then first-appearance of
+    added columns, so the output schema is deterministic."""
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out

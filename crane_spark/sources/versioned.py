@@ -120,6 +120,56 @@ def delete(
     return [version]
 
 
+def compact(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    version: int | None = None,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int, int]:
+    """OPTIMIZE-style small-file compaction: rewrite one committed
+    snapshot (latest by default) as a NEW version whose parquet files
+    are bin-packed toward ``target_bytes`` each. Returns
+    ``(new_version, files_before, files_after)``.
+
+    Why it exists: streaming publishers and incremental appends write
+    one small file per micro-batch/task; at 100 TB that becomes
+    millions of kilobyte files, and every downstream scan pays a
+    per-file open plus a driver-side listing that dwarfs the read
+    itself. Compaction is the storage-layer half of partition sizing
+    (`spark.sql.files.maxPartitionBytes` can merge SPLITS at read
+    time, but not file-open or listing overhead).
+
+    Semantics: content-identical by construction — the rewrite is a
+    pure ``coalesce`` (narrow, no shuffle, no row recomputation) of
+    the immutable source snapshot into a fresh version directory, so
+    the versioned-commit protocol (`_SUCCESS` gating) makes
+    compaction atomic and the small-file original stays readable
+    until explicitly deleted. The reference's DFS plane had no
+    compaction; its versions were whole files by definition
+    (dfs/dfs_server.py:280-288).
+    """
+    vs = versions(spark, root, name)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions of {name!r} under {root}")
+    version = vs[-1] if version is None else version
+    if version not in vs:
+        raise FileNotFoundError(f"{name!r} has versions {vs}, not {version}")
+    src = _vdir(root, name, version)
+    fs, path, jvm = _fs_and_path(spark, src)
+    files = [
+        s
+        for s in fs.listStatus(path)
+        if not s.getPath().getName().startswith("_")
+    ]
+    total = sum(s.getLen() for s in files)
+    n_out = max(1, -(-total // target_bytes))  # ceil
+    new_v = put(
+        spark.read.parquet(src).coalesce(int(n_out)), root, name
+    )
+    return new_v, len(files), int(n_out)
+
+
 def diff(
     spark: SparkSession,
     root: str,

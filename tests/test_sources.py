@@ -166,3 +166,60 @@ def test_input_file_provenance(spark, tmp_path):
     assert got == {"x": "src_a", "y": "src_a", "z": "src_b"}
     counts = {r["source"]: r["n"] for r in df.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert counts == {"src_a": 2, "src_b": 1}
+
+
+def test_parquet_schema_evolution_merge_and_union(spark, tmp_path):
+    """Additive schema evolution: later files add columns; mergeSchema
+    reads the union schema with nulls for pre-evolution files, and
+    union_evolved aligns separately-read frames by name."""
+    from crane_spark.sources.files import read_parquet_evolved, union_evolved
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(p + "/d=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, s string, score double"
+    ).write.parquet(p + "/d=2")
+    # reordered columns in a third writer: must align by name, not position
+    spark.createDataFrame(
+        [("c", 3, 1.5)], "s string, id long, score double"
+    ).write.parquet(p + "/d=3")
+
+    df = read_parquet_evolved(spark, p + "/d=1", p + "/d=2", p + "/d=3")
+    assert set(df.columns) == {"id", "s", "score"}
+    rows = {(r["id"], r["s"], r["score"]) for r in df.collect()}
+    assert rows == {(1, "a", None), (2, "b", 9.5), (3, "c", 1.5)}
+
+    # filter on an evolved column still prunes to a pushed filter
+    plan = df.filter("score > 2")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(score), GreaterThan(score,2.0)" in plan
+
+    a = spark.read.parquet(p + "/d=1")
+    b = spark.read.parquet(p + "/d=3")
+    u = union_evolved(a, b)
+    assert u.columns[:2] == ["id", "s"]  # first frame dictates prefix order
+    got = {(r["id"], r["s"], r["score"]) for r in u.collect()}
+    assert got == {(1, "a", None), (3, "c", 1.5)}
+
+
+def test_parquet_schema_evolution_streaming_twin(spark, tmp_path):
+    from crane_spark.sources.files import read_parquet_evolved
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, s string, score double"
+    ).write.mode("append").parquet(p)
+    stream = read_parquet_evolved(spark, p, streaming=True)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("evolved_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {
+        (r["id"], r["s"], r["score"])
+        for r in spark.sql("select * from evolved_stream").collect()
+    }
+    assert rows == {(1, "a", None), (2, "b", 9.5)}

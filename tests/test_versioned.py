@@ -152,3 +152,33 @@ def test_snapshot_diff(spark, root):
         (2, "b", "removed"),   # multiset: one of the two dup rows went away
         (3, "c", "removed"),
     }
+
+
+def test_compaction_rewrites_small_files_content_identical(spark, root):
+    """OPTIMIZE analog: a snapshot written as many tiny files compacts
+    into a new version with few files and a byte-identical row
+    multiset; the original version stays readable (immutability)."""
+    df = spark.range(10_000).withColumnRenamed("id", "x")
+    V.put(df.repartition(64), root, "d")  # 64 tiny files
+    new_v, before, after = V.compact(spark, root, "d", target_bytes=1 << 30)
+    assert new_v == 2 and before == 64 and after == 1
+    fs, path, jvm = V._fs_and_path(spark, f"{root}/d/v{new_v:06d}")
+    data_files = [
+        s for s in fs.listStatus(path) if not s.getPath().getName().startswith("_")
+    ]
+    assert len(data_files) == 1
+    # content-identical multiset, original untouched
+    assert V.get(spark, root, "d", 2).exceptAll(V.get(spark, root, "d", 1)).count() == 0
+    assert V.get(spark, root, "d", 1).exceptAll(V.get(spark, root, "d", 2)).count() == 0
+    assert V.versions(spark, root, "d") == [1, 2]
+    # a mid-range target bin-packs to ceil(total/target) files
+    sz = sum(
+        s.getLen()
+        for s in V._fs_and_path(spark, f"{root}/d/v000001")[0].listStatus(
+            V._fs_and_path(spark, f"{root}/d/v000001")[1]
+        )
+        if not s.getPath().getName().startswith("_")
+    )
+    v3, _, n3 = V.compact(spark, root, "d", version=1, target_bytes=max(1, sz // 4))
+    assert v3 == 3 and 4 <= n3 <= 5
+    assert V.get(spark, root, "d", 3).count() == 10_000
