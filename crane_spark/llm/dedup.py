@@ -378,6 +378,87 @@ def drop_duplicate_spans(
     )
 
 
+# Dense-regime gates for the exact similarity self-join: total
+# multiply-adds across the cluster (n^2 * V, blockwise) and unpacked
+# per-worker matrix cells (n * V float32). Both bound memory AND the
+# broadcast: the packed bitmap is n*V/8 bytes (<= ~25 MB at the cell
+# budget). Corpus-scale inputs exceed either budget and take the
+# indexed prefix-join path.
+_DENSE_PAIR_OPS_BUDGET = 200_000_000_000
+_DENSE_MATRIX_CELLS_BUDGET = 50_000_000
+
+
+def _dense_bitset_pairs(
+    ordered: DataFrame,
+    id_col: str,
+    vocab_size: int,
+    t_num: int,
+    t_den: int,
+) -> DataFrame:
+    """Exact Jaccard self-join for the DENSE-vocabulary regime: each
+    document's rank set becomes one row of an n x V bit-matrix; the
+    packed matrix broadcasts and every task computes an exact
+    intersection-count block as a single matmul (popcount-by-GEMM),
+    then applies the identical integer threshold. Output is
+    bit-identical to the sparse path: n_common is an exact integer
+    count and jaccard the same two-integer double division.
+
+    Scale shape: parallelism is by ROW BLOCK (n^2/blocks pairs per
+    task, zero shuffle, zero pair materialization); the gate above
+    keeps the broadcast and per-task arithmetic bounded. Intersection
+    counts are <= the max set size, far inside float32's 2^24 exact
+    range at any size the cell budget admits."""
+    import numpy as np
+    import pandas as pd
+
+    spark = ordered.sparkSession
+    rows = sorted(ordered.select(F.col(id_col), "arr").collect(), key=lambda r: r[0])
+    n = len(rows)
+    ids = np.asarray([r[0] for r in rows])
+    bits = np.zeros((n, vocab_size), dtype=np.uint8)
+    for i, r in enumerate(rows):
+        bits[i, np.asarray(r[1], dtype=np.int64) - 1] = 1
+    bc = spark.sparkContext.broadcast((ids, np.packbits(bits, axis=1)))
+    n_blocks = min(n, max(1, spark.sparkContext.defaultParallelism * 2))
+    bs = -(-n // n_blocks)
+    vtype = ordered.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        bids, packed = bc.value
+        a = np.unpackbits(packed, axis=1)[:, :vocab_size].astype(np.float32)
+        sizes = a.sum(axis=1).astype(np.int64)
+        at = a.T
+        col = np.arange(n)[None, :]
+        for pdf in batches:
+            for blk in pdf["id"]:
+                s = int(blk) * bs
+                e = min(n, s + bs)
+                if s >= e:
+                    continue
+                inter = np.rint(a[s:e] @ at).astype(np.int64)
+                union = sizes[s:e, None] + sizes[None, :] - inter
+                keep = (t_den * inter >= t_num * union) & (
+                    np.arange(s, e)[:, None] < col
+                )
+                ii, jj = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "doc_a": bids[ii + s],
+                        "doc_b": bids[jj],
+                        "n_common": inter[ii, jj],
+                        "jaccard": inter[ii, jj] / union[ii, jj],
+                    }
+                )
+
+    return (
+        spark.range(n_blocks)
+        .repartition(n_blocks)
+        .mapInPandas(
+            gen, f"doc_a {vtype}, doc_b {vtype}, n_common bigint, jaccard double"
+        )
+    )
+
+
 def prefix_filter_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -413,11 +494,29 @@ def prefix_filter_jaccard_pairs(
 
     Thresholds stay integer end-to-end (t_den*inter >= t_num*union),
     so the >= decision can never float-drift.
+
+    Regime adaptivity: prefix filtering wins when the vocabulary is
+    LARGE relative to the corpus (rare shingles exist, prefixes rarely
+    collide). When the vocabulary is SMALL (every shingle is common —
+    template-heavy corpora, short alphabets), prefixes all collide and
+    candidate generation degenerates toward all-pairs through a
+    shuffle. In that dense regime the sets are better treated as
+    bitmaps over the vocabulary: broadcast the packed bit-matrix and
+    compute exact intersection counts blockwise with a BLAS matmul —
+    no shuffle, no pair materialization, same exact output
+    (`_dense_bitset_pairs`). The gate is sized from the measured
+    counts (pair-ops and broadcast-bytes budgets), so corpus-scale
+    inputs always take the indexed sparse path.
     """
     from pyspark.sql import Window
 
     d = shingle_sets(docs, text_col, id_col, shingle_n)
-    tok = d.select(F.col(id_col), F.explode("sh").alias("token"))
+    # One materialization feeds BOTH the vocabulary aggregate and the
+    # signature build (the shingle transform is the expensive scan;
+    # without the checkpoint it runs twice).
+    tok = d.select(F.col(id_col), F.explode("sh").alias("token")).localCheckpoint(
+        eager=True
+    )
     # Vocabulary-sized rank assignment: global rarity order as a dense
     # int. The single-partition window is over DISTINCT shingles (the
     # vocabulary), which is orders of magnitude smaller than the
@@ -436,6 +535,14 @@ def prefix_filter_jaccard_pairs(
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("rank")).alias("arr"))
     ).localCheckpoint(eager=True)
+    n_docs = ordered.count()
+    vocab_size = vocab.count()
+    if (
+        0 < n_docs
+        and n_docs * n_docs * vocab_size <= _DENSE_PAIR_OPS_BUDGET
+        and n_docs * vocab_size <= _DENSE_MATRIX_CELLS_BUDGET
+    ):
+        return _dense_bitset_pairs(ordered, id_col, vocab_size, t_num, t_den)
     m = F.size("arr")
     # p = m - ceil(t*m) + 1, all-integer
     ceil_tm = (F.lit(t_num) * m + F.lit(t_den - 1)).cast("long") / F.lit(t_den)

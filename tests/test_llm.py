@@ -411,3 +411,26 @@ def test_jl_compressed_ann_recall(spark, sf_dir):
         hits += len(truth & shortlist)
         total += len(truth)
     assert hits / total >= 0.6, (hits, total)
+
+
+def test_prefix_jaccard_dense_and_sparse_regimes_agree(spark, sf_dir, monkeypatch):
+    """The dense bitset path and the sparse prefix-join path are the
+    SAME operator in two physical regimes: forcing the gate either way
+    must produce identical exact results (ids, counts, jaccard)."""
+    from crane_spark.llm import dedup as D
+    from crane_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+
+    def run():
+        return {
+            (r["doc_a"], r["doc_b"], r["n_common"], r["jaccard"])
+            for r in D.prefix_filter_jaccard_pairs(
+                docs, shingle_n=2, t_num=2, t_den=3
+            ).collect()
+        }
+
+    dense = run()  # test-scale corpora always fit the dense gate
+    monkeypatch.setattr(D, "_DENSE_PAIR_OPS_BUDGET", 0)
+    sparse = run()
+    assert dense == sparse and len(dense) > 0
