@@ -82,6 +82,7 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroid_id_col: str = "centroid_id",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, IVF-bucketed.
 
@@ -91,8 +92,11 @@ def cosine_near_dup_pairs(
     cell partition (near-identical vectors land in the same cell);
     cost is sum over cells of |cell|^2 instead of N^2.
     Returns (vec_a < vec_b, cosine) with cosine >= threshold.
+    ``assigned`` lets callers that already computed the cell
+    assignment (e.g. `semantic_dedup_keep`) skip the second pass.
     """
-    assigned = ivf_assign(vectors, centroids, vec_col, id_col, centroid_id_col)
+    if assigned is None:
+        assigned = ivf_assign(vectors, centroids, vec_col, id_col, centroid_id_col)
     v = _with_double_vec(vectors, vec_col, "v").select(F.col(id_col), "v")
     cell = assigned.select(id_col, centroid_id_col).join(v, id_col)
 
@@ -130,6 +134,50 @@ def cosine_near_dup_pairs(
             "vec_a", "vec_b", F.round("raw", ROUND_DIGITS).alias("cosine")
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup_keep(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the embedding space (IVF cells stand in for the k-means
+    partition), then inside each cell drop every vector that has a
+    near-duplicate (cosine >= threshold) with a LOWER id — the greedy
+    deterministic keeper policy: survivors are exactly the vectors not
+    dominated by any earlier vector in their cell.
+
+    Returns one row per vector: (vec_id, centroid_id, kept 1/0).
+    Shape at scale: one broadcast assignment pass, per-cell pair
+    scoring (the `cosine_near_dup_pairs` GEMM), and the drop set
+    shuffles bare ids only. The policy is order-free: "dominated by a
+    lower id" needs no sequential scan, so it parallelizes where true
+    greedy chaining would not.
+    """
+    assigned = ivf_assign(vectors, centroids, vec_col, id_col, centroid_id_col)
+    pairs = cosine_near_dup_pairs(
+        vectors, centroids, threshold, vec_col, id_col, centroid_id_col,
+        assigned=assigned,
+    )
+    dropped = pairs.select(F.col("vec_b").alias(id_col)).distinct().withColumn(
+        "_dropped", F.lit(1)
+    )
+    return (
+        assigned.select(id_col, centroid_id_col)
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            centroid_id_col,
+            F.when(F.col("_dropped").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("kept"),
+        )
     )
 
 

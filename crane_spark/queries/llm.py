@@ -537,6 +537,62 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(vectors, centroids, threshold=0.35)
 
 
+SEMANTIC_DEDUP_SQL = f"""
+WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 10),
+v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+sims AS (
+  SELECT v.vec_id, c.centroid_id,
+         round({{dot}} / ({{vnorm}} * {{cnorm}}), 4) AS cosine
+  FROM v CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, centroid_id
+  FROM (SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id) AS rn
+        FROM sims)
+  WHERE rn = 1
+),
+cell AS (
+  SELECT a.vec_id, a.centroid_id,
+         list_transform(range(1, {{dim1}}),
+                        i -> CAST(e.embedding[i] AS DOUBLE) / {{enorm}}) AS vn
+  FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+),
+dropped AS (
+  SELECT DISTINCT y.vec_id
+  FROM cell x JOIN cell y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+  WHERE round({{vndot}}, 4) >= 0.35
+)
+SELECT a.vec_id, a.centroid_id,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+""".format(
+    dot=_sql_dot("v.embedding", "c.cv"),
+    vnorm=_sql_norm("v.embedding"),
+    cnorm=_sql_norm("c.cv"),
+    dim1=EMBED_DIM + 1,
+    enorm=_sql_norm("e.embedding"),
+    vndot=f"list_sum(list_transform(range(1, {EMBED_DIM + 1}), i -> x.vn[i] * y.vn[i]))",
+)
+
+
+@register("semantic_dedup", SEMANTIC_DEDUP_SQL, tags=("llm", "dedup", "similarity", "ivf"))
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster embeddings into IVF
+    cells, then drop any vector with a lower-id near-duplicate
+    (cosine >= 0.35 stands in for a real corpus's ~0.9) in its cell —
+    the keeper policy layered over `embedding_near_dup`'s pair
+    detection, emitting one (vec_id, cell, kept) row per vector."""
+    from crane_spark.llm.similarity import semantic_dedup_keep
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    vectors = emb.filter(F.col("vec_id") >= 10)
+    return semantic_dedup_keep(vectors, centroids, threshold=0.35)
+
+
 ARRAY_SQL = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 SELECT doc_id,

@@ -98,3 +98,34 @@ def test_connected_components_chain_and_islands(spark):
         for r in connected_components(edges).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_alternating_star_components_match_union_find(spark):
+    """The log-round large-star/small-star contraction must agree with
+    the union-find result on a HIGH-DIAMETER graph (a 200-hop path,
+    where min-label propagation would need 200 rounds) plus islands
+    and a cycle — and converge in far fewer than diameter rounds."""
+    import random
+
+    from crane_spark.operators.graph import (
+        connected_components,
+        connected_components_alternating,
+    )
+
+    path = [(i, i + 1) for i in range(200)]
+    extra = [(500, 501), (501, 502), (502, 500), (900, 901)]
+    rng = random.Random(7)
+    rand = [(1000 + rng.randrange(50), 1000 + rng.randrange(50)) for _ in range(60)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in path + extra + rand if a != b], "doc_a long, doc_b long"
+    )
+    alt = {
+        (r["v"], r["component_id"])
+        for r in connected_components_alternating(edges, max_rounds=12).collect()
+    }
+    ref = {
+        (r["v"], r["component_id"])
+        for r in connected_components(edges).collect()
+    }
+    assert alt == ref
+    assert (0, 0) in alt and all(c == 0 for v, c in alt if v <= 200)
