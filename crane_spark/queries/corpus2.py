@@ -21,7 +21,7 @@ twin of an exact operator that already exists in the registry:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crane_spark.functions.sketches import cms_build, cms_estimate
@@ -432,4 +432,99 @@ def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+# --------------------------------------------------------------------
+# Maximal duplicated-span ranges (suffix-array-style dedup, resolution L)
+# --------------------------------------------------------------------
+
+_DSR_L = 8
+
+DUP_SPAN_RANGES_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, CAST(u.p AS BIGINT) AS p,
+         md5(array_to_string(toks[CAST(u.p + 1 AS INT):CAST(u.p + {_DSR_L} AS INT)], ' ')) AS h
+  FROM t, unnest(range(0, greatest(len(toks) - {_DSR_L - 1}, 0))) AS u(p)
+),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+hit AS (SELECT doc_id, p FROM g WHERE h IN (SELECT h FROM dup)),
+w AS (
+  SELECT doc_id, p,
+         max(p + {_DSR_L}) OVER (PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+  FROM hit
+),
+i AS (
+  SELECT doc_id, p,
+         SUM(CASE WHEN pe IS NULL OR p > pe THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY p) AS island
+  FROM w
+)
+SELECT doc_id, CAST(island AS BIGINT) AS island,
+       min(p) AS span_start, max(p) + {_DSR_L} AS span_end,
+       count(*) AS n_grams
+FROM i GROUP BY doc_id, island
+"""
+
+
+@register("dup_span_ranges", DUP_SPAN_RANGES_SQL, tags=("llm", "dedup", "window"))
+def q_dup_span_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL duplicated-span detection at arbitrary alignment — the
+    relational form of suffix-array training-data dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better") at
+    resolution L=8 tokens: every SLIDING L-gram shared by >= 2
+    documents is an anchor; overlapping/adjacent anchor hits inside a
+    document merge into maximal [span_start, span_end) token ranges by
+    a gaps-and-islands pass. Unlike `span_dedup`'s non-overlapping
+    grid, a duplicated passage is caught at ANY offset, and the output
+    names the exact range to cut rather than a grid cell.
+
+    Scale shape: grams explode narrow off the scan and shrink to an
+    (hash, doc-count) aggregate (map-side combined); only grams proven
+    duplicated survive into the per-doc window (hit lists are tiny
+    relative to the corpus), and the island merge is one partition-by-
+    doc window — corpus-sized data crosses the shuffle once, as bare
+    (doc_id, position) pairs."""
+    L = _DSR_L
+    toks = tokens("text")
+    n = F.size(toks)
+    pos = F.when(n >= L, F.sequence(F.lit(0), n - L)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = (
+        fan_out(table(spark, sf_dir, "documents"))
+        .select(F.col("doc_id"), F.explode(pos).alias("p0"), toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.col("p0").cast("long").alias("p"),
+            F.md5(F.array_join(F.slice("toks", F.col("p0") + 1, L), " ")).alias("h"),
+        )
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h")
+    )
+    hits = grams.join(F.broadcast(dup), "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    prev_end = F.max(F.col("p") + L).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.select(
+        "doc_id",
+        "p",
+        F.when(prev_end.isNull() | (F.col("p") > prev_end), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("brk"),
+    )
+    islands = flagged.select(
+        "doc_id", "p", F.sum("brk").over(w).cast("long").alias("island")
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("p").alias("span_start"),
+        (F.max("p") + L).alias("span_end"),
+        F.count(F.lit(1)).alias("n_grams"),
     )

@@ -129,3 +129,25 @@ def test_alternating_star_components_match_union_find(spark):
     }
     assert alt == ref
     assert (0, 0) in alt and all(c == 0 for v, c in alt if v <= 200)
+
+
+def test_dup_span_ranges_finds_shifted_passages_maximally(spark, tmp_path):
+    """A 12-token passage shared at DIFFERENT offsets must come back
+    as one maximal island per doc covering exactly the passage — the
+    alignment case span_dedup's fixed grid cannot see."""
+    from crane_spark.queries import REGISTRY
+
+    passage = " ".join(f"p{i}" for i in range(12))  # 12 tokens, 5 sliding 8-grams
+    a = "a0 a1 a2 " + passage + " a3"               # passage at tokens 3..15
+    b = passage + " b0 b1"                          # passage at tokens 0..12
+    c = " ".join(f"c{i}" for i in range(20))        # no duplication
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, a, "s", None), (2, b, "s", None), (3, c, "s", None)],
+        "doc_id long, text string, source string, lang string",
+    ).write.parquet(sf + "/documents.parquet")
+    out = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+        for r in REGISTRY["dup_span_ranges"].fn(spark, sf).collect()
+    }
+    assert out == {(1, 3, 15, 5), (2, 0, 12, 5)}
