@@ -49,13 +49,17 @@ def windowed_event_stats(
     window: str = "1 hour",
     watermark: str = "2 hours",
     ts_col: str = "ts",
+    slide: str | None = None,
 ) -> DataFrame:
     """Tumbling event-time window with a watermark: late rows beyond
     the watermark are dropped and window state is evicted — the
-    late-data story the reference doesn't have."""
+    late-data story the reference doesn't have. Pass ``slide`` shorter
+    than ``window`` for SLIDING (hopping) windows: each event then
+    lands in window/slide overlapping buckets, state still bounded by
+    the watermark."""
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .groupBy(F.window(ts_col, window, slide or window).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 2).alias("total_value"))
         .select(
             F.col("w.start").alias("window_start"),

@@ -177,3 +177,28 @@ def test_analyze_table_records_cbo_statistics(spark, sf_dir, tmp_path):
         assert col["min"] == "0" and col["max"] == "24"
     finally:
         spark.sql("DROP TABLE IF EXISTS t_nation_stats")
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark, sf_dir, tmp_path):
+    """DPP: when the fact is PARTITIONED on the join key and the dim
+    side carries a selective filter, the fact scan's partition filter
+    must become a runtime subquery (dynamicpruning) — at 100 TB this
+    is the difference between scanning one partition and scanning the
+    table, and it needs no literal predicate on the fact side."""
+    out = str(tmp_path / "orders_by_prio")
+    orders = table(spark, sf_dir, "orders")
+    orders.write.partitionBy("o_orderpriority").parquet(out)
+
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("1-URGENT", "keep"), ("2-HIGH", "keep"), ("3-MEDIUM", "drop"),
+         ("4-NOT SPECIFIED", "drop"), ("5-LOW", "drop")],
+        "o_orderpriority string, verdict string",
+    )
+    joined = fact.join(dim.filter(F.col("verdict") == "keep"), "o_orderpriority")
+    plan = _explain(joined)
+    assert "dynamicpruning" in plan.lower()
+    expected = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).count()
+    assert joined.count() == expected

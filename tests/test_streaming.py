@@ -550,3 +550,39 @@ def test_streaming_query_listener_observability(spark, tmp_path):
         assert sum(events["progress"]) >= 2  # both input rows observed
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_sliding_window_stream_overlapping_buckets(spark, tmp_path):
+    """SLIDING (hopping) windows under readStream: a 2h window with a
+    1h slide puts every event in exactly two overlapping windows, and
+    counts per window match the by-hand assignment."""
+    src = str(tmp_path / "events")
+    _write_events(
+        spark,
+        src,
+        [
+            (1, "2024-01-01 01:10:00", 1, "click", 1.0),
+            (2, "2024-01-01 01:40:00", 1, "click", 2.0),
+            (3, "2024-01-01 02:20:00", 2, "click", 3.0),
+        ],
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q = (
+        windowed_event_stats(stream, window="2 hours", watermark="1 hour", slide="1 hour")
+        .writeStream.format("memory")
+        .queryName("sliding_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        str(r["window_start"]): r["n_events"]
+        for r in spark.table("sliding_sink").collect()
+    }
+    # windows [00:00,02:00) [01:00,03:00) [02:00,04:00)
+    assert got == {
+        "2024-01-01 00:00:00": 2,
+        "2024-01-01 01:00:00": 3,
+        "2024-01-01 02:00:00": 1,
+    }
