@@ -702,3 +702,129 @@ def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("mom_growth_pct"),
     )
+
+
+# --------------------------------------------------------------------
+# MAD robust outliers (rank-arithmetic medians, no interpolated cuts)
+# --------------------------------------------------------------------
+
+MAD_OUTLIERS_SQL = """
+WITH r AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+),
+med AS (
+  SELECT event_type,
+         avg(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2) THEN value END) AS med
+  FROM r GROUP BY event_type
+),
+d AS (
+  SELECT r.event_type, r.event_id, r.value, med.med,
+         abs(r.value - med.med) AS dev
+  FROM r JOIN med ON r.event_type = med.event_type
+),
+dr AS (
+  SELECT event_type, event_id, value, med, dev,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+),
+mad AS (
+  SELECT event_type,
+         avg(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2) THEN dev END) AS mad
+  FROM dr GROUP BY event_type
+)
+SELECT d.event_type, d.event_id, d.value,
+       CAST(round(d.med, 6) AS DOUBLE) AS med,
+       CAST(round(mad.mad, 6) AS DOUBLE) AS mad
+FROM d JOIN mad ON d.event_type = mad.event_type
+WHERE d.dev > 5 * mad.mad
+"""
+
+
+@register("mad_outliers", MAD_OUTLIERS_SQL, tags=("agg", "stats", "robust", "window"))
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by median absolute deviation: rows
+    whose |value - median| exceeds 5x the per-type MAD. Unlike the
+    z-score query, one wild value cannot drag the threshold (median
+    and MAD have a 50% breakdown point). Both medians come from
+    integer rank positions (avg of the middle one or two DATA values),
+    never interpolated quantiles, so the > comparison is on doubles
+    both engines derive by identical arithmetic — the cross-engine
+    rule the verify notes document. Two windowed ranking passes over
+    the same event_type partitioning (one shuffle reused), medians
+    broadcast back."""
+    from pyspark.sql import Window
+
+    events = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+
+    def rank_median(df, val_col, out_name):
+        w = Window.partitionBy("event_type").orderBy(val_col, "event_id")
+        wc = Window.partitionBy("event_type")
+        ranked = df.withColumn("rn", F.row_number().over(w)).withColumn(
+            "n", F.count(F.lit(1)).over(wc)
+        )
+        mid = F.when(
+            F.col("rn").isin(
+                F.expr("(n + 1) div 2").cast("int"), F.expr("(n + 2) div 2").cast("int")
+            ),
+            F.col(val_col),
+        )
+        return ranked.groupBy("event_type").agg(F.avg(mid).alias(out_name))
+
+    base = events.select("event_type", "event_id", "value")
+    med = rank_median(base, "value", "med")
+    d = base.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = rank_median(d, "dev", "mad")
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .filter(F.col("dev") > 5 * F.col("mad"))
+        .select(
+            "event_type",
+            "event_id",
+            "value",
+            F.round("med", 6).cast("double").alias("med"),
+            F.round("mad", 6).cast("double").alias("mad"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Per-class exact-k deterministic sample
+# --------------------------------------------------------------------
+
+PER_CLASS_K_SQL = """
+WITH r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR) || ':perclass'), doc_id) AS rn
+  FROM documents
+)
+SELECT source, doc_id, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5
+"""
+
+
+@register("per_class_sample_k", PER_CLASS_K_SQL, tags=("llm", "sampling", "window"))
+def q_per_class_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k=5 documents per source, chosen by content-addressed
+    hash order — the 'k examples per class' primitive (few-shot
+    prompts, eval panels, balanced debugging samples). Deterministic
+    across engines, layouts, and partition counts because the order
+    key is a hash of the id, not physical position; per-class rank is
+    one window over the class partitioning, and every class yields
+    exactly min(k, n) rows — rate-based sampling can't promise that."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":perclass"))), "doc_id"
+    )
+    return (
+        docs.select("source", "doc_id")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+    )
