@@ -56,3 +56,17 @@ def test_bpe_on_fixture_corpus(spark, sf_dir):
     assert len(merges) == 5
     assert all(n > 0 for _, _, n in merges)
     assert merges == bpe_train(docs, n_merges=5)
+
+
+def test_bpe_local_and_distributed_regimes_agree(spark, sf_dir, monkeypatch):
+    """The driver-side local path and the distributed merge loop are
+    the same algorithm in two regimes: identical merges (order, pairs,
+    frequencies) on the same corpus."""
+    from crane_spark.llm import bpe as B
+    from crane_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").filter("doc_id < 150")
+    local = B.bpe_train(docs, n_merges=6)
+    monkeypatch.setattr(B, "LOCAL_VOCAB_MAX", 0)
+    dist = B.bpe_train(docs, n_merges=6)
+    assert local == dist and len(local) == 6
