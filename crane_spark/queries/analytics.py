@@ -119,33 +119,34 @@ SELECT part_a, part_b, n_orders, rank FROM (
 @register("copurchase_pairs", COPURCHASE_SQL, tags=("join", "analytics", "basket"))
 def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair mining: the top-20 part pairs co-occurring
-    in the most orders. The self-join is co-partitioned on
-    l_orderkey (both sides hash-shuffle on the same key, then join
-    locally — order-sized groups keep the pair blowup bounded by the
-    per-order item count, not the table size), `<` halves the pair
-    space, and distinct-order counting dedups multi-quantity repeats.
-    Top-20 via orderBy+limit (per-partition heaps) before the 20-row
-    rank window."""
-    # Dedup (order, part) BEFORE the self-join: shrinks both join
-    # inputs, and turns the expensive count_distinct (expand + double
-    # aggregate) into a plain count — pairs are unique per order by
-    # construction. The distinct's shuffle on (orderkey, partkey)
-    # also co-locates the subsequent orderkey join.
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    in the most orders. The oracle states the self-join; the engine
+    runs the bucket pair-gen twin (same trick as the LSH buckets):
+    one shuffle assembles each order's SORTED distinct part set
+    (collect_set absorbs multi-quantity repeats map-side, replacing
+    count_distinct's expand), ascending in-array pair generation
+    yields each a<b pair exactly once, and a pair-keyed count is the
+    only other shuffle. No join operator at all — the self-join's
+    second corpus shuffle and join-build memory are gone, and the
+    pair blowup stays bounded by basket size inside a codegen'd
+    lambda. Top-20 via orderBy+limit (per-partition heaps) before
+    the 20-row rank window."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ids")
     )
-    a = li.alias("a")
-    b = li.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
         )
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+            F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b")
         )
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )

@@ -133,13 +133,14 @@ def test_bm25_topk_before_rank_window(spark, sf_dir):
     assert plan.index("TakeOrderedAndProject") > plan.index("Window")
 
 
-def test_copurchase_join_copartitioned_on_orderkey(spark, sf_dir):
-    """The basket self-join must be an equi-join keyed on l_orderkey
-    (both sides exchange on the same key), not a nested-loop over the
-    inequality — the l_partkey < comparison rides as a join filter."""
+def test_copurchase_has_no_join_at_all(spark, sf_dir):
+    """Basket pair generation replaces the self-join: one shuffle
+    builds per-order sorted part sets, pairs come from an in-array
+    lambda — the plan must contain NO join operator of any kind and
+    exactly the two aggregation exchanges (baskets, pair counts)."""
     plan = _plan(spark, sf_dir, "copurchase_pairs")
-    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
-    assert "l_orderkey" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "l_orderkey" in plan and "Generate" in plan
 
 
 def test_revenue_share_window_input_is_dimension_sized(spark, sf_dir):
