@@ -419,7 +419,10 @@ def _dense_bitset_pairs(
     for i, r in enumerate(rows):
         bits[i, np.asarray(r[1], dtype=np.int64) - 1] = 1
     bc = spark.sparkContext.broadcast((ids, np.packbits(bits, axis=1)))
-    n_blocks = min(n, max(1, spark.sparkContext.defaultParallelism * 2))
+    # Keep blocks >= ~256 rows: each task pays a Python-worker round
+    # trip plus a full matrix unpack, so tiny inputs must not schedule
+    # one sliver per core (measured ~1s of pure dispatch at n=500).
+    n_blocks = max(1, min(n // 256, spark.sparkContext.defaultParallelism * 2))
     bs = -(-n // n_blocks)
     vtype = ordered.schema[id_col].dataType.simpleString()
 

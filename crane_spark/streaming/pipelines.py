@@ -267,3 +267,138 @@ def stream_incremental_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_neardup_ingest(
+    docs: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> StreamingQuery:
+    """Incremental NEAR-duplicate-free corpus ingestion: the streaming
+    MinHash-LSH twin of `stream_incremental_ingest`'s exact-hash
+    dedup. Each micro-batch:
+
+    1. computes LSH band keys for its documents (llm/dedup.py: one
+       codegen'd hash-agg, #bands short rows per doc);
+    2. drops within-batch near-dups (band-bucket candidates verified
+       by exact shingle Jaccard >= t, greedy lower-id keeper);
+    3. probes the PERSISTED band index (equi-join on (band, band_key)
+       — touches only colliding buckets, never the corpus), fetches
+       just the candidate matches' stored texts, verifies exactly,
+       and drops matched arrivals;
+    4. appends survivors to the store and their bands to the index.
+
+    Near-dup detection therefore holds across batches AND runs, with
+    retry idempotence for free: a replayed batch collides with its own
+    stored bands and self-verifies at J=1, so re-appends never happen
+    — the at-least-once-to-exactly-once argument the reference made
+    with XOR acks (crane_master.py:86-94), rebuilt on content.
+
+    At 100 TB: the band index is (band, band_key, id) — narrow rows,
+    bucketable on band_key so the per-batch probe is a pruned scan;
+    verification reads only candidate-matched documents.
+    """
+    from crane_spark.llm.dedup import (
+        minhash_bands,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    docs_store = store_path + "/docs"
+    index_store = store_path + "/bands"
+
+    def _verified_pairs(spark, pairs, sets_a, sets_b):
+        """Exact Jaccard >= t_num/t_den check for candidate id pairs;
+        sets_* are (id, sh) shingle-set frames for each side."""
+        j = (
+            pairs.join(
+                sets_a.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
+                "id_a",
+            ).join(
+                sets_b.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+                "id_b",
+            )
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        return j.filter(F.lit(t_den) * inter >= F.lit(t_num) * union).select(
+            "id_a", "id_b"
+        )
+
+    def ingest(batch: DataFrame, _batch_id: int) -> None:
+        import os
+
+        spark = batch.sparkSession
+        b = batch.dropDuplicates([id_col]).localCheckpoint(eager=True)
+        sets = shingle_sets(b, text_col, id_col, shingle_n).localCheckpoint(eager=True)
+        bands = minhash_bands(
+            minhash_signatures(b, text_col, id_col, shingle_n), id_col
+        ).localCheckpoint(eager=True)
+
+        # (2) within-batch: bucket pair-gen, exact verify, drop higher id
+        buckets = bands.groupBy("band", "band_key").agg(
+            F.sort_array(F.collect_list(id_col)).alias("ids")
+        )
+        cand = (
+            buckets.filter(F.size("ids") > 1)
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, (x, i) -> "
+                        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                        "y -> struct(x AS id_a, y AS id_b))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.id_a", "p.id_b")
+            .distinct()
+        )
+        dropped = (
+            _verified_pairs(spark, cand, sets, sets)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        keep = b.join(dropped, id_col, "left_anti")
+
+        # (3) against the persisted index: probe colliding buckets only
+        if os.path.exists(index_store):
+            idx = spark.read.parquet(index_store)
+            hits = (
+                bands.join(keep.select(id_col), id_col, "left_semi")
+                .join(
+                    idx.select(
+                        "band", "band_key", F.col(id_col).alias("id_b")
+                    ),
+                    ["band", "band_key"],
+                )
+                .select(F.col(id_col).alias("id_a"), "id_b")
+                .distinct()
+            )
+            old_docs = spark.read.parquet(docs_store).join(
+                hits.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_semi"
+            )
+            old_sets = shingle_sets(old_docs, text_col, id_col, shingle_n)
+            matched = (
+                _verified_pairs(spark, hits, sets, old_sets)
+                .select(F.col("id_a").alias(id_col))
+                .distinct()
+            )
+            keep = keep.join(matched, id_col, "left_anti")
+
+        keep = keep.localCheckpoint(eager=True)
+        keep.write.mode("append").parquet(docs_store)
+        bands.join(keep.select(id_col), id_col, "left_semi").write.mode(
+            "append"
+        ).parquet(index_store)
+
+    return (
+        docs.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -586,3 +586,42 @@ def test_sliding_window_stream_overlapping_buckets(spark, tmp_path):
         "2024-01-01 01:00:00": 3,
         "2024-01-01 02:00:00": 1,
     }
+
+
+def test_stream_neardup_ingest_across_runs(spark, tmp_path):
+    """Streaming MinHash-LSH near-dedup ingest: within-batch near-dups
+    drop (lower id kept), cross-RUN near-dups drop against the
+    persisted band index, novel docs append — all with availableNow +
+    one checkpoint."""
+    from crane_spark.streaming.pipelines import stream_neardup_ingest
+
+    src = str(tmp_path / "docs")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    base = " ".join(f"w{i}" for i in range(30))
+    near1 = base.replace("w29", "x29")            # near-dup of base
+    near2 = base.replace("w0", "y0")              # near-dup, arrives next run
+    novel = " ".join(f"n{i}" for i in range(30))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_neardup_ingest(stream, store, ckpt)
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(1, base), (2, near1), (10, novel)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run()
+    got1 = sorted(r["doc_id"] for r in spark.read.parquet(store + "/docs").collect())
+    assert got1 == [1, 10]  # 2 dropped within-batch against 1
+
+    spark.createDataFrame(
+        [(20, near2), (21, " ".join(f"z{i}" for i in range(30)))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    got2 = sorted(r["doc_id"] for r in spark.read.parquet(store + "/docs").collect())
+    assert got2 == [1, 10, 21]  # 20 dropped against run-1's index
+    # index holds bands only for accepted docs
+    idx_ids = {r["doc_id"] for r in spark.read.parquet(store + "/bands").collect()}
+    assert idx_ids == {1, 10, 21}
