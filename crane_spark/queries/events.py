@@ -378,3 +378,69 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof.ts").alias("next_purchase_ts"),
         F.col("asof.value").alias("next_purchase_value"),
     )
+
+
+TWAP_SQL = """
+WITH o AS (
+  SELECT user_id, value, epoch_us(ts) AS mic,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_mic
+  FROM events WHERE event_type = 'purchase' AND value > 0
+),
+seg AS (
+  SELECT user_id,
+         CAST(CAST(round(value * 1e6) AS BIGINT) AS DECIMAL(38,0))
+           * (next_mic - mic) AS wv,
+         next_mic - mic AS dt
+  FROM o WHERE next_mic IS NOT NULL
+),
+s AS (
+  SELECT user_id, SUM(wv) AS sw, SUM(dt) AS sdt, count(*) AS n_segments
+  FROM seg GROUP BY user_id
+)
+SELECT user_id, CAST(n_segments AS BIGINT) AS n_segments,
+       CAST(CAST(CAST(sw AS HUGEINT) // CAST(sdt AS HUGEINT) AS BIGINT) AS DOUBLE) / 1e6 AS twap
+FROM s WHERE sdt > 0
+"""
+
+
+@register("twap_user_values", TWAP_SQL, tags=("window", "timeseries", "finance"))
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's purchase value: every
+    value is weighted by how long it was the LATEST observation
+    (microsecond segments from lead()), the integral divides by total
+    covered time — the TWAP/metric-gauge aggregation, where a value
+    that held for an hour must not count like one that held a second.
+    All arithmetic is exact: values integerize to a 1e-6 grid, weights
+    are integer microseconds, the weighted sum runs in DECIMAL(38,0),
+    and the final division is integral — no float accumulates in any
+    order-dependent way, so any partitioning yields identical bits."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("value") > 0))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    mic = F.unix_micros(F.col("ts"))
+    o = ev.select(
+        "user_id",
+        "value",
+        mic.alias("mic"),
+        F.lead(mic).over(w).alias("next_mic"),
+    ).filter(F.col("next_mic").isNotNull())
+    seg = o.select(
+        "user_id",
+        (
+            F.round(F.col("value") * 1e6).cast("long").cast("decimal(38,0)")
+            * (F.col("next_mic") - F.col("mic"))
+        ).alias("wv"),
+        (F.col("next_mic") - F.col("mic")).alias("dt"),
+    )
+    s = seg.groupBy("user_id").agg(
+        F.sum("wv").alias("sw"),
+        F.sum("dt").alias("sdt"),
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+    )
+    return s.filter(F.col("sdt") > 0).select(
+        "user_id",
+        "n_segments",
+        (F.expr("CAST(sw div sdt AS BIGINT)").cast("double") / 1e6).alias("twap"),
+    )

@@ -1406,3 +1406,46 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "merge_rank int, left string, right string, pair_freq long",
     )
+
+
+LANG_CONFUSION_SQL = f"""
+WITH p AS (
+  SELECT lang,
+         CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                        t -> t IN {SQL_STOPWORDS})) AS DOUBLE)
+                     / greatest(len(string_split(text, ' ')), 1) >= 0.05
+              THEN 'en' ELSE 'other' END AS pred_lang
+  FROM documents
+)
+SELECT lang, pred_lang, count(*) AS n,
+       CAST(round(CAST(count(*) AS DOUBLE)
+                  / sum(count(*)) OVER (PARTITION BY lang), 6) AS DOUBLE) AS share_of_gold
+FROM p GROUP BY lang, pred_lang
+"""
+
+
+@register("lang_id_confusion", LANG_CONFUSION_SQL, tags=("llm", "text", "evaluation"))
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation over the corpus: confusion matrix of the
+    stopword language-ID heuristic against the gold `lang` column,
+    with each cell's share of its gold class (per-class recall on the
+    diagonal). The evaluation aggregate is class-cardinality-sized —
+    one groupBy shuffle no matter the corpus — which is how model QA
+    runs over a 100 TB corpus without sampling."""
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    ratio = stopword_ratio(tokens("text"))
+    p = docs.select(
+        "lang", F.when(ratio >= 0.05, "en").otherwise("other").alias("pred_lang")
+    )
+    cells = p.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6)
+        .cast("double")
+        .alias("share_of_gold"),
+    )
