@@ -828,3 +828,124 @@ def q_per_class_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 5)
     )
+
+
+# --------------------------------------------------------------------
+# Time-series similarity search (correlated users, exact Pearson)
+# --------------------------------------------------------------------
+
+USER_CORR_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS v
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, day
+),
+top_users AS (
+  SELECT user_id FROM (
+    SELECT user_id, row_number() OVER (ORDER BY SUM(v) DESC, user_id) AS rn
+    FROM daily GROUP BY user_id
+  ) WHERE rn <= 30
+),
+d AS (SELECT daily.* FROM daily JOIN top_users USING (user_id)),
+ndays AS (SELECT count(DISTINCT day) AS n FROM daily),
+stats AS (
+  SELECT user_id, SUM(v) AS sx, SUM(v * v) AS sxx FROM d GROUP BY user_id
+),
+cross_sums AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b, SUM(a.v * b.v) AS sxy
+  FROM d a JOIN d b ON a.day = b.day AND a.user_id < b.user_id
+  GROUP BY user_a, user_b
+),
+corr AS (
+  SELECT c.user_a, c.user_b,
+         round((CAST(n AS DOUBLE) * sxy - CAST(sa.sx AS DOUBLE) * sb.sx)
+               / sqrt((CAST(n AS DOUBLE) * sa.sxx - CAST(sa.sx AS DOUBLE) * sa.sx)
+                      * (CAST(n AS DOUBLE) * sb.sxx - CAST(sb.sx AS DOUBLE) * sb.sx)), 6)
+           AS r
+  FROM cross_sums c
+  JOIN stats sa ON c.user_a = sa.user_id
+  JOIN stats sb ON c.user_b = sb.user_id
+  CROSS JOIN ndays
+)
+SELECT user_a, user_b, CAST(r AS DOUBLE) AS pearson_r, CAST(rn AS BIGINT) AS rn
+FROM (SELECT user_a, user_b, r,
+             row_number() OVER (ORDER BY r DESC, user_a, user_b) AS rn
+      FROM corr)
+WHERE rn <= 10
+"""
+
+
+@register("similar_activity_users", USER_CORR_SQL, tags=("timeseries", "similarity", "join"))
+def q_similar_activity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search over behavior: the 10 most
+    Pearson-correlated pairs of zero-filled daily purchase series
+    among the top-30 spenders (the distributed time-series-similarity
+    workload of the retrieved EDBT/ICDE papers, relationally). The
+    zero-fill never materializes: per-user moments come from the
+    user's own days, cross-products only from SHARED days (zeros
+    contribute nothing to either), and n is the global day count —
+    so the day-aligned equi-join touches only nonzero observations.
+    Daily totals integerize to cents, every sum is an exact BIGINT,
+    and the correlation is derived from those integers identically in
+    both engines. Candidate selection (top-30) bounds the pair space;
+    at corpus scale the same shape runs per cohort/bucket."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
+    )
+    from pyspark.sql import Window
+
+    top = (
+        daily.groupBy("user_id")
+        .agg(F.sum("v").alias("tot"))
+        .withColumn("rn", F.row_number().over(Window.orderBy(F.desc("tot"), "user_id")))
+        .filter(F.col("rn") <= 30)
+        .select("user_id")
+    )
+    d = daily.join(F.broadcast(top), "user_id").localCheckpoint(eager=True)
+    ndays = daily.agg(F.count_distinct("day").alias("n"))
+    stats = d.groupBy("user_id").agg(
+        F.sum("v").alias("sx"), F.sum(F.col("v") * F.col("v")).alias("sxx")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    cross_sums = (
+        a.join(
+            b,
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b")
+        )
+        .agg(F.sum(F.col("a.v") * F.col("b.v")).alias("sxy"))
+    )
+    sa = stats.select(
+        F.col("user_id").alias("user_a"), F.col("sx").alias("sxa"), F.col("sxx").alias("sxxa")
+    )
+    sb = stats.select(
+        F.col("user_id").alias("user_b"), F.col("sx").alias("sxb"), F.col("sxx").alias("sxxb")
+    )
+    nd = F.col("n").cast("double")
+    r = F.round(
+        (nd * F.col("sxy") - F.col("sxa").cast("double") * F.col("sxb"))
+        / F.sqrt(
+            (nd * F.col("sxxa") - F.col("sxa").cast("double") * F.col("sxa"))
+            * (nd * F.col("sxxb") - F.col("sxb").cast("double") * F.col("sxb"))
+        ),
+        6,
+    )
+    corr = (
+        cross_sums.join(F.broadcast(sa), "user_a")
+        .join(F.broadcast(sb), "user_b")
+        .crossJoin(F.broadcast(ndays))
+        .select("user_a", "user_b", r.alias("r"))
+    )
+    w = Window.orderBy(F.desc("r"), "user_a", "user_b")
+    return (
+        corr.orderBy(F.desc("r"), "user_a", "user_b")
+        .limit(10)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .select("user_a", "user_b", F.col("r").alias("pearson_r"), "rn")
+    )
