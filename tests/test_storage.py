@@ -202,3 +202,45 @@ def test_dynamic_partition_pruning_on_dim_filter(spark, sf_dir, tmp_path):
         F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     ).count()
     assert joined.count() == expected
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Runtime row-level filtering: on a shuffle join with a selective
+    filter on the dim side, Catalyst builds a Bloom filter from the
+    dim keys and applies it to the fact scan BEFORE the shuffle —
+    data skipping for NON-partition keys, the third leg next to
+    static partition pruning and DPP. The application-side size
+    threshold defaults to 10 GB (sized for real tables), so the test
+    lowers it to demonstrate on local data; results must equal the
+    unfiltered-plan join."""
+    from crane_spark.tables import table
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_thr = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        orders = table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan.lower()
+        n = j.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thr,
+        )
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    assert n == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
