@@ -170,6 +170,24 @@ def compact(
     return new_v, len(files), int(n_out)
 
 
+def expire(
+    spark: SparkSession, root: str, name: str, keep_last: int
+) -> list[int]:
+    """Retention: delete all but the newest ``keep_last`` committed
+    versions (the vacuum/expire-snapshots half of the lifecycle that
+    `put`'s append-only model otherwise grows forever). Returns the
+    versions removed, oldest first. Readers pinned to an expired
+    version fail loudly on next read — same contract as any snapshot
+    store's retention window; size ``keep_last`` to the longest
+    reader/debug horizon."""
+    vs = versions(spark, root, name)
+    doomed = vs[:-keep_last] if keep_last > 0 else vs
+    removed: list[int] = []
+    for v in doomed:
+        removed.extend(delete(spark, root, name, v))
+    return removed
+
+
 def diff(
     spark: SparkSession,
     root: str,

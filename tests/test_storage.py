@@ -244,3 +244,35 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
         F.col("o_orderpriority") == "1-URGENT"
     )
     assert n == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+
+
+def test_global_sort_write_uses_range_partitioning(spark, sf_dir, tmp_path):
+    """Globally-sorted output layout (binary-searchable files, ordered
+    downstream merges): orderBy before write must plan a RANGE
+    exchange — each task writes a disjoint sorted key range — never a
+    single-task sort; files concatenated in partition order are fully
+    sorted."""
+    from crane_spark.tables import table
+
+    out = str(tmp_path / "orders_sorted")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    assert "rangepartitioning" in _explain(orders.orderBy("o_totalprice")).lower()
+    # explicit range layout: AQE would coalesce tiny test data to one
+    # partition, so pin the file count the way a deployment pins its
+    # output layout
+    q = orders.repartitionByRange(4, "o_totalprice").sortWithinPartitions(
+        "o_totalprice"
+    )
+    q.write.parquet(out)
+    import glob as _glob
+
+    files = sorted(_glob.glob(out + "/part-*.parquet"))
+    assert len(files) > 1  # parallel sorted write, not one task
+    last_max = None
+    for f in files:
+        vals = [r["o_totalprice"] for r in spark.read.parquet(f).collect()]
+        assert vals == sorted(vals)
+        if vals:
+            if last_max is not None:
+                assert vals[0] >= last_max  # disjoint ascending ranges
+            last_max = vals[-1]

@@ -182,3 +182,15 @@ def test_compaction_rewrites_small_files_content_identical(spark, root):
     v3, _, n3 = V.compact(spark, root, "d", version=1, target_bytes=max(1, sz // 4))
     assert v3 == 3 and 4 <= n3 <= 5
     assert V.get(spark, root, "d", 3).count() == 10_000
+
+
+def test_expire_keeps_newest_versions(spark, root):
+    for n in (1, 2, 3, 4, 5):
+        V.put(spark.range(n), root, "d")
+    assert V.expire(spark, root, "d", keep_last=2) == [1, 2, 3]
+    assert V.versions(spark, root, "d") == [4, 5]
+    assert V.get(spark, root, "d").count() == 5
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        V.get(spark, root, "d", version=2)
