@@ -194,3 +194,34 @@ def test_expire_keeps_newest_versions(spark, root):
 
     with _pytest.raises(FileNotFoundError):
         V.get(spark, root, "d", version=2)
+
+
+def test_incremental_join_maintenance_equals_full_rejoin(spark):
+    """Delta-join maintenance must reproduce the full re-join EXACTLY
+    (multiset) when both sides gain and lose rows, including duplicate
+    rows on both sides."""
+    import random
+
+    from crane_spark.operators.incremental import incremental_join
+
+    rng = random.Random(11)
+    a_rows = [(rng.randrange(12), rng.randrange(5)) for _ in range(60)]
+    b_rows = [(rng.randrange(12), rng.randrange(7) + 100) for _ in range(40)]
+    a_old = spark.createDataFrame(a_rows, "k long, av long")
+    b_old = spark.createDataFrame(b_rows, "k long, bv long")
+    # updates touching both sides: deletions (sampled) + additions
+    a_new_rows = [r for r in a_rows if rng.random() > 0.2] + [
+        (rng.randrange(12), rng.randrange(5) + 50) for _ in range(10)
+    ]
+    b_new_rows = [r for r in b_rows if rng.random() > 0.2] + [
+        (rng.randrange(12), rng.randrange(7) + 200) for _ in range(8)
+    ]
+    a_new = spark.createDataFrame(a_new_rows, "k long, av long")
+    b_new = spark.createDataFrame(b_new_rows, "k long, bv long")
+
+    view_old = a_old.join(b_old, ["k"])
+    maintained = incremental_join(view_old, a_old, a_new, b_old, b_new, ["k"])
+    full = a_new.join(b_new, ["k"])
+    assert maintained.exceptAll(full).count() == 0
+    assert full.exceptAll(maintained).count() == 0
+    assert full.count() > 0
