@@ -190,3 +190,32 @@ def test_spike_detection_prefilters_scan(spark, sf_dir):
     # prints consumers first, so Window must appear ABOVE (before)
     # the HashAggregate feeding it
     assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_twap_single_user_shuffle_reused(spark, sf_dir):
+    """The TWAP plan must shuffle ONCE on user_id: the lead() window
+    and the per-user aggregate share the same hash partitioning, so
+    corpus-sized data crosses the network exactly once."""
+    plan = _plan(spark, sf_dir, "twap_user_values")
+    # formatted plans print each operator twice (tree + detail)
+    assert plan.count("Exchange") == 2
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_dup_span_ranges_broadcast_semi_no_smj(spark, sf_dir):
+    """Duplicated-gram detection joins back by a BROADCAST semi join
+    (the dup-gram set is aggregate-sized); the island merge windows
+    run over the already-pruned hit list — no sort-merge join, no
+    cross product anywhere."""
+    plan = _plan(spark, sf_dir, "dup_span_ranges")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "Window" in plan
+
+
+def test_similar_activity_broadcasts_stats(spark, sf_dir):
+    """The correlation query's moment tables and top-user filter are
+    dimension-sized and must broadcast; only the day-aligned pair join
+    shuffles observations."""
+    plan = _plan(spark, sf_dir, "similar_activity_users")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
