@@ -93,6 +93,28 @@ def shingle_sets(
     )
 
 
+def shingle_tokens(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 3
+) -> DataFrame:
+    """(id, token) DISTINCT shingle stream — the exploded twin of
+    `shingle_sets` for consumers that explode the arrays anyway.
+    Positions explode first and each shingle is a codegen'd
+    element_at concat; the distinct is a map-side-combined hash agg.
+    Building the array via a transform lambda and exploding it runs
+    interpreted and measured ~5x slower — the same explode-then-reduce
+    lesson as the minhash signatures (TUNING.md)."""
+    d = tokenized(docs, text_col, id_col).filter(F.size("toks") >= shingle_n)
+    e = d.select(
+        F.col(id_col),
+        F.expr(f"explode(sequence(1, size(toks) - {shingle_n - 1}))").alias("i"),
+        "toks",
+    )
+    parts = [F.expr(f"element_at(toks, i + {k})") for k in range(shingle_n)]
+    return e.select(
+        F.col(id_col), F.concat_ws(" ", *parts).alias("token")
+    ).distinct()
+
+
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 3
 ) -> DataFrame:
@@ -107,8 +129,25 @@ def minhash_signatures(
     Catalyst's project-collapsing re-inlines the shingle construction
     into every lambda) and the map-side partial aggregation shrinks the
     shuffle to one short row per (doc, partition)."""
-    exploded = tokenized(docs, text_col, id_col).select(
-        F.col(id_col), F.explode(shingles(F.col("toks"), shingle_n)).alias("shingle")
+    # Positions explode first; each shingle is a codegen'd element_at
+    # concat. Exploding the transform-lambda array instead evaluates
+    # the whole lambda interpreted per row — measured ~5x slower on
+    # the corpus scan (same lesson as shingle_tokens).
+    exploded = (
+        tokenized(docs, text_col, id_col)
+        .filter(F.size("toks") >= shingle_n)
+        .select(
+            F.col(id_col),
+            F.expr(f"explode(sequence(1, size(toks) - {shingle_n - 1}))").alias("i"),
+            "toks",
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                " ",
+                *[F.expr(f"element_at(toks, i + {k})") for k in range(shingle_n)],
+            ).alias("shingle"),
+        )
     )
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"m{s}")
@@ -389,19 +428,20 @@ _DENSE_MATRIX_CELLS_BUDGET = 50_000_000
 
 
 def _dense_bitset_pairs(
-    ordered: DataFrame,
+    ranked: DataFrame,
     id_col: str,
     vocab_size: int,
     t_num: int,
     t_den: int,
 ) -> DataFrame:
-    """Exact Jaccard self-join for the DENSE-vocabulary regime: each
-    document's rank set becomes one row of an n x V bit-matrix; the
-    packed matrix broadcasts and every task computes an exact
-    intersection-count block as a single matmul (popcount-by-GEMM),
-    then applies the identical integer threshold. Output is
-    bit-identical to the sparse path: n_common is an exact integer
-    count and jaccard the same two-integer double division.
+    """Exact Jaccard self-join for the DENSE-vocabulary regime: the
+    (id, rank) pair stream becomes an n x V bit-matrix directly (no
+    per-doc array assembly); the packed matrix broadcasts and every
+    task computes an exact intersection-count block as a single
+    matmul (popcount-by-GEMM), then applies the identical integer
+    threshold. Output is bit-identical to the sparse path: n_common
+    is an exact integer count and jaccard the same two-integer double
+    division.
 
     Scale shape: parallelism is by ROW BLOCK (n^2/blocks pairs per
     task, zero shuffle, zero pair materialization); the gate above
@@ -411,20 +451,20 @@ def _dense_bitset_pairs(
     import numpy as np
     import pandas as pd
 
-    spark = ordered.sparkSession
-    rows = sorted(ordered.select(F.col(id_col), "arr").collect(), key=lambda r: r[0])
-    n = len(rows)
-    ids = np.asarray([r[0] for r in rows])
+    spark = ranked.sparkSession
+    pdf = ranked.toPandas()
+    ids = np.sort(pdf[id_col].unique())
+    n = len(ids)
+    pos = {v: i for i, v in enumerate(ids)}
     bits = np.zeros((n, vocab_size), dtype=np.uint8)
-    for i, r in enumerate(rows):
-        bits[i, np.asarray(r[1], dtype=np.int64) - 1] = 1
+    bits[pdf[id_col].map(pos).to_numpy(), pdf["rank"].to_numpy() - 1] = 1
     bc = spark.sparkContext.broadcast((ids, np.packbits(bits, axis=1)))
     # Keep blocks >= ~256 rows: each task pays a Python-worker round
     # trip plus a full matrix unpack, so tiny inputs must not schedule
     # one sliver per core (measured ~1s of pure dispatch at n=500).
     n_blocks = max(1, min(n // 256, spark.sparkContext.defaultParallelism * 2))
     bs = -(-n // n_blocks)
-    vtype = ordered.schema[id_col].dataType.simpleString()
+    vtype = ranked.schema[id_col].dataType.simpleString()
 
     def gen(batches):
         bids, packed = bc.value
@@ -513,11 +553,11 @@ def prefix_filter_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    d = shingle_sets(docs, text_col, id_col, shingle_n)
     # One materialization feeds BOTH the vocabulary aggregate and the
-    # signature build (the shingle transform is the expensive scan;
-    # without the checkpoint it runs twice).
-    tok = d.select(F.col(id_col), F.explode("sh").alias("token")).localCheckpoint(
+    # signature build (the shingle extraction is the expensive scan;
+    # without the checkpoint it runs twice). The exploded builder is
+    # ~5x the array-lambda form (see shingle_tokens).
+    tok = shingle_tokens(docs, text_col, id_col, shingle_n).localCheckpoint(
         eager=True
     )
     # Vocabulary-sized rank assignment: global rarity order as a dense
@@ -533,19 +573,23 @@ def prefix_filter_jaccard_pairs(
         )
         .select("token", "rank")
     )
-    ordered = (
-        tok.join(F.broadcast(vocab), "token")
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("rank")).alias("arr"))
-    ).localCheckpoint(eager=True)
-    n_docs = ordered.count()
+    ranked = tok.join(F.broadcast(vocab), "token").select(F.col(id_col), "rank")
+    n_docs = tok.select(id_col).distinct().count()
     vocab_size = vocab.count()
     if (
         0 < n_docs
         and n_docs * n_docs * vocab_size <= _DENSE_PAIR_OPS_BUDGET
         and n_docs * vocab_size <= _DENSE_MATRIX_CELLS_BUDGET
     ):
-        return _dense_bitset_pairs(ordered, id_col, vocab_size, t_num, t_den)
+        # The dense path builds the bitmap straight from (id, rank)
+        # pairs — the per-doc array assembly (collect_list shuffle +
+        # sort) exists only for the prefix machinery and is skipped
+        # entirely (measured ~25% off the dense end-to-end).
+        return _dense_bitset_pairs(ranked, id_col, vocab_size, t_num, t_den)
+    ordered = (
+        ranked.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("rank")).alias("arr"))
+    ).localCheckpoint(eager=True)
     m = F.size("arr")
     # p = m - ceil(t*m) + 1, all-integer
     ceil_tm = (F.lit(t_num) * m + F.lit(t_den - 1)).cast("long") / F.lit(t_den)
