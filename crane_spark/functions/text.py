@@ -63,3 +63,29 @@ def stopword_ratio(toks: Column) -> Column:
     """Fraction of tokens that are stopwords (0 for empty docs)."""
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     return n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+
+def exploded_word_grams(
+    df,
+    n: int,
+    keep: list[str],
+    text_col: str = "text",
+    out: str = "gram",
+):
+    """One row per word n-gram of ``text_col``: ``keep`` columns plus
+    ``out``. Positions explode FIRST and each gram is a codegen'd
+    array_join(slice(...)) — building the gram array with a transform
+    lambda and exploding it evaluates the lambda interpreted, measured
+    ~1.7-5x slower across the gram-based operators (see TUNING.md).
+    ``keep`` must name columns already present on ``df`` (project any
+    computed columns before calling)."""
+    base = df.select(*keep, tokens(text_col).alias("_toks")).filter(
+        F.size("_toks") >= n
+    )
+    return base.select(
+        *keep,
+        F.expr(f"explode(sequence(1, size(_toks) - {n - 1}))").alias("_i"),
+        "_toks",
+    ).select(
+        *keep, F.array_join(F.slice("_toks", F.col("_i"), n), " ").alias(out)
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from crane_spark.functions.text import tokens
+from crane_spark.functions.text import exploded_word_grams, tokens
 from crane_spark.llm.sampling import hash_bucket, sql_hash_bucket
 from crane_spark.queries.core import register
 from crane_spark.tables import fan_out, table
@@ -93,13 +93,8 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the most-repeated gram's count. Explode -> two chained hash
     aggregates, both with map-side combine; no joins, no window."""
     docs = table(spark, sf_dir, "documents")
-    grams2 = F.expr(
-        "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), "
-        "(x, i) -> concat(x, ' ', element_at(split(text, ' '), i + 2)))"
-    )
     per_gram = (
-        fan_out(docs)
-        .select("doc_id", F.explode(grams2).alias("g"))
+        exploded_word_grams(fan_out(docs), 2, ["doc_id"], out="g")
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -159,25 +154,19 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     toks = tokens("text")
     n = 8
-    grams = F.expr(
-        f"transform(slice(split(text,' '), 1, size(split(text,' ')) - {n - 1}), "
-        f"(x, i) -> array_join(slice(split(text,' '), i + 1, {n}), ' '))"
-    )
     bench = (
-        docs.filter(F.col("doc_id") < 20)
-        .select(F.explode(grams).alias("g"))
+        exploded_word_grams(docs.filter(F.col("doc_id") < 20), n, [], out="g")
         .select(F.md5("g").alias("gh"))
         .distinct()
     )
-    train = (
-        fan_out(docs.filter(F.col("doc_id") >= 20))
-        .select(
-            "doc_id",
-            (F.size(toks) - (n - 1)).cast("long").alias("n_grams"),
-            F.explode(grams).alias("g"),
-        )
-        .select("doc_id", "n_grams", F.md5("g").alias("gh"))
-    )
+    train = exploded_word_grams(
+        fan_out(docs.filter(F.col("doc_id") >= 20)).withColumn(
+            "n_grams", (F.size(toks) - (n - 1)).cast("long")
+        ),
+        n,
+        ["doc_id", "n_grams"],
+        out="g",
+    ).select("doc_id", "n_grams", F.md5("g").alias("gh"))
     hits = train.join(F.broadcast(bench), "gh", "left_semi")
     return (
         hits.groupBy("doc_id")
@@ -465,12 +454,8 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles here carry 16-byte hashes only."""
     docs = fan_out(table(spark, sf_dir, "documents"))
     n = 8
-    grams = F.expr(
-        f"transform(slice(split(text,' '), 1, size(split(text,' ')) - {n - 1}), "
-        f"(x, i) -> array_join(slice(split(text,' '), i + 1, {n}), ' '))"
-    )
     spans = (
-        docs.select("source", F.explode(grams).alias("g"))
+        exploded_word_grams(docs, n, ["source"], out="g")
         .select("source", F.md5("g").alias("gh"))
         .distinct()
     )

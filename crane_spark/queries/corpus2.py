@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crane_spark.functions.sketches import cms_build, cms_estimate
-from crane_spark.functions.text import tokens
+from crane_spark.functions.text import exploded_word_grams, tokens
 from crane_spark.llm.dedup import drop_duplicate_spans
 from crane_spark.operators.bloom import build_bloom, filter_might_contain
 from crane_spark.queries.core import register
@@ -49,13 +49,8 @@ def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     toks = tokens("text")
     n = 8
-    grams = F.expr(
-        f"transform(slice(split(text,' '), 1, size(split(text,' ')) - {n - 1}), "
-        f"(x, i) -> array_join(slice(split(text,' '), i + 1, {n}), ' '))"
-    )
     bench = (
-        docs.filter(F.col("doc_id") < 20)
-        .select(F.explode(grams).alias("g"))
+        exploded_word_grams(docs.filter(F.col("doc_id") < 20), n, [], out="g")
         .select(F.md5("g").alias("gh"))
         .distinct()
     )
@@ -66,15 +61,14 @@ def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     if bloom is None:
         bloom = build_bloom(bench, "gh", m_words=4096, k=3)
         _BLOOM_CACHE[sf_dir] = bloom
-    train = (
-        fan_out(docs.filter(F.col("doc_id") >= 20))
-        .select(
-            "doc_id",
-            (F.size(toks) - (n - 1)).cast("long").alias("n_grams"),
-            F.explode(grams).alias("g"),
-        )
-        .select("doc_id", "n_grams", F.md5("g").alias("gh"))
-    )
+    train = exploded_word_grams(
+        fan_out(docs.filter(F.col("doc_id") >= 20)).withColumn(
+            "n_grams", (F.size(toks) - (n - 1)).cast("long")
+        ),
+        n,
+        ["doc_id", "n_grams"],
+        out="g",
+    ).select("doc_id", "n_grams", F.md5("g").alias("gh"))
     survivors = filter_might_contain(train, "gh", bloom, k=3)
     hits = survivors.join(F.broadcast(bench), "gh", "left_semi")
     return hits.groupBy("doc_id").agg(
@@ -218,13 +212,8 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     n = 8
-    grams = F.expr(
-        f"transform(slice(split(text,' '), 1, size(split(text,' ')) - {n - 1}), "
-        f"(x, i) -> array_join(slice(split(text,' '), i + 1, {n}), ' '))"
-    )
     bench = (
-        docs.filter(F.col("doc_id") < 20)
-        .select(F.explode(grams).alias("g"))
+        exploded_word_grams(docs.filter(F.col("doc_id") < 20), n, [], out="g")
         .select(F.md5("g").alias("gh"))
         .distinct()
     )
@@ -240,8 +229,7 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pass_dedup", F.col("pass_len") & (F.row_number().over(w) == 1)
     )
     cont_ids = (
-        flagged.filter("pass_dedup")
-        .select("doc_id", F.explode(grams).alias("g"))
+        exploded_word_grams(flagged.filter("pass_dedup"), n, ["doc_id"], out="g")
         .select("doc_id", F.md5("g").alias("gh"))
         .join(F.broadcast(bench), "gh", "left_semi")
         .select("doc_id")
