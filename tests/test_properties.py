@@ -145,3 +145,32 @@ def test_key_queries_survive_empty_input(spark, tmp_path):
         out = REGISTRY[qname].fn(spark, empty_dir)
         assert out.count() == 0, qname
         assert len(out.schema) >= 1, qname
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=40), min_size=1, max_size=20
+    ),
+    n=st.integers(min_value=2, max_value=4),
+)
+def test_exploded_grams_match_lambda_shingles(texts, n):
+    """The explode-first gram extraction (fast path) must produce the
+    same multiset of (id, gram) rows as exploding the transform-lambda
+    shingle array — for any text, gram width, and token layout
+    (including empty tokens from repeated spaces)."""
+    from crane_spark.functions.text import exploded_word_grams, shingles, tokens
+
+    spark = _session()
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    fast = sorted(
+        (r["doc_id"], r["gram"])
+        for r in exploded_word_grams(df, n, ["doc_id"]).collect()
+    )
+    ref = sorted(
+        (r["doc_id"], r["g"])
+        for r in df.select(
+            "doc_id", F.explode(shingles(tokens("text"), n)).alias("g")
+        ).collect()
+    )
+    assert fast == ref
