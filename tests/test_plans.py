@@ -75,7 +75,13 @@ def test_partition_count_invariance(spark, sf_dir):
     parallelism (the decimal-sum routing exists exactly for this).
     Rerun representative shuffling queries under 3 shuffle-partition
     settings and compare full row sets."""
-    names = ["q1_pricing_summary", "pagerank_contrib", "simhash_groups"]
+    names = [
+        "q1_pricing_summary",
+        "pagerank_contrib",
+        "simhash_groups",
+        "twap_user_values",
+        "mad_outliers",
+    ]
     try:
         baseline = {}
         for parts in ("2", "7", "32"):
