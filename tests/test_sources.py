@@ -223,3 +223,64 @@ def test_parquet_schema_evolution_streaming_twin(spark, tmp_path):
         for r in spark.sql("select * from evolved_stream").collect()
     }
     assert rows == {(1, "a", None), (2, "b", 9.5)}
+
+
+def test_ignore_corrupt_parquet_files(spark, tmp_path):
+    """Fleet reality at 100 TB: a few corrupt files must not kill a
+    scan. Default config fails loudly (correctness first); flipping
+    spark.sql.files.ignoreCorruptFiles recovers every healthy row."""
+    import glob
+
+    p = str(tmp_path / "t")
+    spark.range(100).repartition(4).write.parquet(p)
+    victim = sorted(glob.glob(p + "/part-*.parquet"))[0]
+    with open(victim, "r+b") as fh:
+        fh.truncate(40)  # destroy footer + magic
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        # fails at footer read (schema inference) or at scan — either
+        # way, loudly
+        spark.read.parquet(p).count()
+    try:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        # explicit schema: inference itself would read the torn footer
+        got = spark.read.schema("id bigint").parquet(p).count()
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+    assert got == 75  # 3 of 4 equal files survive
+
+
+def test_json_corrupt_record_capture(spark, tmp_path):
+    """PERMISSIVE JSON parsing lands malformed rows in a corrupt-record
+    column instead of dropping them silently — the quarantine-and-audit
+    pattern for untrusted feeds."""
+    from pyspark.sql import types as T
+
+    src = tmp_path / "j"
+    src.mkdir()
+    (src / "a.json").write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "{this is not json}\n"
+        '{"id": 3, "v": "fine"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(src))
+    ).cache()
+    try:
+        ok = {(r["id"], r["v"]) for r in df.filter("_corrupt_record IS NULL").collect()}
+        bad = [r["_corrupt_record"] for r in df.filter("_corrupt_record IS NOT NULL").collect()]
+        assert ok == {(1, "ok"), (3, "fine")}
+        assert bad == ["{this is not json}"]
+    finally:
+        df.unpersist()
