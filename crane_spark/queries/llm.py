@@ -1449,3 +1449,69 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("share_of_gold"),
     )
+
+
+LSH_EVAL_SQL = f"""
+WITH docs0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM docs0),
+s AS (SELECT doc_id, {_sql_shingle3('toks')} AS sh FROM t WHERE len(toks) >= 3),
+sig AS (SELECT doc_id,
+        {', '.join(f'{_sql_minhash(s)} AS m{s}' for s in range(N_MINHASH))}
+        FROM s),
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM s),
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+  WHERE 2 * len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+        >= (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))))
+),
+hits AS (SELECT * FROM cand SEMI JOIN truth USING (doc_a, doc_b))
+SELECT (SELECT count(*) FROM cand) AS n_candidates,
+       (SELECT count(*) FROM truth) AS n_true_pairs,
+       (SELECT count(*) FROM hits) AS n_hits,
+       CAST(round(CAST((SELECT count(*) FROM hits) AS DOUBLE)
+                  / greatest((SELECT count(*) FROM cand), 1), 6) AS DOUBLE) AS precision,
+       CAST(round(CAST((SELECT count(*) FROM hits) AS DOUBLE)
+                  / greatest((SELECT count(*) FROM truth), 1), 6) AS DOUBLE) AS recall
+"""
+
+
+@register("lsh_eval", LSH_EVAL_SQL, tags=("llm", "dedup", "lsh", "evaluation"))
+def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-dedup quality evaluation as a first-class query:
+    MinHash-LSH candidate pairs scored against the EXACT Jaccard >= 1/2
+    ground truth (computed by the prefix-filtered exact join — the
+    oracle states the quadratic definition). One summary row:
+    candidate / truth / hit counts, precision, recall — the numbers
+    that decide band/hash configuration before a 100 TB dedup run,
+    computed on a bounded sample the same way a production tuning pass
+    would."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    cand = minhash_band_pairs(docs, shingle_n=3)
+    from crane_spark.llm.dedup import prefix_filter_jaccard_pairs
+
+    truth = prefix_filter_jaccard_pairs(
+        docs, shingle_n=3, t_num=1, t_den=2
+    ).select("doc_a", "doc_b")
+    hits = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
+    n_cand = cand.count()
+    n_truth = truth.count()
+    n_hits = hits.count()
+    row = [(
+        n_cand,
+        n_truth,
+        n_hits,
+        round(n_hits / max(n_cand, 1), 6),
+        round(n_hits / max(n_truth, 1), 6),
+    )]
+    return spark.createDataFrame(
+        row,
+        "n_candidates long, n_true_pairs long, n_hits long, "
+        "precision double, recall double",
+    )
