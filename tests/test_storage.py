@@ -276,3 +276,40 @@ def test_global_sort_write_uses_range_partitioning(spark, sf_dir, tmp_path):
             if last_max is not None:
                 assert vals[0] >= last_max  # disjoint ascending ranges
             last_max = vals[-1]
+
+
+def test_dynamic_partition_overwrite_backfill(spark, sf_dir, tmp_path):
+    """Backfill one partition idempotently: with partitionOverwriteMode
+    =dynamic, INSERT OVERWRITE replaces ONLY the partitions present in
+    the incoming frame — the reprocess-one-day operation; every other
+    partition's files stay untouched."""
+    from crane_spark.tables import table
+
+    out = str(tmp_path / "events_by_type")
+    events = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    events.write.partitionBy("event_type").parquet(out)
+    before = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(out).groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    fixed = (
+        events.filter(F.col("event_type") == "click")
+        .withColumn("value", F.col("value") * 0 + 1.0)
+        .limit(10)
+    )
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        fixed.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    after = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(out).groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert after["click"] == 10  # backfilled partition replaced
+    for k, v in before.items():
+        if k != "click":
+            assert after[k] == v  # untouched partitions intact
+    vals = {r["value"] for r in spark.read.parquet(out).filter("event_type = 'click'").collect()}
+    assert vals == {1.0}
