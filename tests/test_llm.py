@@ -434,3 +434,38 @@ def test_prefix_jaccard_dense_and_sparse_regimes_agree(spark, sf_dir, monkeypatc
     monkeypatch.setattr(D, "_DENSE_PAIR_OPS_BUDGET", 0)
     sparse = run()
     assert dense == sparse and len(dense) > 0
+
+
+def test_end_to_end_corpus_build_matches_funnel_oracle(spark, sf_dir, tmp_path):
+    """The executable pipeline (build_training_corpus) must produce
+    stage counts EQUAL to the oracle-checked corpus_funnel query, and
+    publish reproducible versioned artifacts: re-running yields a new
+    version with identical content."""
+    from crane_spark.llm.run_pipeline import build_training_corpus
+    from crane_spark.queries import REGISTRY
+    from crane_spark.sources import versioned as V
+
+    root = str(tmp_path / "store")
+    counts = build_training_corpus(spark, sf_dir, root)
+    oracle_counts = {
+        r["stage"]: r["n_docs"]
+        for r in REGISTRY["corpus_funnel"].fn(spark, sf_dir).collect()
+    }
+    assert {k: v for k, v in counts.items() if not k.startswith("_")} == oracle_counts
+
+    corpus = V.get(spark, root, "corpus")
+    assert corpus.count() == counts["4_mixed"]
+    assert set(corpus.columns) == {"doc_id", "text", "lang", "source", "shard"}
+    shards = {r["shard"] for r in corpus.select("shard").distinct().collect()}
+    assert shards <= set(range(16))
+    report = {
+        r["stage"]: r["n_docs"] for r in V.get(spark, root, "report").collect()
+    }
+    assert report == oracle_counts
+
+    # reproducibility: second build -> new versions, identical content
+    counts2 = build_training_corpus(spark, sf_dir, root)
+    assert counts2["_corpus_version"] == counts["_corpus_version"] + 1
+    v1 = V.get(spark, root, "corpus", counts["_corpus_version"])
+    v2 = V.get(spark, root, "corpus", counts2["_corpus_version"])
+    assert v1.exceptAll(v2).count() == 0 and v2.exceptAll(v1).count() == 0
