@@ -73,6 +73,48 @@ def main() -> int:
         wordcount(spark.read.text(ref_wc)).write.mode("overwrite").format("noop").save()
         ref_seconds = round(time.perf_counter() - start, 3)
 
+    # Streaming throughput, reference-shaped: the same input drained
+    # as a checkpointed Structured Streaming wordcount across many
+    # micro-batches (the reference's own execution model: 500-tuple
+    # batches over 10 VMs with a 40 s replay timeout). Lines/sec
+    # through the FULL stateful path — per-batch state updates, WAL,
+    # exactly-once — not the single batch pass above.
+    stream_lps = None
+    if os.path.exists(ref_wc):
+        import shutil
+        import tempfile
+
+        from crane_spark.streaming.pipelines import stream_wordcount
+
+        tmp = tempfile.mkdtemp(prefix="bench_stream_")
+        try:
+            with open(ref_wc) as fh:
+                lines = fh.read().splitlines()
+            n_chunks = 20
+            per = -(-len(lines) // n_chunks)
+            for c in range(n_chunks):
+                with open(os.path.join(tmp, f"in-{c:03d}.txt"), "w") as out:
+                    out.write("\n".join(lines[c * per : (c + 1) * per]))
+            stream = (
+                spark.readStream.format("text")
+                .option("maxFilesPerTrigger", "2")
+                .load(tmp)
+            )
+            start = time.perf_counter()
+            q = (
+                stream_wordcount(stream)
+                .writeStream.format("noop")
+                .outputMode("update")
+                .option("checkpointLocation", os.path.join(tmp, "_ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            elapsed = time.perf_counter() - start
+            stream_lps = round(len(lines) / elapsed)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     # Headline = best of the two passes per query: robust to transient
     # GC/worker churn, and what steady-state throughput actually is.
     best = {name: min(cold[name], warm[name]) for name in warm}
@@ -92,6 +134,8 @@ def main() -> int:
     }
     if ref_seconds is not None:
         payload["reference_wordcount_2mb_sec"] = ref_seconds
+    if stream_lps is not None:
+        payload["streaming_wordcount_lines_per_sec"] = stream_lps
     print(json.dumps(payload))
     return 0
 
