@@ -949,3 +949,68 @@ def q_similar_activity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .select("user_a", "user_b", F.col("r").alias("pearson_r"), "rn")
     )
+
+
+# --------------------------------------------------------------------
+# Join-key skew report (the pre-flight check before a big shuffle)
+# --------------------------------------------------------------------
+
+KEY_SKEW_SQL = """
+WITH c AS (
+  SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY l_suppkey
+),
+g AS (
+  SELECT count(*) AS n_keys, SUM(cnt) AS n_rows, SUM(cnt * cnt) AS sum_sq,
+         MAX(cnt) AS max_cnt
+  FROM c
+)
+SELECT key, CAST(cnt AS BIGINT) AS cnt,
+       CAST(round(CAST(cnt AS DOUBLE) / n_rows, 6) AS DOUBLE) AS share,
+       CAST(round(CAST(cnt AS DOUBLE) * n_keys / n_rows, 4) AS DOUBLE) AS skew_factor,
+       CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(round(CAST(sum_sq AS DOUBLE) / (CAST(n_rows AS DOUBLE) * n_rows), 9) AS DOUBLE) AS hhi,
+       CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rn FROM c
+) CROSS JOIN g
+WHERE rn <= 10
+"""
+
+
+@register("key_skew_report", KEY_SKEW_SQL, tags=("agg", "skew", "profile", "ops"))
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight shuffle diagnostics for a join/agg key: the 10
+    heaviest keys with their share and skew factor (share x n_keys —
+    how many times an even partition this key alone would fill), plus
+    the global key count and the Herfindahl concentration index
+    (sum of squared shares; 1/n_keys when uniform, ->1 when one key
+    dominates). This is the report that decides between plain
+    hash-partitioning, salting (operators/skew.py), and AQE skew-join
+    before a 100 TB shuffle — computed from one key-sized aggregate
+    (map-side combined) with every statistic derived from exact
+    integer counts."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    g = c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sum_sq"),
+    )
+    w = Window.orderBy(F.desc("cnt"), "key")
+    top = c.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    nrows = F.col("n_rows").cast("double")
+    return top.crossJoin(F.broadcast(g)).select(
+        "key",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round(F.col("cnt") / nrows, 6).cast("double").alias("share"),
+        F.round(F.col("cnt") * F.col("n_keys") / nrows, 4)
+        .cast("double")
+        .alias("skew_factor"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.round(F.col("sum_sq") / (nrows * nrows), 9).cast("double").alias("hhi"),
+        F.col("rn").cast("long").alias("rn"),
+    )
