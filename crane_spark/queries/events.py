@@ -444,3 +444,90 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_segments",
         (F.expr("CAST(sw div sdt AS BIGINT)").cast("double") / 1e6).alias("twap"),
     )
+
+
+SESSION_CONV_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS mic,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_mic
+  FROM events
+),
+s AS (
+  SELECT user_id, event_type, mic,
+         SUM(CASE WHEN prev_mic IS NULL OR mic - prev_mic > 300000000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY mic, event_id) AS session_id
+  FROM o
+),
+per_session AS (
+  SELECT user_id, session_id,
+         min(CASE WHEN event_type = 'click' THEN mic END) AS first_click,
+         max(CASE WHEN event_type = 'purchase' THEN mic END) AS last_purchase
+  FROM s GROUP BY user_id, session_id
+)
+SELECT user_id,
+       count(*) AS n_sessions,
+       CAST(SUM(CASE WHEN first_click IS NOT NULL
+                      AND last_purchase IS NOT NULL
+                      AND last_purchase > first_click THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converting,
+       CAST(round(CAST(SUM(CASE WHEN first_click IS NOT NULL
+                      AND last_purchase IS NOT NULL
+                      AND last_purchase > first_click THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*), 6) AS DOUBLE) AS conversion_rate
+FROM per_session GROUP BY user_id
+"""
+
+
+@register("session_conversion", SESSION_CONV_SQL, tags=("window", "sessions", "funnel"))
+def q_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-SCOPED conversion: a session (5-minute inactivity gap)
+    converts when a purchase follows a click INSIDE it — unlike the
+    global funnel, credit never crosses session boundaries, which is
+    how product analytics actually attributes intent. One user_id
+    shuffle carries the sessionize window, the per-session conditional
+    mins/maxes, and the per-user rollup; microsecond integers
+    throughout."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    mic = F.unix_micros(F.col("ts"))
+    o = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        mic.alias("mic"),
+        F.lag(mic).over(w).alias("prev_mic"),
+    )
+    is_start = (
+        F.when(
+            F.col("prev_mic").isNull()
+            | (F.col("mic") - F.col("prev_mic") > 300_000_000),
+            1,
+        ).otherwise(0)
+    )
+    ws = Window.partitionBy("user_id").orderBy("mic", "event_id")
+    s = o.select(
+        "user_id",
+        "event_type",
+        "mic",
+        F.sum(is_start).over(ws).alias("session_id"),
+    )
+    per_session = s.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("mic"))).alias(
+            "first_click"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("mic"))).alias(
+            "last_purchase"
+        ),
+    )
+    converted = (
+        F.col("first_click").isNotNull()
+        & F.col("last_purchase").isNotNull()
+        & (F.col("last_purchase") > F.col("first_click"))
+    ).cast("long")
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(converted).alias("n_converting"),
+        F.round(F.sum(converted) / F.count(F.lit(1)), 6)
+        .cast("double")
+        .alias("conversion_rate"),
+    )
