@@ -1014,3 +1014,79 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_sq") / (nrows * nrows), 9).cast("double").alias("hhi"),
         F.col("rn").cast("long").alias("rn"),
     )
+
+
+# --------------------------------------------------------------------
+# Two-sample KS drift (distribution comparison between sources)
+# --------------------------------------------------------------------
+
+KS_DRIFT_SQL = """
+WITH s AS (
+  SELECT n_chars AS v,
+         CASE WHEN source = 'web' THEN 1 ELSE 0 END AS a,
+         CASE WHEN source = 'web' THEN 0 ELSE 1 END AS b
+  FROM documents WHERE source IN ('web', 'wiki')
+),
+vals AS (SELECT v, SUM(a) AS ca, SUM(b) AS cb FROM s GROUP BY v),
+tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM vals),
+cum AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+  FROM vals
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(MAX(abs(cum_a * nb - cum_b * na)) AS BIGINT) AS ks_num,
+       CAST(round(CAST(MAX(abs(cum_a * nb - cum_b * na)) AS DOUBLE)
+                  / (CAST(na AS DOUBLE) * nb), 6) AS DOUBLE) AS ks_stat
+FROM cum CROSS JOIN tot
+GROUP BY na, nb
+"""
+
+
+@register("ks_drift_sources", KS_DRIFT_SQL, tags=("stats", "drift", "window"))
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the length
+    distributions of two sources — the distribution-drift gate a
+    corpus pipeline runs before accepting a new crawl. Exact by
+    construction: the ECDF difference maximizes the INTEGER
+    |cum_a*n_b - cum_b*n_a| (one division at the very end), so no
+    float comparison ever picks the max. The window runs over
+    DISTINCT values (pre-aggregated per value), so its input is
+    value-cardinality-sized, not corpus-sized."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("web", "wiki")
+    )
+    s = docs.select(
+        F.col("n_chars").alias("v"),
+        (F.col("source") == "web").cast("long").alias("a"),
+        (F.col("source") != "web").cast("long").alias("b"),
+    )
+    vals = s.groupBy("v").agg(F.sum("a").alias("ca"), F.sum("b").alias("cb"))
+    tot = vals.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = vals.select(
+        "v",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    diff = F.abs(
+        F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(F.max(diff).alias("ks_num"))
+        .select(
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.col("ks_num").cast("long").alias("ks_num"),
+            F.round(
+                F.col("ks_num") / (F.col("na").cast("double") * F.col("nb")), 6
+            )
+            .cast("double")
+            .alias("ks_stat"),
+        )
+    )
