@@ -1090,3 +1090,58 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ks_stat"),
         )
     )
+
+
+PSI_DRIFT_SQL = """
+WITH c AS (
+  SELECT lang,
+         SUM(CASE WHEN source = 'web' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN source = 'wiki' THEN 1 ELSE 0 END) AS cb
+  FROM documents WHERE source IN ('web', 'wiki')
+  GROUP BY lang
+),
+tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM c),
+terms AS (
+  SELECT lang, ca, cb, na, nb,
+         (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+           * CAST(round(ln((CAST(ca AS DOUBLE) / na) / (CAST(cb AS DOUBLE) / nb)) * 1e9)
+                  AS BIGINT) / 1e9 AS term
+  FROM c CROSS JOIN tot
+  WHERE ca > 0 AND cb > 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_categories,
+       CAST(round(SUM(CAST(round(term * 1e9) AS BIGINT)) / 1e9, 6) AS DOUBLE) AS psi
+FROM terms
+"""
+
+
+@register("psi_drift_langs", PSI_DRIFT_SQL, tags=("stats", "drift", "agg"))
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two sources' language
+    distributions — the categorical-drift monitor (PSI < 0.1 stable,
+    > 0.25 action). Shares are ratios of exact integers, so both
+    engines feed ln() the SAME double; each term integerizes to a 1e-9
+    grid before the sum (the trigram-LM idiom), keeping the
+    category-sized aggregate bit-identical."""
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("web", "wiki")
+    )
+    c = docs.groupBy("lang").agg(
+        F.sum((F.col("source") == "web").cast("long")).alias("ca"),
+        F.sum((F.col("source") == "wiki").cast("long")).alias("cb"),
+    )
+    tot = c.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    pa = F.col("ca").cast("double") / F.col("na")
+    pb = F.col("cb").cast("double") / F.col("nb")
+    term = (pa - pb) * (
+        F.round(F.log(pa / pb) * F.lit(1e9)).cast("long") / F.lit(1e9)
+    )
+    terms = (
+        c.crossJoin(F.broadcast(tot))
+        .filter((F.col("ca") > 0) & (F.col("cb") > 0))
+        .select(F.round(term * F.lit(1e9)).cast("long").alias("t9"))
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.round(F.sum("t9") / F.lit(1e9), 6).cast("double").alias("psi"),
+    )
