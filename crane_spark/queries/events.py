@@ -531,3 +531,64 @@ def q_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("conversion_rate"),
     )
+
+
+CAPPED_BALANCE_SQL = """
+WITH d AS (
+  SELECT user_id, epoch_us(ts) AS mic, event_id,
+         CAST(round(CASE WHEN event_type = 'purchase' THEN value ELSE -value END * 100)
+              AS BIGINT) AS delta_c
+  FROM events WHERE value IS NOT NULL
+),
+folded AS (
+  SELECT user_id,
+         count(*) AS n_events,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT), list(delta_c ORDER BY mic, event_id)),
+           (acc, x) -> greatest(acc + x, 0)) AS bal_c
+  FROM d GROUP BY user_id
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(bal_c AS DOUBLE) / 100 AS capped_balance
+FROM folded
+"""
+
+
+@register("capped_running_balance", CAPPED_BALANCE_SQL, tags=("window", "fold", "timeseries"))
+def q_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NON-LINEAR running aggregate: each user's balance accumulates
+    purchase credits and other-event debits in time order but can
+    never go below zero — the inventory/wallet clamp. No window frame
+    can express it (the clamp makes each step depend on the clamped
+    previous step), so it folds per key: deltas integerize to cents,
+    one shuffle groups them, an in-row ordered fold (aggregate HOF)
+    applies max(0, acc+delta) — per-key sequential work stays inside
+    a task, bounded by the key's history, with no iteration or
+    driver loop."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    delta = F.round(
+        F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+            -F.col("value")
+        )
+        * 100
+    ).cast("long")
+    d = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("mic"),
+        "event_id",
+        delta.alias("delta_c"),
+    )
+    folded = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "aggregate("
+            "  transform(array_sort(collect_list(struct(mic, event_id, delta_c))),"
+            "            s -> s.delta_c),"
+            "  0L, (acc, x) -> greatest(acc + x, 0L))"
+        ).alias("bal_c"),
+    )
+    return folded.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        (F.col("bal_c").cast("double") / 100).alias("capped_balance"),
+    )
