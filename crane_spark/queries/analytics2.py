@@ -1145,3 +1145,59 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_categories"),
         F.round(F.sum("t9") / F.lit(1e9), 6).cast("double").alias("psi"),
     )
+
+
+SEASONAL_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(dayofweek(ts) AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hod,
+         count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+baseline AS (
+  SELECT dow, hod, SUM(n) AS tot, count(*) AS n_slots
+  FROM hourly GROUP BY dow, hod
+)
+SELECT h.hour, h.n,
+       CAST(round(CAST(b.tot AS DOUBLE) / b.n_slots, 4) AS DOUBLE) AS expected,
+       CAST(round(CAST(h.n * b.n_slots AS DOUBLE) / b.tot, 4) AS DOUBLE) AS load_ratio
+FROM hourly h JOIN baseline b ON h.dow = b.dow AND h.hod = b.hod
+WHERE 4 * h.n * b.n_slots > 5 * b.tot OR 4 * h.n * b.n_slots * 2 < b.tot * 2
+"""
+
+
+@register("seasonal_hourly_anomalies", SEASONAL_SQL, tags=("timeseries", "anomaly", "agg"))
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware load anomalies: each hour compared to the
+    average for its (day-of-week, hour-of-day) slot — 9am Monday is
+    judged against other 9am Mondays, not against 3am Sunday. Flagged
+    hours exceed 1.25x or fall below 0.25x their slot baseline, with
+    BOTH thresholds decided in integer cross-multiplication
+    (4*n*slots vs 5*tot), so no engine ever compares to a derived
+    float. Two hour-sized aggregates and a broadcast join; raw events
+    shuffle once."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    baseline = hourly.groupBy("dow", "hod").agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("n_slots")
+    )
+    j = hourly.join(F.broadcast(baseline), ["dow", "hod"])
+    high = 4 * F.col("n") * F.col("n_slots") > 5 * F.col("tot")
+    low = 4 * F.col("n") * F.col("n_slots") * 2 < F.col("tot") * 2
+    return j.filter(high | low).select(
+        "hour",
+        "n",
+        F.round(F.col("tot").cast("double") / F.col("n_slots"), 4)
+        .cast("double")
+        .alias("expected"),
+        F.round(
+            (F.col("n") * F.col("n_slots")).cast("double") / F.col("tot"), 4
+        )
+        .cast("double")
+        .alias("load_ratio"),
+    )
