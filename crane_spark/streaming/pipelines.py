@@ -402,3 +402,48 @@ def stream_neardup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_append_idempotent(
+    df: DataFrame, path: str, checkpoint: str
+) -> StreamingQuery:
+    """foreachBatch append sink with a BATCH-ID LEDGER: before writing
+    micro-batch N, the writer checks a ledger of committed batch ids
+    and skips N if present; after a successful append it records N.
+    This converts foreachBatch's at-least-once replay (a crash between
+    the write and the checkpoint commit re-runs the batch) into
+    effective exactly-once for sinks with no native transactions — the
+    recipe Delta/Iceberg implement internally with (queryId, batchId)
+    txn metadata, spelled out over plain parquet.
+
+    Ledger writes are tiny one-row parquet appends; the check is a
+    metadata-sized read. Contrast with `stream_to_parquet` (Spark's
+    parquet sink has its own WAL/manifest) — this pattern is for
+    DESTINATIONS Spark doesn't manage: external stores, REST calls,
+    multi-table writes that must apply once.
+    """
+    import os
+
+    data_dir = path + "/data"
+    ledger_dir = path + "/ledger"
+
+    def append_once(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if os.path.exists(ledger_dir):
+            done = {
+                r["batch_id"]
+                for r in spark.read.parquet(ledger_dir).collect()
+            }
+            if batch_id in done:
+                return  # replayed batch: already applied
+        batch.write.mode("append").parquet(data_dir)
+        spark.createDataFrame([(batch_id,)], "batch_id long").coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+
+    return (
+        df.writeStream.foreachBatch(append_once)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -660,3 +660,33 @@ def test_stream_neardup_ingest_replay_idempotent(spark, tmp_path):
         (r["doc_id"], r["text"]) for r in spark.read.parquet(store + "/docs").collect()
     )
     assert first == again == [(r[0], r[1]) for r in rows]
+
+
+def test_idempotent_append_sink_survives_replay(spark, tmp_path):
+    """The batch-id ledger makes foreachBatch appends exactly-once
+    under replay: deleting the CHECKPOINT (so every batch re-runs)
+    must not duplicate a single row, because the ledger remembers the
+    applied batch ids."""
+    import shutil
+
+    from crane_spark.streaming.pipelines import stream_append_idempotent
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(10).coalesce(1).write.parquet(src)
+
+    def run():
+        q = stream_append_idempotent(
+            spark.readStream.schema("id bigint").parquet(src), out, ckpt
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(out + "/data").count() == 10
+    shutil.rmtree(ckpt)  # force full replay of batch 0
+    run()
+    got = sorted(r["id"] for r in spark.read.parquet(out + "/data").collect())
+    assert got == list(range(10))  # no duplicates
+    ledger = [r["batch_id"] for r in spark.read.parquet(out + "/ledger").collect()]
+    assert ledger == [0]
