@@ -764,3 +764,34 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(edge("orders.o_custkey -> customer", orders, "o_custkey", cust, "c_custkey"))
         .unionByName(edge("customer.c_nationkey -> nation", cust, "c_nationkey", nation, "n_nationkey"))
     )
+
+
+K_ANON_SQL = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS group_size
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT c_nationkey, c_mktsegment, CAST(group_size AS BIGINT) AS group_size
+FROM g WHERE group_size < 5
+"""
+
+
+@register("k_anonymity_violations", K_ANON_SQL, tags=("governance", "privacy", "agg"))
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-governance audit: quasi-identifier combinations
+    (nation x market segment) shared by FEWER than k=5 customers —
+    the groups where releasing the combination risks re-identifying
+    an individual. One map-side-combined aggregate over the
+    quasi-identifier key; the violating set is what a release gate
+    suppresses or generalizes before publishing."""
+    cust = table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < 5)
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("group_size").cast("long").alias("group_size"),
+        )
+    )
