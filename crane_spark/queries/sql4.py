@@ -158,3 +158,26 @@ def q_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep the money aggregate order-independent."""
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(FILTERED_AGG_SQL)
+
+
+GROUP_BY_ALL_SQL = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register("sql_group_by_all", GROUP_BY_ALL_SQL, tags=("sql", "agg", "modern-sql"))
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL — the modern-SQL shorthand both
+    engines execute from the SAME text: every non-aggregate select
+    item becomes a grouping key, the whole output sorts on every
+    column. One text, two engines, zero column-list drift (the
+    maintenance bug this syntax exists to kill)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(GROUP_BY_ALL_SQL)
