@@ -1493,12 +1493,16 @@ def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed on a bounded sample the same way a production tuning pass
     would."""
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    cand = minhash_band_pairs(docs, shingle_n=3)
+    # Three counts consume each side; materialize once (the pair sets
+    # are tiny relative to the work that produced them).
+    cand = minhash_band_pairs(docs, shingle_n=3).localCheckpoint(eager=True)
     from crane_spark.llm.dedup import prefix_filter_jaccard_pairs
 
-    truth = prefix_filter_jaccard_pairs(
-        docs, shingle_n=3, t_num=1, t_den=2
-    ).select("doc_a", "doc_b")
+    truth = (
+        prefix_filter_jaccard_pairs(docs, shingle_n=3, t_num=1, t_den=2)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     hits = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
     n_cand = cand.count()
     n_truth = truth.count()
