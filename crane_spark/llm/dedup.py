@@ -174,7 +174,11 @@ def minhash_bands(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def minhash_band_pairs(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: documents sharing any band bucket.
     Returns distinct (doc_a < doc_b) pairs.
@@ -182,15 +186,26 @@ def minhash_band_pairs(
     Pairs are generated INSIDE each bucket (groupBy band key ->
     sorted id list -> in-array combinations) rather than via a bucket
     self-join: the signature pipeline runs once, there is exactly one
-    shuffle (on the band key), and no join re-computation. Bucket
-    sizes bound the pair fan-out; a skew guard on enormous buckets
-    belongs at the caller (huge bucket == degenerate band, usually
-    boilerplate text worth dropping anyway).
+    shuffle (on the band key), and no join re-computation.
+
+    ``max_bucket`` is the degenerate-band guard for the 100 TB run: a
+    bucket of k docs emits k^2/2 pairs, so ONE band key shared by a
+    million boilerplate documents would emit half a trillion pairs
+    and sink the stage. Buckets above the cap are dropped whole (not
+    truncated — partial pair sets would be order-dependent). The
+    recall cost is confined to documents whose ONLY collision is a
+    degenerate band — near-identical boilerplate the pipeline's
+    span/exact dedup already handles — and the guard's effect is
+    observable (test constructs a giant bucket and asserts containment).
+    Default None keeps the operator lossless for candidate-complete
+    uses (lsh_eval, dedup clustering at test scales).
     """
     bands = minhash_bands(minhash_signatures(docs, text_col, id_col, shingle_n), id_col)
     buckets = bands.groupBy("band", "band_key").agg(
         F.sort_array(F.collect_list(id_col)).alias("ids")
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
     pairs = F.expr(
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids) - i - 1), "

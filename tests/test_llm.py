@@ -508,3 +508,29 @@ def test_ann_index_persist_reload_roundtrip(spark, sf_dir, tmp_path):
         V.get(spark, root, "assignments").select("vec_id", "centroid_id")
     )
     assert diff.count() == 0
+
+
+def test_lsh_degenerate_bucket_guard(spark):
+    """max_bucket drops pathological buckets whole: 40 identical
+    boilerplate docs (one giant bucket per band) plus one genuine
+    near-dup pair. With the guard, the boilerplate's quadratic pair
+    set disappears while the genuine pair survives; without it, all
+    pairs emit."""
+    from crane_spark.llm.dedup import minhash_band_pairs
+
+    boiler = " ".join(f"b{i}" for i in range(20))
+    real = " ".join(f"r{i}" for i in range(30))
+    rows = [(i, boiler) for i in range(40)]
+    rows += [(100, real), (101, real.replace("r29", "x29"))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    unguarded = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_band_pairs(docs).collect()
+    }
+    guarded = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_band_pairs(docs, max_bucket=10).collect()
+    }
+    assert (100, 101) in unguarded and len(unguarded) >= 40 * 39 // 2
+    assert (100, 101) in guarded
+    assert all(a >= 100 for a, b in guarded)  # boilerplate pairs gone
