@@ -795,3 +795,55 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("group_size").cast("long").alias("group_size"),
         )
     )
+
+
+TOPK_AGG_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority,
+         unnest(list_slice(
+           list_sort(list(struct_pack(np := -o_totalprice, k := o_orderkey))),
+           1, 3)) AS r
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(-r.np AS DOUBLE) AS o_totalprice,
+       CAST(r.k AS BIGINT) AS o_orderkey
+FROM ranked
+"""
+
+
+@register("topk_per_group_agg", TOPK_AGG_SQL, tags=("agg", "topk", "no-window"))
+def q_topk_per_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k WITHOUT a window: collect each group's
+    (price, key) structs in the hash aggregate, sort the group-local
+    array, slice k=3 — so there is NO partition-wide sort and NO
+    Window operator in the plan (guarded in test_plans). The window
+    form sorts every partition's full data; this form's state per
+    group is the collected array, which map-side combine keeps
+    group-local. Right when groups are small-to-medium and k tiny;
+    the window form remains for huge groups (bounded-state variant:
+    a k-capped aggregate). Ordering keys negate price so one
+    ascending struct sort yields descending price with ascending key
+    tiebreak in both engines."""
+    orders = table(spark, sf_dir, "orders")
+    collected = orders.groupBy("o_orderpriority").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("o_totalprice")).alias("np"),
+                        F.col("o_orderkey").alias("k"),
+                    )
+                )
+            ),
+            1,
+            3,
+        ).alias("top")
+    )
+    return collected.select(
+        "o_orderpriority", F.explode("top").alias("r")
+    ).select(
+        "o_orderpriority",
+        (-F.col("r.np")).cast("double").alias("o_totalprice"),
+        F.col("r.k").cast("long").alias("o_orderkey"),
+    )

@@ -225,3 +225,11 @@ def test_similar_activity_broadcasts_stats(spark, sf_dir):
     plan = _plan(spark, sf_dir, "similar_activity_users")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_topk_per_group_agg_has_no_window(spark, sf_dir):
+    """The aggregate-based per-group top-k must plan as hash
+    aggregates only — no Window operator, no partition-wide sort."""
+    plan = _plan(spark, sf_dir, "topk_per_group_agg")
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
