@@ -136,7 +136,47 @@ def main() -> int:
         payload["reference_wordcount_2mb_sec"] = ref_seconds
     if stream_lps is not None:
         payload["streaming_wordcount_lines_per_sec"] = stream_lps
-    print(json.dumps(payload))
+
+    # Full per-query detail goes to a file; the stdout line must stay
+    # compact. The driver captures only a bounded tail of stdout
+    # (BENCH_r01: a ~5 KB 199-query line got front-truncated ->
+    # "parsed": null), so the final printed line carries headline
+    # totals plus a fixed subset of flagship queries and stays well
+    # under 2 KB at any registry size.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+
+    headline_queries = [
+        "wordcount",
+        "user_filter_count",
+        "pagerank_contrib",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q6_revenue_forecast",
+        "q9_profit_by_nation",
+        "q18_large_volume",
+        "q21_sole_late_supplier",
+        "exact_dedup",
+        "minhash_lsh_pairs",
+        "prefix_jaccard_join",
+        "ivf_probe_topk",
+        "embedding_topk",
+        "trigram_lm_quality",
+        "copurchase_pairs",
+        "bm25_search",
+        "doc_chunks",
+        "window_running_total",
+    ]
+    compact = dict(payload)
+    compact["queries"] = {
+        q: best[q] for q in headline_queries if q in best
+    }
+    compact["queries_detail_file"] = "BENCH_DETAIL.json"
+    line = json.dumps(compact)
+    assert len(line) < 2000, f"bench stdout line too long ({len(line)}B)"
+    print(line)
     return 0
 
 

@@ -461,8 +461,9 @@ def _dense_bitset_pairs(
     Scale shape: parallelism is by ROW BLOCK (n^2/blocks pairs per
     task, zero shuffle, zero pair materialization); the gate above
     keeps the broadcast and per-task arithmetic bounded. Intersection
-    counts are <= the max set size, far inside float32's 2^24 exact
-    range at any size the cell budget admits."""
+    counts are <= the max set size <= vocab_size, and the gate requires
+    vocab_size <= 2^24, so float32 GEMM accumulation stays integer-
+    exact by construction (np.rint is then lossless)."""
     import numpy as np
     import pandas as pd
 
@@ -595,6 +596,12 @@ def prefix_filter_jaccard_pairs(
         0 < n_docs
         and n_docs * n_docs * vocab_size <= _DENSE_PAIR_OPS_BUDGET
         and n_docs * vocab_size <= _DENSE_MATRIX_CELLS_BUDGET
+        # float32 GEMM accumulation is integer-exact only while the
+        # per-pair intersection count (<= max set size <= vocab_size)
+        # stays inside float32's 2^24 contiguous-integer range; a huge
+        # vocabulary with tiny n could pass the cell budget yet break
+        # exactness, so gate it out explicitly.
+        and vocab_size <= 2**24
     ):
         # The dense path builds the bitmap straight from (id, rank)
         # pairs — the per-doc array assembly (collect_list shuffle +

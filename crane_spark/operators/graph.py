@@ -174,6 +174,7 @@ def connected_components_alternating(
         )
 
     prev_sig = None
+    converged = False
     for _ in range(max_rounds):
         e = star(star(e, large=True), large=False)
         sig = e.agg(
@@ -182,8 +183,19 @@ def connected_components_alternating(
         ).collect()[0]
         sig = (sig["n"], sig["h"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # An unconverged edge set means the stars are not yet flat and
+        # the labels below could be WRONG (two labels for one true
+        # component). An iterative operator must fail loudly, not
+        # return silently-truncated results.
+        raise RuntimeError(
+            f"connected_components_alternating did not reach a fixed "
+            f"point in max_rounds={max_rounds} (O(log^2 n) expected; "
+            f"raise max_rounds)"
+        )
     return neighborhoods(e).groupBy("u").agg(
         F.least(F.min("v"), F.first("u")).alias("component_id")
     ).select(F.col("u").alias("v"), "component_id")

@@ -192,10 +192,20 @@ def read_parquet_evolved(
     merged = spark.read.option("mergeSchema", "true").parquet(*paths)
     if not streaming:
         return merged
+    # readStream.parquet takes exactly one directory; silently reading
+    # only paths[0] would drop the rest of a multi-path request, so
+    # refuse loudly. Callers with several roots should point the stream
+    # at a common parent directory or union per-path streams.
+    if len(paths) != 1:
+        raise ValueError(
+            "read_parquet_evolved(streaming=True) supports exactly one "
+            f"path (got {len(paths)}); stream a common parent directory "
+            "or union one stream per path"
+        )
     return (
         spark.readStream.schema(merged.schema)
         .option("mergeSchema", "true")
-        .parquet(paths[0] if len(paths) == 1 else paths[0])
+        .parquet(paths[0])
     )
 
 

@@ -24,7 +24,7 @@ stateful pipeline here REQUIRES a watermark for that reason.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -299,6 +299,17 @@ def stream_neardup_ingest(
     — the at-least-once-to-exactly-once argument the reference made
     with XOR acks (crane_master.py:86-94), rebuilt on content.
 
+    Documents with fewer than `shingle_n` tokens have NO shingles and
+    therefore no bands; they take an EXACT-hash path instead: their
+    band row is (band=-1, band_key=md5(text)), within-batch dedup is
+    min-id-per-hash, and the cross-run probe matches on the hash but
+    only drops an arrival whose matched id actually EXISTS in the doc
+    store (guarding the crash window where bands committed but docs
+    did not). Bands are written BEFORE docs so that a crash between
+    the two appends leaves the index over-complete (harmless — the
+    replay's doc-store check resolves it) rather than under-complete
+    (which would let a replayed short doc re-append).
+
     At 100 TB: the band index is (band, band_key, id) — narrow rows,
     bucketable on band_key so the per-batch probe is a pruned scan;
     verification reads only candidate-matched documents.
@@ -307,6 +318,7 @@ def stream_neardup_ingest(
         minhash_bands,
         minhash_signatures,
         shingle_sets,
+        tokens,
     )
 
     docs_store = store_path + "/docs"
@@ -334,7 +346,16 @@ def stream_neardup_ingest(
         import os
 
         spark = batch.sparkSession
-        b = batch.dropDuplicates([id_col]).localCheckpoint(eager=True)
+        ball = batch.dropDuplicates([id_col]).localCheckpoint(eager=True)
+        # Split on shingle-ability: short docs (< shingle_n tokens)
+        # have no bands and take the exact-hash path below.
+        n_toks = F.size(tokens(text_col))
+        b = ball.filter(n_toks >= shingle_n)
+        short = (
+            ball.filter(n_toks < shingle_n)
+            .withColumn("_h", F.md5(F.col(text_col)))
+            .localCheckpoint(eager=True)
+        )
         sets = shingle_sets(b, text_col, id_col, shingle_n).localCheckpoint(eager=True)
         bands = minhash_bands(
             minhash_signatures(b, text_col, id_col, shingle_n), id_col
@@ -365,8 +386,19 @@ def stream_neardup_ingest(
         )
         keep = b.join(dropped, id_col, "left_anti")
 
-        # (3) against the persisted index: probe colliding buckets only
-        if os.path.exists(index_store):
+        # (2b) within-batch short docs: exact dedup, min-id keeper
+        keep_short = short.join(
+            short.groupBy("_h").agg(F.min(id_col).alias(id_col)),
+            [id_col, "_h"],
+            "left_semi",
+        )
+
+        # (3) against the persisted index: probe colliding buckets
+        # only. Bands are written before docs, so the index can exist
+        # while the doc store does not (crash between the appends) —
+        # an absent doc store means nothing is truly ingested and
+        # every index hit must resolve to "not stored, keep".
+        if os.path.exists(index_store) and os.path.exists(docs_store):
             idx = spark.read.parquet(index_store)
             hits = (
                 bands.join(keep.select(id_col), id_col, "left_semi")
@@ -390,11 +422,43 @@ def stream_neardup_ingest(
             )
             keep = keep.join(matched, id_col, "left_anti")
 
+            # short docs: hash hit is proof of duplication IF the
+            # matched doc really exists in the store (bands may be
+            # over-complete after a bands-committed/docs-crashed run)
+            stored_ids = spark.read.parquet(docs_store).select(id_col)
+            short_hits = (
+                short.select(F.col(id_col), F.col("_h").alias("band_key"))
+                .join(
+                    idx.filter(F.col("band") == F.lit(-1)).select(
+                        "band_key", F.col(id_col).alias("id_b")
+                    ),
+                    "band_key",
+                )
+                .join(
+                    stored_ids.select(F.col(id_col).alias("id_b")),
+                    "id_b",
+                    "left_semi",
+                )
+                .select(id_col)
+                .distinct()
+            )
+            keep_short = keep_short.join(short_hits, id_col, "left_anti")
+
         keep = keep.localCheckpoint(eager=True)
-        keep.write.mode("append").parquet(docs_store)
-        bands.join(keep.select(id_col), id_col, "left_semi").write.mode(
-            "append"
-        ).parquet(index_store)
+        keep_short = keep_short.localCheckpoint(eager=True)
+
+        # Bands FIRST (index over-complete on crash, never under-):
+        new_bands = bands.join(keep.select(id_col), id_col, "left_semi").unionByName(
+            keep_short.select(
+                F.col(id_col),
+                F.lit(-1).alias("band"),
+                F.col("_h").alias("band_key"),
+            )
+        )
+        new_bands.write.mode("append").parquet(index_store)
+        keep.unionByName(keep_short.drop("_h")).write.mode("append").parquet(
+            docs_store
+        )
 
     return (
         docs.writeStream.foreachBatch(ingest)
@@ -404,42 +468,66 @@ def stream_neardup_ingest(
     )
 
 
+def _streaming_query_id(checkpoint: str) -> str:
+    """The StreamingQuery's stable id from the checkpoint's `metadata`
+    file (written at query start, BEFORE batch 0; preserved across
+    restarts on the same checkpoint, regenerated if the checkpoint is
+    lost). This is the txn-scoping id Delta calls `txnAppId`."""
+    import json as _json
+    import os
+
+    meta = os.path.join(checkpoint.removeprefix("file:"), "metadata")
+    with open(meta) as fh:
+        return _json.load(fh)["id"]
+
+
 def stream_append_idempotent(
     df: DataFrame, path: str, checkpoint: str
 ) -> StreamingQuery:
-    """foreachBatch append sink with a BATCH-ID LEDGER: before writing
-    micro-batch N, the writer checks a ledger of committed batch ids
-    and skips N if present; after a successful append it records N.
-    This converts foreachBatch's at-least-once replay (a crash between
-    the write and the checkpoint commit re-runs the batch) into
-    effective exactly-once for sinks with no native transactions — the
-    recipe Delta/Iceberg implement internally with (queryId, batchId)
-    txn metadata, spelled out over plain parquet.
+    """foreachBatch parquet sink with EXACTLY-ONCE batch application:
+    micro-batch N writes `mode("overwrite")` into its own directory
+    `data/<queryId>/batch-N`, so a replayed batch (crash between the
+    data write and the checkpoint commit re-runs it) REPLACES its own
+    previous output instead of appending next to it — idempotence by
+    construction, with no atomicity gap between a data append and a
+    ledger append (there is no ledger on the correctness path).
 
-    Ledger writes are tiny one-row parquet appends; the check is a
-    metadata-sized read. Contrast with `stream_to_parquet` (Spark's
-    parquet sink has its own WAL/manifest) — this pattern is for
-    DESTINATIONS Spark doesn't manage: external stores, REST calls,
-    multi-table writes that must apply once.
-    """
+    A marker file `ledger/<queryId>-N.done` (tmp + atomic rename) is
+    written after the commit purely as a FAST-PATH: a replayed batch
+    whose marker exists skips recompute entirely. The check is one
+    O(1) filesystem stat — never a scan of committed-batch history —
+    so a year-long stream pays the same per-batch cost as batch 0.
+
+    Scoping by queryId (read from the checkpoint metadata, the id
+    Delta calls txnAppId) means a REBUILT checkpoint — whose batch ids
+    restart at 0 but whose batch 0 may now contain different data —
+    never trusts stale state: it writes under a fresh queryId subdir.
+    The failure direction after checkpoint loss is therefore
+    at-least-once (re-delivery, visible duplicates across queryIds),
+    never silent data loss. Read the sink with
+    `read_idempotent_sink`, which recurses into the per-batch dirs.
+
+    Contrast with `stream_to_parquet` (Spark's parquet sink has its
+    own WAL/manifest) — this pattern is for destinations Spark doesn't
+    manage itself."""
     import os
 
     data_dir = path + "/data"
     ledger_dir = path + "/ledger"
 
     def append_once(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        if os.path.exists(ledger_dir):
-            done = {
-                r["batch_id"]
-                for r in spark.read.parquet(ledger_dir).collect()
-            }
-            if batch_id in done:
-                return  # replayed batch: already applied
-        batch.write.mode("append").parquet(data_dir)
-        spark.createDataFrame([(batch_id,)], "batch_id long").coalesce(1).write.mode(
-            "append"
-        ).parquet(ledger_dir)
+        qid = _streaming_query_id(checkpoint)
+        marker = os.path.join(ledger_dir, f"{qid}-{batch_id}.done")
+        if os.path.exists(marker):
+            return  # replayed batch: already fully applied
+        batch.write.mode("overwrite").parquet(
+            os.path.join(data_dir, qid, f"batch-{batch_id}")
+        )
+        os.makedirs(ledger_dir, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("")
+        os.rename(tmp, marker)  # atomic on POSIX
 
     return (
         df.writeStream.foreachBatch(append_once)
@@ -447,3 +535,10 @@ def stream_append_idempotent(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_idempotent_sink(spark: SparkSession, path: str) -> DataFrame:
+    """Read everything `stream_append_idempotent` committed (all query
+    ids, all batches): per-batch subdirectories need a recursive file
+    listing, which stays a planning-time metadata operation."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(path + "/data")

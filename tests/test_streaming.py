@@ -663,13 +663,70 @@ def test_stream_neardup_ingest_replay_idempotent(spark, tmp_path):
 
 
 def test_idempotent_append_sink_survives_replay(spark, tmp_path):
-    """The batch-id ledger makes foreachBatch appends exactly-once
-    under replay: deleting the CHECKPOINT (so every batch re-runs)
-    must not duplicate a single row, because the ledger remembers the
-    applied batch ids."""
+    """Replay of a batch on the SAME checkpoint (the crash-between-
+    write-and-commit case, simulated by deleting the commit record so
+    Spark re-runs batch 0 under the same query id) must not duplicate
+    a row — once via the marker fast path, once via the per-batch
+    overwrite with the marker gone (the crashed-before-marker case)."""
+    import os
+
+    from crane_spark.streaming.pipelines import (
+        read_idempotent_sink,
+        stream_append_idempotent,
+    )
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(10).coalesce(1).write.parquet(src)
+
+    def run():
+        q = stream_append_idempotent(
+            spark.readStream.schema("id bigint").parquet(src), out, ckpt
+        )
+        q.awaitTermination(120)
+
+    def uncommit():
+        # drop the commit record (and its Hadoop checksum sidecar) so
+        # Spark re-runs batch 0 under the SAME query id
+        os.remove(os.path.join(ckpt, "commits", "0"))
+        crc = os.path.join(ckpt, "commits", ".0.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    run()
+    assert read_idempotent_sink(spark, out).count() == 10
+
+    # replay with the marker present: fast-path skip
+    uncommit()
+    run()
+    got = sorted(r["id"] for r in read_idempotent_sink(spark, out).collect())
+    assert got == list(range(10))
+
+    # replay with the marker ALSO lost: overwrite path replaces the
+    # batch's own directory instead of appending next to it
+    uncommit()
+    for m in os.listdir(out + "/ledger"):
+        os.remove(os.path.join(out, "ledger", m))
+    run()
+    got = sorted(r["id"] for r in read_idempotent_sink(spark, out).collect())
+    assert got == list(range(10))
+    markers = os.listdir(out + "/ledger")
+    assert len(markers) == 1 and markers[0].endswith("-0.done")
+
+
+def test_idempotent_append_sink_checkpoint_loss_is_at_least_once(spark, tmp_path):
+    """Total checkpoint loss regenerates the query id, so the rebuilt
+    batch 0 (which may now hold DIFFERENT data) is applied under a
+    fresh scope: the failure direction is visible re-delivery, never
+    the silent data loss a batch-id-only ledger would cause by
+    trusting stale ids."""
     import shutil
 
-    from crane_spark.streaming.pipelines import stream_append_idempotent
+    from crane_spark.streaming.pipelines import (
+        read_idempotent_sink,
+        stream_append_idempotent,
+    )
 
     src = str(tmp_path / "in")
     out = str(tmp_path / "out")
@@ -683,10 +740,56 @@ def test_idempotent_append_sink_survives_replay(spark, tmp_path):
         q.awaitTermination(120)
 
     run()
-    assert spark.read.parquet(out + "/data").count() == 10
-    shutil.rmtree(ckpt)  # force full replay of batch 0
+    shutil.rmtree(ckpt)
+    # new data lands after the checkpoint is lost: the rebuilt batch 0
+    # covers MORE than the original batch 0 did
+    spark.range(10, 15).coalesce(1).write.mode("append").parquet(src)
     run()
-    got = sorted(r["id"] for r in spark.read.parquet(out + "/data").collect())
-    assert got == list(range(10))  # no duplicates
-    ledger = [r["batch_id"] for r in spark.read.parquet(out + "/ledger").collect()]
-    assert ledger == [0]
+    got = sorted(r["id"] for r in read_idempotent_sink(spark, out).collect())
+    # old rows duplicated (at-least-once), new rows PRESENT (no loss)
+    assert got == sorted(list(range(10)) * 2 + list(range(10, 15)))
+
+
+def test_stream_neardup_ingest_short_docs(spark, tmp_path):
+    """Documents with fewer than shingle_n tokens have no bands; the
+    exact-hash path must still dedup them within-batch, across runs,
+    and across checkpoint loss (replay idempotence)."""
+    import shutil
+
+    from crane_spark.streaming.pipelines import stream_neardup_ingest
+
+    src = str(tmp_path / "docs")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    def run():
+        q = stream_neardup_ingest(
+            spark.readStream.schema(schema).parquet(src), store, ckpt
+        )
+        q.awaitTermination(120)
+
+    # within-batch: two identical short docs -> min-id kept
+    spark.createDataFrame(
+        [(1, "hi there"), (2, "hi there"), (3, "bye now")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    got1 = sorted(r["doc_id"] for r in spark.read.parquet(store + "/docs").collect())
+    assert got1 == [1, 3]
+
+    # across runs: a repeat short doc drops, a novel one lands
+    spark.createDataFrame([(5, "hi there"), (6, "so long")], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run()
+    got2 = sorted(r["doc_id"] for r in spark.read.parquet(store + "/docs").collect())
+    assert got2 == [1, 3, 6]
+
+    # checkpoint loss -> full replay: short docs must not re-append
+    shutil.rmtree(ckpt)
+    run()
+    got3 = sorted(r["doc_id"] for r in spark.read.parquet(store + "/docs").collect())
+    assert got3 == [1, 3, 6]
+    # exact-hash rows live in the index under band = -1
+    bands = spark.read.parquet(store + "/bands")
+    assert bands.filter("band = -1").count() >= 3
