@@ -118,11 +118,18 @@ def test_multimodal_feature_extraction_plumbing(spark):
     assert by_id[2]["n_bytes"] == 0
 
 
-def test_multimodal_decode_stub_raises_without_fake(spark):
+def test_multimodal_undecodable_assets_quarantine_not_crash(spark):
+    """The real decode path must never kill a 100 TB scan on malformed
+    bytes: unrecognized containers produce null-feature rows (metadata
+    intact), and on_error='raise' opts back into failing fast."""
     import pytest
 
-    with pytest.raises(Exception, match="NotImplementedError|decode"):
-        extract_features(_assets(spark), fake=False).collect()
+    out = {r["asset_id"]: r for r in extract_features(_assets(spark), fake=False).collect()}
+    assert len(out) == 3  # every row survives
+    assert all(out[i]["feature"] is None for i in out)  # none decodable
+    assert out[0]["n_bytes"] == 40  # metadata still real
+    with pytest.raises(Exception, match="undecodable"):
+        extract_features(_assets(spark), fake=False, on_error="raise").collect()
 
 
 def test_multimodal_frame_sampling(spark):
@@ -262,9 +269,8 @@ def test_multimodal_features_feed_ann_store(spark):
 def test_multimodal_resize_roundtrip(spark):
     """Resize plumbing: binary in -> smaller binary out with typed
     before/after metadata; small assets pass through untouched;
-    distinct inputs stay distinct. (Real codec stubbed: fake=True.)"""
-    import pytest
-
+    distinct inputs stay distinct. (fake=True byte-stride path; the
+    real codec path is covered in test_codecs.py.)"""
     from crane_spark.llm.multimodal import resize_assets
 
     rows = [
@@ -277,8 +283,9 @@ def test_multimodal_resize_roundtrip(spark):
     assert out[1]["orig_bytes"] == 2048 and out[1]["resized_bytes"] <= 256
     assert bytes(out[2]["data"]) == b"tiny" and out[2]["resized_bytes"] == 4
     assert bytes(out[1]["data"]) != bytes(out[3]["data"])
-    with pytest.raises(Exception, match="NotImplementedError|resize"):
-        resize_assets(assets, 256, fake=False).collect()
+    # real path: undecodable bytes pass through UNCHANGED (quarantine)
+    real = {r["asset_id"]: r for r in resize_assets(assets, 256, fake=False).collect()}
+    assert bytes(real[1]["data"]) == bytes(range(256)) * 8
 
 
 def test_kmeans_train_reduces_inertia(spark, sf_dir):
