@@ -435,11 +435,14 @@ def drop_duplicate_spans(
 # Dense-regime gates for the exact similarity self-join: total
 # multiply-adds across the cluster (n^2 * V, blockwise) and unpacked
 # per-worker matrix cells (n * V float32). Both bound memory AND the
-# broadcast: the packed bitmap is n*V/8 bytes (<= ~25 MB at the cell
-# budget). Corpus-scale inputs exceed either budget and take the
-# indexed prefix-join path.
+# broadcast; corpus-scale inputs exceed either budget and take the
+# indexed prefix-join path. The cell budget is MEASURED, not sized
+# from memory alone: at 8.1M cells (500 docs x 16k vocab) the sparse
+# path already wins by ~12%, while at 4.7M cells (5000 docs x 931
+# vocab) dense wins 6x — 6M is the crossover the SCALE.md regime
+# table pins on both corpus shapes at sf0.01 and sf0.1.
 _DENSE_PAIR_OPS_BUDGET = 200_000_000_000
-_DENSE_MATRIX_CELLS_BUDGET = 50_000_000
+_DENSE_MATRIX_CELLS_BUDGET = 6_000_000
 
 
 def _dense_bitset_pairs(

@@ -1,0 +1,287 @@
+"""Graph-based ANN: distributed k-NN-graph construction (NN-Descent)
+plus greedy beam search — the navigable-graph family (HNSW and
+kin) re-expressed for a shared-nothing engine.
+
+True HNSW insertion is inherently sequential (every insert greedily
+descends the graph built so far), which shards poorly. The standard
+distributed substitute keeps the two properties that matter —
+a neighborhood graph whose edges approximate each point's true
+nearest neighbors, and sublinear search by greedy expansion — while
+replacing sequential insertion with NN-DESCENT (Dong et al., WWW'11,
+public literature): start from a cheap blocked approximation, then
+iterate "a neighbor of my neighbor is probably my neighbor", each
+round one self-join + exact re-score + per-node top-k. Every step is
+a DataFrame op (joins, windows, JVM HOF cosines from
+functions.vectors); convergence is geometric in practice.
+
+Search is frontier expansion over the edge table: seed each query
+with `entry` well-spread nodes, then `hops` rounds of (frontier join
+edges -> score new candidates -> keep beam best), accumulating the
+scored set; top-k of the accumulation is the answer. Each hop touches
+only edge partitions reachable from the frontier — at 100 TB the
+edge table is bucketed by source node so a hop is a co-located join,
+and queries batch through the same hop loop together.
+
+Contrast with IVF (llm.similarity): IVF prunes by a global partition
+(cells) and pays recall at cell boundaries; the graph path follows
+local geometry and degrades more gracefully on clustered data, at
+the cost of building/storing ~k edges per point. Both exist here
+because a real corpus pipeline tiers them (IVF to route, graph to
+refine within a routed shard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crane_spark.functions.vectors import to_double_vec, vec_norm
+from crane_spark.llm.similarity import ROUND_DIGITS, ivf_assign
+from crane_spark.tables import fan_out
+
+# score = rounded cosine of pre-normalized vectors, id tiebreaks —
+# identical determinism contract to llm.similarity.
+
+
+def _normalized(vectors: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    v = fan_out(vectors).select(F.col(id_col), to_double_vec(vec_col).alias("dv"))
+    v = v.select(id_col, "dv", vec_norm(F.col("dv")).alias("nrm"))
+    return v.select(
+        id_col, F.transform("dv", lambda x: x / F.col("nrm")).alias("nv")
+    )
+
+
+def _spread_sample(df: DataFrame, id_col: str, m: int, n: int) -> DataFrame:
+    """Deterministic spread sample: every ceil(n/m)-th row in id
+    order. Unlike a lowest-id prefix (which concentrates in whatever
+    region owns the small ids), a strided sample covers the id range —
+    which is what both the blocked init and the search entry set need
+    to be NAVIGABLE from everywhere."""
+    stride = max(1, -(-n // m))
+    w = Window.orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") - 1) % stride == 0)
+        .drop("_rn")
+        .limit(m)
+    )
+
+
+def _pair_cos(a: str, b: str):
+    return F.round(
+        F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        ROUND_DIGITS,
+    )
+
+
+def _topk_edges(scored: DataFrame, k: int) -> DataFrame:
+    """Keep each src's k best (cosine desc, dst asc) — the pruning
+    that bounds the graph at k edges/node."""
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("src", "dst", "cosine")
+    )
+
+
+def knn_graph_build(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    init_cells: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Build an approximate k-NN edge table (src, dst, cosine) by
+    NN-Descent.
+
+    Init: IVF-style blocking — assign vectors to ``init_cells``
+    deterministic centroids (a strided id-order sample, so the anchors
+    cover the id range) and take exact within-cell top-k — UNIONED
+    with k hash-pseudo-random partners per node. The random half is
+    load-bearing, not decoration: NN-Descent's convergence argument
+    assumes a diverse init, and a purely blocked start can strand a
+    small group whose true neighborhood is scattered across cells in
+    a closed mutual-neighbor set that neighbor-of-neighbor expansion
+    never escapes (observed on clustered fixtures). xxhash64(src, j)
+    partners are deterministic, so builds reproduce bit-for-bit.
+    Each refinement round
+    then joins the graph with itself (neighbors-of-neighbors), adds
+    REVERSE edges (u is a candidate neighbor of its own neighbors —
+    the half of NN-Descent that repairs asymmetric cells), re-scores
+    exactly, and re-prunes to top-k. Rounds are localCheckpointed:
+    iterative lineage growth is the classic Spark failure mode.
+
+    Scale shape per round: candidate generation is one self-join on
+    dst (shuffle by node id, fan-out <= k^2 per node), scoring joins
+    the (id, normalized-vector) table twice by id — broadcastable
+    while vectors fit, bucketed-join co-location beyond that.
+    """
+    n = vectors.count()
+    if init_cells is None:
+        init_cells = max(1, int(n**0.5 / 2))
+    centroids = _spread_sample(vectors, id_col, init_cells, n).select(
+        F.col(id_col).alias("centroid_id"), vec_col
+    )
+    assigned = ivf_assign(vectors, centroids, vec_col, id_col).select(
+        id_col, "centroid_id"
+    )
+    nv = _normalized(vectors, vec_col, id_col).localCheckpoint(eager=True)
+
+    sv = nv.select(F.col(id_col).alias("src"), F.col("nv").alias("sv"))
+    dv = nv.select(F.col(id_col).alias("dst"), F.col("nv").alias("dv"))
+
+    # blocked half: all pairs within an init cell
+    cell = assigned.select(id_col, "centroid_id")
+    in_cell = (
+        cell.select(F.col("centroid_id"), F.col(id_col).alias("src"))
+        .join(
+            cell.select(F.col("centroid_id"), F.col(id_col).alias("dst")),
+            "centroid_id",
+        )
+        .select("src", "dst")
+    )
+    # random half: k deterministic hash partners per node, resolved
+    # through a dense 0..n-1 index so arbitrary id spaces work
+    w_ix = Window.orderBy(id_col)
+    idx = nv.select(id_col).withColumn("_ix", F.row_number().over(w_ix) - 1)
+    rand = (
+        idx.select(F.col(id_col).alias("src"))
+        .crossJoin(nv.sparkSession.range(k).withColumnRenamed("id", "_j"))
+        .select(
+            "src",
+            F.pmod(F.xxhash64(F.col("src"), F.col("_j")), F.lit(n)).alias("_pix"),
+        )
+        .join(
+            idx.select(F.col(id_col).alias("dst"), F.col("_ix").alias("_pix")),
+            "_pix",
+        )
+        .select("src", "dst")
+    )
+    init_cand = (
+        in_cell.union(rand).filter(F.col("src") != F.col("dst")).distinct()
+    )
+    init_scored = (
+        init_cand.join(sv, "src")
+        .join(dv, "dst")
+        .select("src", "dst", _pair_cos("sv", "dv").alias("cosine"))
+    )
+    edges = _topk_edges(init_scored, k).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        # neighbors-of-neighbors (u -> v -> w gives candidate u -> w)
+        hop = (
+            edges.select(F.col("src"), F.col("dst").alias("mid"))
+            .join(
+                edges.select(F.col("src").alias("mid"), F.col("dst")),
+                "mid",
+            )
+            .select("src", "dst")
+        )
+        rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        cand = (
+            hop.union(rev)
+            .union(edges.select("src", "dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        scored = (
+            cand.join(sv, "src")
+            .join(dv, "dst")
+            .select("src", "dst", _pair_cos("sv", "dv").alias("cosine"))
+        )
+        edges = _topk_edges(scored, k).localCheckpoint(eager=True)
+    return edges
+
+
+def graph_search_topk(
+    queries: DataFrame,
+    vectors: DataFrame,
+    edges: DataFrame,
+    k: int = 3,
+    beam: int = 8,
+    hops: int = 3,
+    entry: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k by beam search over a k-NN graph: seed each query
+    with ``entry`` strided-sample nodes (deterministic and spread
+    across the id range — a refined k-NN graph keeps mostly LOCAL
+    edges, so navigability depends on the entry set covering the
+    space the way HNSW's upper layers do; the default scales as
+    ~sqrt(n), the same coverage law as the build's anchor count, and
+    a production deployment would pass the build's cell anchors — the
+    IVF-route-then-graph-refine tiering), then expand
+    ``hops`` rounds of frontier-neighbors, keeping the ``beam`` best
+    scored nodes per query as the next frontier and accumulating
+    everything scored; the answer is the accumulation's top-k
+    (self-matches excluded). Returns (query_id, neighbor_id, cosine,
+    rn) — schema-compatible with brute_force_topk / ivf_probe_topk so
+    recall harnesses swap implementations freely."""
+    nv = _normalized(vectors, vec_col, id_col).localCheckpoint(eager=True)
+    qv = _normalized(queries, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"), F.col("nv").alias("qv")
+    )
+
+    n = nv.count()
+    if entry is None:
+        entry = max(4, int(n**0.5))
+    entries = _spread_sample(nv, id_col, entry, n).select(
+        F.col(id_col).alias("node"), F.col("nv").alias("dv")
+    )
+    scored0 = qv.crossJoin(F.broadcast(entries)).select(
+        "query_id", "qv", F.col("node"), _pair_cos("qv", "dv").alias("cosine")
+    )
+    seen = scored0.select("query_id", "node", "cosine").localCheckpoint(eager=True)
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("node"))
+    frontier = (
+        seen.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= beam)
+        .select("query_id", "node")
+    )
+
+    dvt = nv.select(F.col(id_col).alias("node"), F.col("nv").alias("dv"))
+    for _ in range(hops):
+        nxt = (
+            frontier.join(
+                edges.select(F.col("src").alias("node"), F.col("dst")), "node"
+            )
+            .select("query_id", F.col("dst").alias("node"))
+            .distinct()
+            # only UNSEEN nodes get scored this hop
+            .join(seen.select("query_id", "node"), ["query_id", "node"], "left_anti")
+        )
+        newly = (
+            nxt.join(dvt, "node")
+            .join(qv, "query_id")
+            .select("query_id", "node", _pair_cos("qv", "dv").alias("cosine"))
+        )
+        seen = seen.union(newly).localCheckpoint(eager=True)
+        frontier = (
+            seen.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= beam)
+            .select("query_id", "node")
+        )
+
+    return (
+        seen.filter(F.col("query_id") != F.col("node"))
+        .select(
+            "query_id", F.col("node").alias("neighbor_id"), "cosine"
+        )
+        .withColumn(
+            "rn",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cosine"), F.asc("neighbor_id")
+                )
+            )
+            .cast("long"),
+        )
+        .filter(F.col("rn") <= k)
+    )

@@ -294,3 +294,22 @@ def q_embedding_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.groupBy("srp_sig").agg(
         F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("keeper_vec_id")
     )
+
+
+@register("knn_graph_topk", None, tags=("llm", "similarity", "ann", "graph", "iterative"))
+def q_knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 via the NAVIGABLE-GRAPH family (llm/graph_ann.py):
+    build an approximate k-NN graph by NN-Descent (blocked + hashed
+    init, neighbor-of-neighbor refinement), then beam-search it from a
+    spread entry set. The iterative build has no SQL expression, so
+    this is a rows-only query; recall vs the brute-force oracle is
+    pinned in tests/test_graph_ann.py. Complements `ivf_probe_topk`:
+    IVF prunes by global cells, the graph follows local geometry —
+    a 100 TB retrieval stack tiers them (route by cell, refine by
+    graph within the routed shard)."""
+    from crane_spark.llm.graph_ann import graph_search_topk, knn_graph_build
+
+    emb = table(spark, sf_dir, "embeddings")
+    edges = knn_graph_build(emb, k=6, n_iter=1)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return graph_search_topk(queries, emb, edges, k=3, beam=12, hops=2)

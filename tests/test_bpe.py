@@ -70,3 +70,68 @@ def test_bpe_local_and_distributed_regimes_agree(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(B, "LOCAL_VOCAB_MAX", 0)
     dist = B.bpe_train(docs, n_merges=6)
     assert local == dist and len(local) == 6
+
+
+def test_select_batch_exactness_rules():
+    """The batch selector must mirror classic sequential BPE: cut at
+    the first symbol conflict, drop boundary ties, fall back to the
+    argmax alone when truncation empties the batch."""
+    from crane_spark.llm.bpe import _select_batch
+
+    # disjoint prefix, conflict at rank 3 with count 5: accept >5
+    ranked = [("a", "b", 9), ("c", "d", 7), ("a", "x", 5), ("y", "z", 4)]
+    assert _select_batch(ranked, cap=10, complete=True) == [
+        ("a", "b", 9),
+        ("c", "d", 7),
+    ]
+    # tie at the conflict boundary: ('c','d') ties the conflicting
+    # count -> dropped; batch falls back to the top-1 argmax
+    ranked = [("a", "b", 9), ("c", "d", 7), ("b", "x", 7)]
+    assert _select_batch(ranked, cap=10, complete=True) == [("a", "b", 9)]
+    # top pair itself tied with a conflict: fall back to top-1
+    ranked = [("t", "h", 5), ("h", "e", 5)]
+    assert _select_batch(ranked, cap=10, complete=True) == [("t", "h", 5)]
+    # incomplete listing: unfetched pairs may tie the tail count
+    ranked = [("a", "b", 9), ("c", "d", 3)]
+    assert _select_batch(ranked, cap=10, complete=False) == [("a", "b", 9)]
+    assert _select_batch(ranked, cap=10, complete=True) == ranked
+    # cap cut behaves like a conflict at the next candidate's count
+    ranked = [("a", "b", 9), ("c", "d", 7), ("e", "f", 7)]
+    assert _select_batch(ranked, cap=2, complete=True) == [("a", "b", 9)]
+    # produced-symbol guard: ('es','t') cannot batch after ('e','s')
+    ranked = [("e", "s", 9), ("es", "t", 8)]
+    assert _select_batch(ranked, cap=10, complete=True) == [("e", "s", 9)]
+
+
+def test_bpe_batched_distributed_equals_local_classic(spark, sf_dir, monkeypatch):
+    """40 merges spanning several batched rounds (tiny candidate
+    fetch forces multiple incomplete rounds) must equal the classic
+    one-merge-at-a-time local path exactly, including tie-breaks."""
+    from crane_spark.llm import bpe as B
+    from crane_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").filter("doc_id < 150")
+    local = B.bpe_train(docs, n_merges=40)
+    monkeypatch.setattr(B, "LOCAL_VOCAB_MAX", 0)
+    monkeypatch.setattr(B, "BATCH_CANDIDATES", 16)  # force many rounds
+    dist_small = B.bpe_train(docs, n_merges=40)
+    monkeypatch.setattr(B, "BATCH_CANDIDATES", 512)
+    dist_big = B.bpe_train(docs, n_merges=40)
+    assert local == dist_small == dist_big
+    assert len(local) == 40
+
+
+def test_apply_merges_batched_replay_matches_training(spark):
+    """Inference replay with batched passes must reproduce the
+    training-side symbol sequences, including chained merges like
+    (e,s)->(es,t)->(est,</w>) that CANNOT share one pass."""
+    from crane_spark.llm.bpe import apply_merges, bpe_train
+
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    docs = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    merges = bpe_train(docs, n_merges=8)
+    seqs = {r["word"]: r["syms"] for r in apply_merges(docs, merges).collect()}
+    for w, syms in seqs.items():
+        assert "".join(syms) == w + "</w>"
+    # est</w> requires three chained passes
+    assert any("est</w>" in syms for syms in seqs.values())

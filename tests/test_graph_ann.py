@@ -1,0 +1,104 @@
+"""Graph-based ANN (llm/graph_ann.py): NN-Descent k-NN graph quality
+and beam-search recall against the brute-force oracle."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from crane_spark.llm.graph_ann import graph_search_topk, knn_graph_build
+from crane_spark.llm.similarity import brute_force_topk
+from crane_spark.tables import table
+
+
+def _clustered_vectors(spark, n_clusters=6, per=20, dim=16):
+    """Deterministic well-clustered vectors: cluster c points along
+    axis c with small per-point perturbation on a different axis —
+    nearest neighbors are overwhelmingly within-cluster."""
+    rows = []
+    for c in range(n_clusters):
+        for i in range(per):
+            v = [0.0] * dim
+            v[c] = 1.0
+            v[(c + 1 + i % (dim - 1)) % dim] = 0.05 + 0.01 * (i % 7)
+            rows.append((c * per + i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_knn_graph_edges_are_k_best_and_exact_scores(spark):
+    vecs = _clustered_vectors(spark)
+    edges = knn_graph_build(vecs, k=4, n_iter=2).collect()
+    per_src = {}
+    for r in edges:
+        per_src.setdefault(r["src"], []).append(r)
+    n = vecs.count()
+    assert len(per_src) == n  # every node keeps a neighborhood
+    for src, es in per_src.items():
+        assert len(es) <= 4
+        cosines = [r["cosine"] for r in sorted(es, key=lambda r: -r["cosine"])]
+        assert cosines == sorted(cosines, reverse=True)
+    # clustered data: after refinement, essentially all edges stay
+    # in-cluster (in-cluster cosine ~0.99 vs cross ~0.1; NN-Descent
+    # converges with high probability, not certainty)
+    in_cluster = sum(1 for r in edges if r["dst"] // 20 == r["src"] // 20)
+    assert in_cluster / len(edges) >= 0.95
+
+
+def test_nn_descent_improves_over_init(spark):
+    """Refinement rounds must not worsen the graph: the summed edge
+    cosine (graph 'quality') is monotone non-decreasing from the
+    blocked init to the refined graph, and the refined graph recovers
+    MORE true top-k edges than the init."""
+    vecs = _clustered_vectors(spark)
+    exact = brute_force_topk(vecs, vecs, k=4)
+    true_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    def quality(n_iter):
+        e = knn_graph_build(vecs, k=4, n_iter=n_iter, init_cells=3).collect()
+        pairs = {(r["src"], r["dst"]) for r in e}
+        return sum(r["cosine"] for r in e), len(pairs & true_pairs)
+
+    q0, hits0 = quality(0)
+    q2, hits2 = quality(2)
+    assert q2 >= q0
+    assert hits2 >= hits0
+    assert hits2 / len(true_pairs) >= 0.9  # near-exact on clustered data
+
+
+def test_graph_search_recall_vs_brute_force(spark):
+    vecs = _clustered_vectors(spark)
+    edges = knn_graph_build(vecs, k=4, n_iter=2)
+    queries = vecs.filter(F.col("vec_id") % 17 == 0)
+    ann = graph_search_topk(queries, vecs, edges, k=3, beam=8, hops=3).collect()
+    exact = brute_force_topk(queries, vecs, k=3).collect()
+    ann_pairs = {(r["query_id"], r["neighbor_id"]) for r in ann}
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    assert len(ann_pairs & exact_pairs) / len(exact_pairs) >= 0.8
+    # contract: ordering within each query is by cosine desc
+    by_q = {}
+    for r in sorted(ann, key=lambda r: (r["query_id"], r["rn"])):
+        by_q.setdefault(r["query_id"], []).append(r["cosine"])
+    for cosines in by_q.values():
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_graph_search_on_fixture_embeddings(spark, sf_dir):
+    """Random fixture embeddings (the hard case for any ANN): the
+    search must return exactly k rows per query, only genuine ids,
+    and nonzero overlap with the exact answer."""
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    edges = knn_graph_build(emb, k=6, n_iter=1)
+    queries = emb.filter(F.col("vec_id") < 5)
+    ann = graph_search_topk(queries, emb, edges, k=3, beam=12, hops=2).collect()
+    ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    per_q = {}
+    for r in ann:
+        assert r["neighbor_id"] in ids and r["neighbor_id"] != r["query_id"]
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    assert all(len(v) == 3 for v in per_q.values())
+    exact = brute_force_topk(queries, emb, k=3).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    ann_pairs = {(r["query_id"], r["neighbor_id"]) for r in ann}
+    assert len(ann_pairs & exact_pairs) > 0
