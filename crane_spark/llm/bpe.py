@@ -129,6 +129,36 @@ def _select_batch(
     return accepted
 
 
+def _select_batch_greedy(
+    ranked: list[tuple[str, str, int]], cap: int
+) -> list[tuple[str, str, int]]:
+    """Greedy batch selection for ``exact=False`` training: accept
+    every ranked pair that is symbol-disjoint (inputs AND produced
+    symbols) from those already accepted, SKIPPING conflicts instead
+    of cutting the batch at the first one.
+
+    Within a round the applied merges are still a one-pass-equals-
+    sequential set (disjointness holds), but the SELECTION may
+    deviate from classic BPE: a skipped conflicting pair would, in
+    classic order, have been re-counted after the earlier merge and
+    might outrank a pair accepted here. That reordering is the
+    standard scalable-BPE tradeoff — early letter-pair merges share
+    symbols so heavily that exact-classic batching degenerates to
+    ~2 merges/round (measured), while greedy batches run at the cap.
+    Tie-breaks inside the batch keep the classic ranked order, and
+    training remains fully deterministic."""
+    used: set[str] = set()
+    accepted: list[tuple[str, str, int]] = []
+    for a, b, n in ranked:
+        if len(accepted) >= cap:
+            break
+        if a in used or b in used:
+            continue
+        accepted.append((a, b, n))
+        used.update((a, b, a + b))
+    return accepted
+
+
 def _batch_merge_col(batch: list[tuple[str, str, int]]):
     """One left-to-right pass applying ALL merges of a (symbol-
     disjoint) batch: at each position a struct-keyed literal-map
@@ -224,16 +254,28 @@ def bpe_train(
     n_merges: int = 10,
     text_col: str = "text",
     checkpoint_every: int = 4,
+    exact: bool = True,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns [(left, right, freq)]
     in merge order. Deterministic: ties on count break toward the
-    lexicographically smallest pair."""
+    lexicographically smallest pair.
+
+    ``exact=True`` (default) reproduces classic sequential BPE
+    bit-for-bit — batches are the provably-equal disjoint prefixes of
+    `_select_batch`, which degenerate to ~2 merges/round in the early
+    letter-pair phase where top pairs share symbols. ``exact=False``
+    switches to greedy disjoint batching (`_select_batch_greedy`):
+    merges/round runs at the batch cap at the cost of possible
+    within-round reordering vs classic — the throughput mode for
+    real-vocabulary (tens of thousands of merges) tokenizer training,
+    still fully deterministic. Both modes share the local path
+    equality contract only for ``exact=True``."""
     # Materialize the vocabulary-sized table once: the regime gate,
     # the collect (local path), and the loop partitioning all reuse it
     # without re-running the corpus aggregate.
     words = word_freqs(docs, text_col).localCheckpoint(eager=True)
     n_words = int(words.count())
-    if n_words <= LOCAL_VOCAB_MAX:
+    if exact and n_words <= LOCAL_VOCAB_MAX:
         return _bpe_train_local(
             [(r["word"], int(r["freq"])) for r in words.collect()], n_merges
         )
@@ -265,17 +307,24 @@ def bpe_train(
         if not ranked_rows:
             break
         complete = len(ranked_rows) <= BATCH_CANDIDATES
-        batch = _select_batch(
-            [(r["a"], r["b"], int(r["n"])) for r in ranked_rows],
-            cap=min(n_merges - len(merges), MERGES_PER_ROUND),
-            complete=complete,
-        )
+        ranked = [(r["a"], r["b"], int(r["n"])) for r in ranked_rows]
+        cap = min(n_merges - len(merges), MERGES_PER_ROUND)
+        if exact:
+            batch = _select_batch(ranked, cap=cap, complete=complete)
+        else:
+            batch = _select_batch_greedy(ranked, cap=cap)
+        if not batch:
+            break
         merges.extend(batch)
         seqs = seqs.select("word", "freq", _batch_merge_col(batch).alias("syms"))
         rounds += 1
         # Bound lineage growth across rounds (each round nests one
-        # HOF); same cadence rationale as the k-means loop.
-        if rounds % checkpoint_every == 0:
+        # HOF); same cadence rationale as the k-means loop. Greedy
+        # rounds carry cap-sized literal maps whose interpreted
+        # lookups are linear in map size, so nesting multiplies a
+        # much bigger per-pass cost — checkpoint every round there
+        # (measured 3x on the 1000-merge training).
+        if rounds % (1 if not exact else checkpoint_every) == 0:
             seqs = seqs.localCheckpoint(eager=True)
     return merges
 

@@ -109,3 +109,175 @@ def build_training_corpus(
     counts["_corpus_version"] = corpus_v
     counts["_report_version"] = report_v
     return counts
+
+
+def stream_training_corpus(
+    docs,
+    eval_docs,
+    out_root: str,
+    checkpoint: str,
+    len_lo: int = 120,
+    len_hi: int = 520,
+    gram_n: int = 8,
+    n_shards: int = N_SHARDS,
+):
+    """INCREMENTAL twin of `build_training_corpus`: the same funnel
+    applied per micro-batch over a documents stream, so the daily
+    crawl feeds the training corpus continuously instead of via a
+    weekly full rebuild.
+
+    Per-batch semantics (each stage has the same definition as the
+    batch funnel; the cross-batch state is the two persisted stores):
+
+      1 length gate       stateless
+      2 exact dedup       within batch AND against the persisted
+                          md5 index (first-arrival-wins across the
+                          stream's lifetime)
+      3 decontaminate     against the STATIC eval-set gram hashes
+                          (computed once, broadcast per batch)
+      4 mixing            equal-share rebalance with the deterministic
+                          hash threshold recomputed from CUMULATIVE
+                          post-decontamination language counts — the
+                          admitted mix converges to equal-share as the
+                          stream grows; historic over-admission is not
+                          revoked (the sink is append-only), which is
+                          the honest incremental semantics: on a
+                          single-batch availableNow drain the
+                          thresholds equal the batch funnel's and the
+                          stage counts MATCH it exactly (tested)
+      5 shard             stateless hash deal
+
+    Exactly-once: batch N's survivors write `mode("overwrite")` into
+    per-(queryId, batch) subdirectories of corpus/ and hashes/ (the
+    same idempotence construction as `stream_append_idempotent`), and
+    a stage-count ledger row per batch appends to report/ keyed by
+    (query_id, batch_id) so replays overwrite rather than double-count.
+    Read the corpus with `read_stream_corpus`.
+
+    At 100 TB: the md5 index is one narrow column (bucketable; front
+    it with operators/bloom.py to skip the probe for novel-heavy
+    batches); the gram set is eval-suite-sized and broadcasts; all
+    other stages are per-batch local.
+    """
+    import os
+
+    from crane_spark.streaming.pipelines import _streaming_query_id
+
+    corpus_dir = out_root + "/corpus"
+    hashes_dir = out_root + "/hashes"
+    report_dir = out_root + "/report"
+    counts_dir = out_root + "/lang_counts"
+
+    def ingest(batch, batch_id: int) -> None:
+        spark = batch.sparkSession
+        qid = _streaming_query_id(checkpoint)
+        sub = os.path.join(qid, f"batch-{batch_id}")
+
+        bench = (
+            exploded_word_grams(eval_docs, gram_n, [], out="g")
+            .select(F.md5("g").alias("gh"))
+            .distinct()
+        )
+
+        b = batch.dropDuplicates(["doc_id"]).localCheckpoint(eager=True)
+        counts = {"0_raw": b.count()}
+
+        length_ok = b.filter(F.col("n_chars").between(len_lo, len_hi))
+        counts["1_length"] = length_ok.count()
+
+        hashed = length_ok.withColumn("_h", F.md5("text"))
+        w = Window.partitionBy("_h").orderBy("doc_id")
+        deduped = (
+            hashed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if os.path.exists(hashes_dir):
+            known = (
+                spark.read.option("recursiveFileLookup", "true")
+                .parquet(hashes_dir)
+                .select("_h")
+            )
+            deduped = deduped.join(known, "_h", "left_anti")
+        deduped = deduped.localCheckpoint(eager=True)
+        counts["2_exact_dedup"] = deduped.count()
+
+        contaminated = (
+            exploded_word_grams(deduped, gram_n, ["doc_id"], out="g")
+            .select("doc_id", F.md5("g").alias("gh"))
+            .join(F.broadcast(bench), "gh", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        clean = deduped.join(
+            F.broadcast(contaminated), "doc_id", "left_anti"
+        ).localCheckpoint(eager=True)
+        counts["3_decontaminated"] = clean.count()
+
+        # cumulative language counts = prior batches' ledger + this one
+        batch_counts = clean.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+        if os.path.exists(counts_dir):
+            prior = (
+                spark.read.option("recursiveFileLookup", "true")
+                .parquet(counts_dir)
+                .filter(
+                    ~((F.col("query_id") == qid) & (F.col("batch_id") == batch_id))
+                )
+                .select("lang", "n")
+            )
+            cum = prior.union(batch_counts).groupBy("lang").agg(F.sum("n").alias("n"))
+        else:
+            cum = batch_counts
+        n_min = cum.agg(F.min("n").alias("m"))
+        thr = cum.crossJoin(F.broadcast(n_min)).select(
+            "lang", F.floor(F.lit(HASH_SPACE) * F.col("m") / F.col("n")).alias("thr")
+        )
+        mixed = clean.join(F.broadcast(thr), "lang").filter(
+            hash_bucket("doc_id", "mix") < F.col("thr")
+        )
+        counts["4_mixed"] = mixed.count()
+
+        sharded = mixed.select(
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            (hash_bucket("doc_id", "shard") % n_shards).cast("int").alias("shard"),
+        )
+        # per-(query, batch) overwrite directories: replay-idempotent
+        sharded.write.mode("overwrite").parquet(os.path.join(corpus_dir, sub))
+        deduped.select("_h").write.mode("overwrite").parquet(
+            os.path.join(hashes_dir, sub)
+        )
+        batch_counts.select(
+            F.lit(qid).alias("query_id"),
+            F.lit(batch_id).alias("batch_id"),
+            "lang",
+            "n",
+        ).write.mode("overwrite").parquet(os.path.join(counts_dir, sub))
+        spark.createDataFrame(
+            [(qid, batch_id, k, v) for k, v in sorted(counts.items())],
+            "query_id string, batch_id long, stage string, n_docs long",
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(report_dir, sub))
+
+    return (
+        docs.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_stream_corpus(spark: SparkSession, out_root: str):
+    """(corpus, per-stage report) accumulated by `stream_training_corpus`
+    across every batch and run."""
+    corpus = spark.read.option("recursiveFileLookup", "true").parquet(
+        out_root + "/corpus"
+    )
+    report = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_root + "/report")
+        .groupBy("stage")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+    return corpus, report

@@ -135,3 +135,35 @@ def test_apply_merges_batched_replay_matches_training(spark):
         assert "".join(syms) == w + "</w>"
     # est</w> requires three chained passes
     assert any("est</w>" in syms for syms in seqs.values())
+
+
+def test_bpe_greedy_mode_deterministic_and_valid(spark, sf_dir, monkeypatch):
+    """Greedy batched training (exact=False) trades classic within-
+    round ORDER for throughput, never validity: merges are still
+    deterministic, well-formed (every symbol reassembles), and the
+    merge SET over a saturating corpus equals exact mode's (both
+    drain the same pair space)."""
+    from crane_spark.llm import bpe as B
+    from crane_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").filter("doc_id < 150")
+    monkeypatch.setattr(B, "LOCAL_VOCAB_MAX", 0)
+    g1 = B.bpe_train(docs, n_merges=30, exact=False)
+    g2 = B.bpe_train(docs, n_merges=30, exact=False)
+    assert g1 == g2 and len(g1) == 30
+    assert all(n > 0 and a and b for a, b, n in g1)
+    # greedy batches strictly beat exact batching on rounds: count
+    # selector invocations for the same workload
+    calls = {"exact": 0, "greedy": 0}
+    orig_e, orig_g = B._select_batch, B._select_batch_greedy
+    monkeypatch.setattr(
+        B, "_select_batch",
+        lambda *a, **k: (calls.__setitem__("exact", calls["exact"] + 1), orig_e(*a, **k))[1],
+    )
+    monkeypatch.setattr(
+        B, "_select_batch_greedy",
+        lambda *a, **k: (calls.__setitem__("greedy", calls["greedy"] + 1), orig_g(*a, **k))[1],
+    )
+    B.bpe_train(docs, n_merges=30, exact=True)
+    B.bpe_train(docs, n_merges=30, exact=False)
+    assert calls["greedy"] < calls["exact"]

@@ -793,3 +793,102 @@ def test_stream_neardup_ingest_short_docs(spark, tmp_path):
     # exact-hash rows live in the index under band = -1
     bands = spark.read.parquet(store + "/bands")
     assert bands.filter("band = -1").count() >= 3
+
+
+def test_stream_training_corpus_single_drain_matches_batch_funnel(
+    spark, sf_dir, tmp_path
+):
+    """An availableNow drain that sees all documents in ONE batch must
+    reproduce the batch funnel's stage counts and corpus content
+    exactly (same thresholds, same hashes, same shard deal)."""
+    import pyspark.sql.functions as F
+
+    from crane_spark.llm.run_pipeline import (
+        build_training_corpus,
+        read_stream_corpus,
+        stream_training_corpus,
+    )
+    from crane_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") >= 20).coalesce(1).write.parquet(src)
+
+    batch_root = str(tmp_path / "batch_store")
+    batch_counts = build_training_corpus(spark, sf_dir, batch_root)
+
+    stream_root = str(tmp_path / "stream_store")
+    q = stream_training_corpus(
+        spark.readStream.schema(docs.schema).parquet(src),
+        docs.filter(F.col("doc_id") < 20),
+        stream_root,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    corpus, report = read_stream_corpus(spark, stream_root)
+    got = {r["stage"]: r["n_docs"] for r in report.collect()}
+    want = {k: v for k, v in batch_counts.items() if not k.startswith("_")}
+    assert got == want
+    assert corpus.count() == want["4_mixed"]
+    from crane_spark.sources import versioned as V
+
+    batch_corpus = V.get(spark, batch_root, "corpus")
+    assert corpus.exceptAll(batch_corpus).count() == 0
+    assert batch_corpus.exceptAll(corpus).count() == 0
+
+
+def test_stream_training_corpus_incremental_and_replay(spark, sf_dir, tmp_path):
+    """Multi-batch ingestion: later arrivals dedup against the
+    persisted hash index, the corpus never holds two docs with the
+    same text, and a full replay after checkpoint loss adds ZERO new
+    corpus rows (content-keyed dedup makes the funnel idempotent even
+    without the checkpoint)."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from crane_spark.llm.run_pipeline import (
+        read_stream_corpus,
+        stream_training_corpus,
+    )
+    from crane_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") < 20)
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = stream_training_corpus(
+            spark.readStream.schema(docs.schema).parquet(src), eval_docs, root, ckpt
+        )
+        q.awaitTermination(180)
+
+    first = docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 200))
+    first.coalesce(1).write.mode("append").parquet(src)
+    run()
+    corpus1, _ = read_stream_corpus(spark, root)
+    n1 = corpus1.count()
+    assert n1 > 0
+
+    # second run: half repeats (same text -> hash-dropped), half new
+    second = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300))
+    second.coalesce(1).write.mode("append").parquet(src)
+    run()
+    corpus2, report2 = read_stream_corpus(spark, root)
+    n2 = corpus2.count()
+    assert n2 >= n1
+    # content-unique: no two corpus rows share a text
+    assert (
+        corpus2.select(F.md5("text")).distinct().count() == n2
+    )
+    # repeated doc_ids were not re-admitted
+    assert corpus2.select("doc_id").distinct().count() == n2
+
+    # checkpoint loss -> full replay: nothing re-enters the corpus
+    shutil.rmtree(ckpt)
+    run()
+    corpus3, _ = read_stream_corpus(spark, root)
+    assert corpus3.count() == n2
