@@ -132,8 +132,10 @@ def similarity_regime_table(spark) -> list[str]:
         D._DENSE_PAIR_OPS_BUDGET, D._DENSE_MATRIX_CELLS_BUDGET = saved
     out += [
         "",
-        "Reading: the gate selects the measured winner on both sides of the",
-        "crossover. The registered query's corpus is genuinely dense (synthetic",
+        "Reading: the gate selects the measured winner wherever the margin is",
+        "real; a boundary-case row may flip on run-to-run noise (tens of ms at",
+        "the crossover point, where both regimes cost the same by definition).",
+        "The registered query's corpus is genuinely dense (synthetic",
         "31-word vocabulary -> every 2-gram is common), where prefix filtering",
         "degenerates and the GEMM path is the right plan; the 3-gram shape",
         "crosses the cell budget at sf0.1 and takes the sparse path, which",
