@@ -68,6 +68,15 @@ def _spread_sample(df: DataFrame, id_col: str, m: int, n: int) -> DataFrame:
 
 
 def _pair_cos(a: str, b: str):
+    """JVM left-to-right dot of two normalized-vector columns,
+    rounded for deterministic ranking. An Arrow-vectorized einsum
+    variant was MEASURED SLOWER end-to-end at this workload (6.6 s ->
+    7.3 s for build+search): the per-stage Python-worker round-trips
+    outweigh the interpreted-HOF arithmetic, because the cost here is
+    dominated by the topk window shuffles and candidate distincts,
+    not the dot products. At genuinely pair-heavy scales the grouped-
+    GEMM pattern of similarity.cosine_near_dup_pairs is the switch to
+    make — per CELL, not per pair row."""
     return F.round(
         F.aggregate(
             F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
@@ -80,7 +89,11 @@ def _pair_cos(a: str, b: str):
 
 def _topk_edges(scored: DataFrame, k: int) -> DataFrame:
     """Keep each src's k best (cosine desc, dst asc) — the pruning
-    that bounds the graph at k edges/node."""
+    that bounds the graph at k edges/node. The window form measured
+    FASTER here than the aggregate-collect top-k pattern
+    (`topk_per_group_agg`): with ~k*n candidate rows per round the
+    dominant cost is the shuffle either way, and the window avoids
+    materializing per-group arrays (8.0 s -> 6.6 s end-to-end)."""
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
