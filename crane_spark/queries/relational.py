@@ -18,7 +18,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from crane_spark.functions.aggregates import dsum, sql_dsum
+from crane_spark.functions.aggregates import (
+    SQL_REVENUE_UNITS,
+    SQL_REVENUE_USUM,
+    dsum,
+    revenue_units,
+    revenue_usum,
+    sql_dsum,
+    sql_units,
+    sql_usum,
+    units,
+    usum,
+)
 from crane_spark.queries.core import register
 from crane_spark.tables import fan_out, table
 
@@ -30,8 +41,8 @@ Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        {sql_dsum('l_quantity', 2)} AS sum_qty,
        {sql_dsum('l_extendedprice', 2)} AS sum_base_price,
-       {sql_dsum('l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)', 4)} AS sum_disc_price,
-       {sql_dsum('l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * (CAST(1 AS DOUBLE) + l_tax)', 6)} AS sum_charge,
+       {SQL_REVENUE_USUM} AS sum_disc_price,
+       {sql_usum(f"{SQL_REVENUE_UNITS} * (100 + {sql_units('l_tax')})", 6)} AS sum_charge,
        {sql_dsum('l_quantity', 2)} / COUNT(*) AS avg_qty,
        {sql_dsum('l_extendedprice', 2)} / COUNT(*) AS avg_price,
        {sql_dsum('l_discount', 2)} / COUNT(*) AS avg_disc,
@@ -53,9 +64,10 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (projected, filtered) rows first. At production scale the file
     splits already parallelize the scan and fan_out is a no-op."""
     li = table(spark, sf_dir, "lineitem")
-    one = F.lit(1.0)
-    disc_price = F.col("l_extendedprice") * (one - F.col("l_discount"))
-    charge = disc_price * (one + F.col("l_tax"))
+    # Money products run in exact integer fixed-point units (see
+    # aggregates.units): the double products rounded differently in
+    # Spark vs DuckDB at the sf1 rung (adjacent-double sum_charge).
+    charge_units = revenue_units() * (F.lit(100) + units("l_tax"))
     n = F.count(F.lit(1))
     needed = [
         "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
@@ -71,8 +83,8 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity", 2).alias("sum_qty"),
             dsum("l_extendedprice", 2).alias("sum_base_price"),
-            dsum(disc_price, 4).alias("sum_disc_price"),
-            dsum(charge, 6).alias("sum_charge"),
+            revenue_usum().alias("sum_disc_price"),
+            usum(charge_units, 6).alias("sum_charge"),
             (dsum("l_quantity", 2) / n).alias("avg_qty"),
             (dsum("l_extendedprice", 2) / n).alias("avg_price"),
             (dsum("l_discount", 2) / n).alias("avg_disc"),
@@ -83,7 +95,7 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = f"""
 SELECT l_orderkey,
-       {sql_dsum('l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)', 4)} AS revenue,
+       {SQL_REVENUE_USUM} AS revenue,
        o_orderdate, o_orderpriority
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -108,12 +120,11 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
-    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(revenue, 4).alias("revenue"))
+        .agg(revenue_usum().alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -122,7 +133,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q5_SQL = f"""
 SELECT n_name,
-       {sql_dsum('l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)', 4)} AS revenue
+       {SQL_REVENUE_USUM} AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -149,7 +160,6 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -160,12 +170,12 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(dsum(revenue, 4).alias("revenue"))
+        .agg(revenue_usum().alias("revenue"))
     )
 
 
 Q6_SQL = f"""
-SELECT {sql_dsum('l_extendedprice * l_discount', 4)} AS revenue,
+SELECT {sql_usum(f"{sql_units('l_extendedprice')} * {sql_units('l_discount')}", 4)} AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -187,7 +197,7 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.06)
         & (F.col("l_quantity") < 24)
     ).agg(
-        dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
+        usum(units("l_extendedprice") * units("l_discount"), 4).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 

@@ -20,15 +20,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crane_spark.functions.aggregates import dsum, sql_dsum
+from crane_spark.functions.aggregates import (
+    SQL_REVENUE_UNITS,
+    SQL_REVENUE_USUM,
+    dsum,
+    revenue_units,
+    revenue_usum,
+    sql_dsum,
+    sql_units,
+    sql_usum,
+    units,
+    usum,
+)
 from crane_spark.queries.core import register
 from crane_spark.tables import table
 
-REV = "l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)"
-
-
-def _rev() -> F.Column:
-    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+# Revenue sums run in exact integer fixed-point units (aggregates.
+# units/usum): double products of nominally-2dp columns round
+# differently in Spark vs DuckDB near decimal-grid boundaries
+# (observed on Q1 sum_charge at the sf1 rung).
 
 
 # --------------------------------------------------------------------
@@ -72,8 +82,8 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q8_SQL = f"""
 SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
-       {sql_dsum("CASE WHEN sn.n_name = 'NATION_5' THEN " + REV + " ELSE CAST(0 AS DOUBLE) END", 4)}
-         / {sql_dsum(REV, 4)} AS mkt_share
+       {sql_usum("CASE WHEN sn.n_name = 'NATION_5' THEN " + SQL_REVENUE_UNITS + " ELSE 0 END", 4)}
+         / {SQL_REVENUE_USUM} AS mkt_share
 FROM lineitem
 JOIN part     ON p_partkey = l_partkey
 JOIN supplier ON s_suppkey = l_suppkey
@@ -109,7 +119,9 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = nation.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
-    nation_vol = F.when(F.col("supp_nation") == "NATION_5", _rev()).otherwise(F.lit(0.0))
+    nation_vol = F.when(
+        F.col("supp_nation") == "NATION_5", revenue_units()
+    ).otherwise(F.lit(0))
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -119,7 +131,7 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("cn_region") == region.r_regionkey)
         .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
-        .agg((dsum(nation_vol, 4) / dsum(_rev(), 4)).alias("mkt_share"))
+        .agg((usum(nation_vol, 4) / revenue_usum()).alias("mkt_share"))
     )
 
 
@@ -129,7 +141,7 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q9_SQL = f"""
 SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
-       {sql_dsum(REV + " - CAST(0.1 AS DOUBLE) * p_retailprice * l_quantity", 4)} AS sum_profit
+       {sql_usum(f"{SQL_REVENUE_UNITS} * 10 - {sql_units('p_retailprice')} * {sql_units('l_quantity')}", 5)} AS sum_profit
 FROM lineitem
 JOIN part     ON p_partkey = l_partkey
 JOIN supplier ON s_suppkey = l_suppkey
@@ -151,7 +163,9 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = table(spark, sf_dir, "supplier")
     orders = table(spark, sf_dir, "orders")
     nation = table(spark, sf_dir, "nation")
-    profit = _rev() - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    profit_units = revenue_units() * F.lit(10) - units("p_retailprice") * units(
+        "l_quantity"
+    )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -161,7 +175,7 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(dsum(profit, 4).alias("sum_profit"))
+        .agg(usum(profit_units, 5).alias("sum_profit"))
     )
 
 
@@ -242,7 +256,7 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q15_SQL = f"""
 WITH revenue AS (
-  SELECT l_suppkey AS supplier_no, {sql_dsum(REV, 4)} AS total_revenue
+  SELECT l_suppkey AS supplier_no, {SQL_REVENUE_USUM} AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
   GROUP BY l_suppkey
@@ -264,7 +278,7 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = table(spark, sf_dir, "supplier")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        dsum(_rev(), 4).alias("total_revenue")
+        revenue_usum().alias("total_revenue")
     )
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     return (

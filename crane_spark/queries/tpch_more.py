@@ -8,14 +8,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from crane_spark.functions.aggregates import dsum, sql_dsum
+from crane_spark.functions.aggregates import (
+    SQL_REVENUE_UNITS,
+    SQL_REVENUE_USUM,
+    dsum,
+    revenue_units,
+    revenue_usum,
+    sql_dsum,
+    sql_usum,
+    usum,
+)
 from crane_spark.queries.core import register
 from crane_spark.tables import table
 
 Q7_SQL = f"""
 SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
        EXTRACT(YEAR FROM l_shipdate) AS l_year,
-       {sql_dsum('l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)', 4)} AS revenue
+       {SQL_REVENUE_USUM} AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -43,7 +52,6 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = nation.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     ).filter(F.col("supp_nation").isin("NATION_3", "NATION_4"))
-    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -53,13 +61,13 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "cust_nation", "supp_nation", F.year("l_shipdate").cast("long").alias("l_year")
         )
-        .agg(dsum(revenue, 4).alias("revenue"))
+        .agg(revenue_usum().alias("revenue"))
     )
 
 
 Q10_SQL = f"""
 SELECT c_custkey, c_name,
-       {sql_dsum('l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)', 4)} AS revenue,
+       {SQL_REVENUE_USUM} AS revenue,
        c_acctbal, n_name
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -85,13 +93,12 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
-    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(dsum(revenue, 4).alias("revenue"))
+        .agg(revenue_usum().alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -100,8 +107,8 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q14_SQL = f"""
 SELECT CAST(100 AS DOUBLE)
-       * {sql_dsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) ELSE CAST(0 AS DOUBLE) END", 4)}
-       / {sql_dsum('l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)', 4)} AS promo_share,
+       * {sql_usum("CASE WHEN p_type LIKE 'PROMO%' THEN " + SQL_REVENUE_UNITS + " ELSE 0 END", 4)}
+       / {SQL_REVENUE_USUM} AS promo_share,
        count(*) AS n_items
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -119,19 +126,18 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     part = table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    promo = F.when(F.col("p_type").like("PROMO%"), revenue_units()).otherwise(F.lit(0))
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            (F.lit(100.0) * dsum(promo, 4) / dsum(rev, 4)).alias("promo_share"),
+            (F.lit(100.0) * usum(promo, 4) / revenue_usum()).alias("promo_share"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
 
 
 Q19_SQL = f"""
-SELECT {sql_dsum('l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)', 4)} AS revenue,
+SELECT {SQL_REVENUE_USUM} AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -154,11 +160,10 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & q.between(10, 40))
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & q.between(20, 50))
     )
-    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(blocks)
-        .agg(dsum(rev, 4).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .agg(revenue_usum().alias("revenue"), F.count(F.lit(1)).alias("n_items"))
     )
 
 

@@ -10,11 +10,18 @@ from crane_spark.tables import TABLE_NAMES
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    """DuckDB with every test table registered as a view, UTC."""
+    """DuckDB with every test table registered as a view, UTC.
+    `{name}.parquet` may be a single file (the driver's testdata) or a
+    Spark-written DIRECTORY of part files (e.g. the generated sf1 rung
+    from tools/make_sfn.py) — glob the parts in the directory case."""
+    import os
+
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for name in TABLE_NAMES:
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+        path = f"{sf_dir}/{name}.parquet"
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM {src}")
     return con
 
 
