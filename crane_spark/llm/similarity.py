@@ -215,6 +215,7 @@ def ivf_probe_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroid_id_col: str = "centroid_id",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k via IVF cell probing — the scale path that replaces
     brute force once the corpus outgrows a full scan.
@@ -226,10 +227,18 @@ def ivf_probe_topk(
     O(|corpus|). Recall < 1 by construction — a neighbor whose cell
     isn't probed is missed — which is the standard IVF tradeoff.
 
+    ``assigned`` ((id, centroid_id)) lets callers serve from a
+    PERSISTED index (e.g. the streaming ingest store) without paying
+    the assignment pass again — the index is data, not session state.
+
     Scores are dot products of pre-normalized vectors, rounded to 4
     decimals with id tiebreakers (deterministic across engines).
     """
-    cand_cells = ivf_assign(candidates, centroids, vec_col, id_col, centroid_id_col)
+    cand_cells = (
+        assigned
+        if assigned is not None
+        else ivf_assign(candidates, centroids, vec_col, id_col, centroid_id_col)
+    )
     cn = _with_double_vec(candidates, vec_col, "cv").select(
         F.col(id_col), vec_norm(F.col("cv")).alias("cnrm"), "cv"
     )

@@ -542,3 +542,71 @@ def read_idempotent_sink(spark: SparkSession, path: str) -> DataFrame:
     ids, all batches): per-batch subdirectories need a recursive file
     listing, which stays a planning-time metadata operation."""
     return spark.read.option("recursiveFileLookup", "true").parquet(path + "/data")
+
+
+def stream_vector_ingest(
+    vectors: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> StreamingQuery:
+    """Incremental IVF vector-index ingestion: each micro-batch of
+    arriving embeddings is assigned to its nearest centroid (broadcast
+    pass, llm/similarity.ivf_assign) and appended to the index store
+    as (id, centroid_id, vector) rows, sorted by cell within each
+    file so a probe scan prunes on parquet row-group stats. The
+    centroid set is FROZEN at ingest start (standard IVF practice:
+    retrain centroids offline, re-index under a new store), so every
+    batch's assignment is consistent with every other's.
+
+    Exactly-once by construction: batch N overwrites its own
+    `<queryId>/batch-N` subdirectory (the `stream_append_idempotent`
+    pattern), and `read_vector_index` dedups on id as a final guard
+    for the cross-queryId re-delivery after checkpoint loss.
+
+    Serving is `ivf_probe_topk(..., assigned=...)` over the read-back
+    store — the assignment computed at ingest is REUSED, so query
+    time pays only centroid-probe + in-cell re-rank. At 100 TB the
+    store becomes a table partitioned/bucketed by centroid_id; the
+    foreachBatch body is unchanged."""
+    import os
+
+    from crane_spark.llm.similarity import ivf_assign
+
+    cents = centroids.localCheckpoint(eager=True)
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        qid = _streaming_query_id(checkpoint)
+        b = batch.dropDuplicates([id_col])
+        assigned = ivf_assign(b, cents, vec_col, id_col).select(
+            id_col, "centroid_id"
+        )
+        (
+            b.join(assigned, id_col)
+            .select(id_col, "centroid_id", vec_col)
+            .sortWithinPartitions("centroid_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(store_path, qid, f"batch-{batch_id}"))
+        )
+
+    return (
+        vectors.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_vector_index(
+    spark: SparkSession, store_path: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """The accumulated (id, centroid_id, vector) index across every
+    ingest batch and run; id-deduped so re-delivery after checkpoint
+    loss can never double-count a vector."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(store_path)
+        .dropDuplicates([id_col])
+    )

@@ -892,3 +892,67 @@ def test_stream_training_corpus_incremental_and_replay(spark, sf_dir, tmp_path):
     run()
     corpus3, _ = read_stream_corpus(spark, root)
     assert corpus3.count() == n2
+
+
+def test_stream_vector_ingest_and_probe(spark, sf_dir, tmp_path):
+    """Incremental IVF index: two ingest runs accumulate vectors into
+    the cell-assigned store; probing the read-back store (reusing the
+    stored assignment) equals ivf_probe_topk over the same vectors
+    computed fresh; checkpoint-loss replay never double-counts."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from crane_spark.llm.similarity import ivf_probe_topk
+    from crane_spark.streaming.pipelines import (
+        read_vector_index,
+        stream_vector_ingest,
+    )
+    from crane_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    schema = emb.schema
+
+    def run():
+        q = stream_vector_ingest(
+            spark.readStream.schema(schema).parquet(src), store, ckpt, centroids
+        )
+        q.awaitTermination(120)
+
+    emb.filter((F.col("vec_id") >= 15) & (F.col("vec_id") < 60)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    emb.filter(F.col("vec_id") >= 60).coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    idx = read_vector_index(spark, store)
+    candidates = emb.filter(F.col("vec_id") >= 15)
+    assert idx.count() == candidates.count()
+
+    queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 13))
+    served = ivf_probe_topk(
+        queries,
+        idx.select("vec_id", "embedding"),
+        centroids,
+        k=3,
+        probes=2,
+        assigned=idx.select("vec_id", "centroid_id"),
+    ).collect()
+    fresh = ivf_probe_topk(queries, candidates, centroids, k=3, probes=2).collect()
+    as_set = lambda rows: {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rn"]) for r in rows
+    }
+    assert as_set(served) == as_set(fresh)
+
+    # checkpoint loss -> full re-delivery under a new query id; the
+    # reader's id-dedup keeps the index exact
+    shutil.rmtree(ckpt)
+    run()
+    assert read_vector_index(spark, store).count() == candidates.count()
