@@ -233,3 +233,35 @@ def test_topk_per_group_agg_has_no_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "topk_per_group_agg")
     assert "Window" not in plan
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_q1_money_units_stay_codegen(spark, sf_dir):
+    """The fixed-point-units money arithmetic (aggregates.units/usum)
+    must compile to JVM expressions inside the hash aggregate — no
+    Python evaluation node anywhere, partial+final split intact."""
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q7_q9_q10_broadcast_star_joins(spark, sf_dir):
+    """Every dimension of the remaining TPC-H star shapes broadcasts;
+    a sort-merge join in any of them means a dimension shuffled the
+    fact table's volume at 100 TB."""
+    for name, min_bhj in (
+        ("q7_nation_volume", 4),
+        ("q9_profit_by_nation", 4),
+        ("q10_returned_items", 3),
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "SortMergeJoin" not in plan, name
+        assert plan.count("BroadcastHashJoin") >= min_bhj, name
+
+
+def test_knn_graph_no_cartesian(spark, sf_dir):
+    """Graph-ANN build/search joins are equi-joins on cell, node, and
+    pair keys (the only nested-loop is the broadcast centroid cross,
+    which is centroid-sized); a CartesianProduct would be the
+    all-pairs blowup the graph exists to avoid."""
+    plan = _plan(spark, sf_dir, "knn_graph_topk")
+    assert "CartesianProduct" not in plan
