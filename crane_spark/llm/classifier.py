@@ -1,0 +1,202 @@
+"""Distributed training of a document-quality classifier: logistic
+regression by full-batch gradient descent, where every iteration is
+ONE aggregate over the corpus.
+
+This is the workhorse model class of real corpus curation (fastText /
+logistic quality filters a la CCNet, FineWeb-style classifier gates):
+cheap text statistics in, a calibrated keep/drop score out. The Spark
+shape mirrors `kmeans_train`: model state (a handful of weights) lives
+on the driver and BROADCASTS into the plan as a literal; the corpus
+never moves — each iteration computes the gradient with a decimal-
+summed hash aggregate (order-independent, bit-reproducible on any
+partitioning — the same guarantee every money aggregate in this engine
+makes), and only (dim+1) scalars come back to the driver. 100 TB of
+documents train at one corpus scan per iteration with zero shuffle
+beyond the aggregate's partial/final split.
+
+Features are JVM-side expressions (no Python in the scan); the
+sigmoid/gradient arithmetic is plain codegen'd math. Determinism: per-
+row gradient contributions are rounded to a 1e-9 grid before the
+decimal sum, so training runs are bit-identical regardless of
+parallelism (pinned by test).
+
+Reference lineage: the reference has no model training at all; this is
+north-star gap-fill (SURVEY.md §2.2, LLM extensions).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crane_spark.functions.text import tokens
+from crane_spark.tables import fan_out
+
+GRID = 9  # decimal places of the per-row rounding grid
+
+
+def quality_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, features array<double>) — cheap, scan-local text
+    statistics: [bias, log1p(n_tokens), mean token length, stopword
+    ratio, digit ratio]. All codegen'd expressions; one pass."""
+    d = fan_out(docs).select(
+        F.col(id_col), F.col(text_col), tokens(text_col).alias("toks")
+    )
+    n_toks = F.size("toks").cast("double")
+    stop = F.size(
+        F.filter(
+            "toks",
+            lambda t: t.isin("the", "a", "an", "and", "or", "of", "to", "in", "is"),
+        )
+    ).cast("double")
+    chars = F.length(F.col(text_col)).cast("double")
+    digits = chars - F.length(F.regexp_replace(F.col(text_col), "[0-9]", "")).cast(
+        "double"
+    )
+    return d.select(
+        F.col(id_col),
+        F.array(
+            F.lit(1.0),
+            F.log1p(n_toks),
+            F.when(n_toks > 0, (chars - n_toks + 1) / n_toks).otherwise(0.0),
+            F.when(n_toks > 0, stop / n_toks).otherwise(0.0),
+            F.when(chars > 0, digits / chars).otherwise(0.0),
+        ).alias("features"),
+    )
+
+
+def logreg_train(
+    data: DataFrame,
+    n_iter: int = 20,
+    lr: float = 0.5,
+    features_col: str = "features",
+    label_col: str = "label",
+) -> tuple[list[float], list[float]]:
+    """Full-batch logistic regression; returns (weights, per-iteration
+    mean log-loss). ``data`` is (features array<double>, label 0/1).
+
+    Per iteration: broadcast w as a literal array, compute
+    p = sigmoid(w.x) per row, and aggregate the per-dimension
+    gradient sum((p - y) * x_d) plus the log-loss — one job, dim+1
+    scalars collected. The driver applies w -= lr * grad / n.
+
+    Features are STANDARDIZED internally (one extra aggregate for
+    per-dimension mean/std; dimension 0 is assumed to be the bias and
+    left alone): full-batch GD on raw text statistics with mixed
+    scales (log-token-counts ~9 vs ratios ~0.1) is so ill-conditioned
+    that any lr large enough to move the small dimensions oscillates
+    the big ones (observed divergence on the fixture corpus). The
+    returned weights are FOLDED BACK to raw-feature space
+    (w_d/std_d, bias -= sum w_d*mean_d/std_d), so `logreg_score`
+    serves on raw features with no scaling state to carry."""
+    dim = len(data.select(features_col).first()[0])
+    n = data.count()
+    raw = data.select(
+        F.col(features_col).alias("x"), F.col(label_col).cast("double").alias("y")
+    ).localCheckpoint(eager=True)
+
+    def dgrid9(col):
+        return F.round(col, GRID).cast(f"decimal(28,{GRID})")
+
+    stat_aggs = []
+    for i in range(1, dim):
+        xi = F.element_at("x", i + 1)
+        stat_aggs.append(F.sum(dgrid9(xi)).cast("double").alias(f"s{i}"))
+        stat_aggs.append(F.sum(dgrid9(xi * xi)).cast("double").alias(f"q{i}"))
+    stats = raw.agg(*stat_aggs).collect()[0]
+    mean = [0.0] * dim
+    std = [1.0] * dim
+    for i in range(1, dim):
+        mean[i] = float(stats[f"s{i}"]) / n
+        var = max(float(stats[f"q{i}"]) / n - mean[i] ** 2, 0.0)
+        std[i] = math.sqrt(var) if var > 1e-24 else 1.0
+
+    scaled = F.array(
+        F.element_at("x", 1),
+        *[
+            (F.element_at("x", i + 1) - F.lit(mean[i])) / F.lit(std[i])
+            for i in range(1, dim)
+        ],
+    )
+    d = raw.select(scaled.alias("x"), "y").localCheckpoint(eager=True)
+
+    w = [0.0] * dim
+    losses: list[float] = []
+    for _ in range(n_iter):
+        w_lit = F.array(*[F.lit(float(v)) for v in w])
+        margin = F.aggregate(
+            F.zip_with(w_lit, F.col("x"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+        resid = p - F.col("y")
+        # clamp keeps log() finite at saturated probabilities
+        pc = F.least(F.greatest(p, F.lit(1e-12)), F.lit(1.0 - 1e-12))
+        loss_term = -(
+            F.col("y") * F.log(pc) + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - pc)
+        )
+
+        def dgrid(col):
+            return F.round(col, GRID).cast(f"decimal(28,{GRID})")
+
+        aggs = [
+            F.sum(dgrid(resid * F.element_at("x", i + 1)))
+            .cast("double")
+            .alias(f"g{i}")
+            for i in range(dim)
+        ] + [F.sum(dgrid(loss_term)).cast("double").alias("loss")]
+        row = d.agg(*aggs).collect()[0]
+        losses.append(float(row["loss"]) / n)
+        w = [w[i] - lr * float(row[f"g{i}"]) / n for i in range(dim)]
+    # fold the standardization into the weights: raw-space serving
+    w_raw = [w[0] - sum(w[i] * mean[i] / std[i] for i in range(1, dim))] + [
+        w[i] / std[i] for i in range(1, dim)
+    ]
+    return w_raw, losses
+
+
+def logreg_score(
+    df: DataFrame, weights: list[float], features_col: str = "features"
+):
+    """sigmoid(w . features) as a Column — the serving side."""
+    w_lit = F.array(*[F.lit(float(v)) for v in weights])
+    margin = F.aggregate(
+        F.zip_with(w_lit, F.col(features_col), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+
+
+def train_language_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_expr=None,
+    n_iter: int = 15,
+    lr: float = 1.0,
+) -> tuple[list[float], list[float], DataFrame]:
+    """End-to-end corpus gate: featurize, train against a label (by
+    default: lang == 'en'), and return (weights, losses, scored docs)
+    where scored docs carry `quality_score` in [0, 1]."""
+    label = (
+        label_expr if label_expr is not None else (F.col("lang") == "en").cast("int")
+    )
+    feats = quality_features(docs, text_col, id_col)
+    train = feats.join(
+        docs.select(F.col(id_col), label.alias("label")), id_col
+    )
+    weights, losses = logreg_train(train, n_iter=n_iter, lr=lr)
+    scored = feats.select(
+        F.col(id_col), logreg_score(feats, weights).alias("quality_score")
+    )
+    return weights, losses, scored
+
+
+def sigmoid(z: float) -> float:
+    return 1.0 / (1.0 + math.exp(-z))

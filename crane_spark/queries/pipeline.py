@@ -313,3 +313,28 @@ def q_knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = knn_graph_build(emb, k=6, n_iter=1)
     queries = emb.filter(F.col("vec_id") < 5)
     return graph_search_topk(queries, emb, edges, k=3, beam=12, hops=2)
+
+
+@register("quality_gate_scores", None, tags=("llm", "ml", "iterative", "quality"))
+def q_quality_gate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality gate trained IN the engine (llm/classifier.py):
+    logistic regression over cheap scan-local text features, one
+    decimal-summed gradient aggregate per iteration (bit-reproducible
+    on any partitioning), weights folded back to raw-feature space
+    for serving. Returns per-source mean score + keep rate at 0.5 —
+    the report a curation run reads before committing a filter.
+    Iterative training has no SQL oracle; convergence, determinism,
+    and accuracy-vs-baseline are pinned in tests/test_classifier.py."""
+    from crane_spark.llm.classifier import train_language_gate
+
+    docs = table(spark, sf_dir, "documents")
+    _, _, scored = train_language_gate(docs, n_iter=10, lr=1.0)
+    return (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.round(F.avg("quality_score"), 4).alias("mean_score"),
+            F.sum((F.col("quality_score") > 0.5).cast("long")).alias("n_keep"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )

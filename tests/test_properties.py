@@ -174,3 +174,62 @@ def test_exploded_grams_match_lambda_shingles(texts, n):
         ).collect()
     )
     assert fast == ref
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9_999_999),   # price cents
+            st.integers(min_value=0, max_value=100),         # discount cents
+            st.integers(min_value=0, max_value=100),         # tax cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_units_money_products_are_exact(spark, rows):
+    """Property: the fixed-point-units formulation (aggregates.units/
+    usum) equals EXACT rational arithmetic for any nominally-2dp
+    inputs — the doubles stored in the table are the nearest doubles
+    to cents/100, and the whole revenue/charge pipeline recovers the
+    exact fraction (up to one final double rounding)."""
+    from fractions import Fraction
+
+    import pyspark.sql.functions as F
+
+    from crane_spark.functions.aggregates import revenue_units, units, usum
+
+    data = [(pc / 100.0, dc / 100.0, tc / 100.0) for pc, dc, tc in rows]
+    df = spark.createDataFrame(
+        data, "l_extendedprice double, l_discount double, l_tax double"
+    )
+    charge_units = revenue_units() * (F.lit(100) + units("l_tax"))
+    got = df.agg(
+        usum(revenue_units(), 4).alias("rev"),
+        usum(charge_units, 6).alias("charge"),
+    ).collect()[0]
+
+    exact_rev = sum(
+        Fraction(pc, 100) * Fraction(100 - dc, 100) for pc, dc, _ in rows
+    )
+    exact_charge = sum(
+        Fraction(pc, 100) * Fraction(100 - dc, 100) * Fraction(100 + tc, 100)
+        for pc, dc, tc in rows
+    )
+    assert got["rev"] == float(exact_rev)
+    assert got["charge"] == float(exact_charge)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=99_999_999), min_size=1, max_size=30))
+@settings(max_examples=25, deadline=None)
+def test_units_roundtrip_any_cents(spark, cents):
+    """Property: units() recovers the exact integer cents from the
+    stored double for EVERY possible cent value (the double nearest
+    c/100 is always within 1e-9 of the grid point, far from the .5
+    rounding boundary both engines would have to disagree on)."""
+    from crane_spark.functions.aggregates import units
+
+    df = spark.createDataFrame([(c / 100.0,) for c in cents], "x double")
+    got = [r["u"] for r in df.select(units("x").alias("u")).collect()]
+    assert sorted(got) == sorted(cents)
