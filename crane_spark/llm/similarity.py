@@ -358,3 +358,77 @@ def kmeans_train(
             else new_centroids
         )
     return centroids, inertia
+
+
+def hashed_embeddings(
+    docs: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashed text embeddings (the hashing trick): every token
+    maps to one of ``dim`` buckets by md5 prefix with an md5-derived
+    sign, per-doc signed counts assemble into a dense L2-normalized
+    array<float> — a model-free embedding computed entirely in the
+    engine, which closes the text -> vector -> ANN loop without any
+    external encoder: the output schema matches the `embeddings` table
+    and feeds brute_force_topk / ivf_probe_topk / knn_graph_build
+    directly.
+
+    Why it's sound: signed feature hashing is an unbiased JL-style
+    projection of the bag-of-words vector (public literature:
+    Weinberger et al., "Feature Hashing for Large Scale Multitask
+    Learning"), so cosine over hashed vectors approximates token-set
+    cosine — near-duplicate texts land near cosine 1 (tested).
+
+    Scale shape: explode -> (doc, bucket) hash-agg (map-side combined,
+    <= dim short rows per doc) -> per-doc assembly; signed counts are
+    INTEGERS summed in double, so the aggregation is order-independent
+    without the decimal routing. All md5 arithmetic is the engine's
+    cross-engine-stable idiom (sampling.hash_bucket)."""
+    from crane_spark.functions.text import tokens
+
+    tok = (
+        fan_out(docs)
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("token")), 1, 4), 16, 10).cast("long"),
+        F.lit(dim),
+    )
+    sign = F.when(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("s:"), F.col("token"))), 1, 2), 16, 10
+            ).cast("long"),
+            F.lit(2),
+        )
+        == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    cells = (
+        tok.select(F.col(id_col), bucket.alias("b"), sign.alias("s"))
+        .groupBy(id_col, "b")
+        .agg(F.sum("s").alias("w"))
+    )
+    assembled = (
+        cells.groupBy(id_col)
+        .agg(F.map_from_entries(F.collect_list(F.struct("b", "w"))).alias("m"))
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(F.try_element_at("m", i.cast("long")), F.lit(0.0)),
+            ).alias("v"),
+        )
+    )
+    nrm = vec_norm(F.col("v"))
+    return assembled.select(
+        F.col(id_col).alias("vec_id"),
+        F.when(
+            nrm > 0, F.transform("v", lambda x: (x / nrm).cast("float"))
+        )
+        .otherwise(F.transform("v", lambda x: x.cast("float")))
+        .alias("embedding"),
+    )

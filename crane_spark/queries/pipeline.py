@@ -338,3 +338,75 @@ def q_quality_gate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
         )
     )
+
+
+HASH_EMBED_BUCKETS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE doc_id < 50
+), cells AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(token), 1, 4) AS BIGINT) % 64 AS bucket,
+         CASE WHEN CAST('0x' || substring(md5('s:' || token), 1, 2) AS BIGINT) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM tok WHERE token <> ''
+)
+SELECT doc_id, bucket, CAST(SUM(s) AS DOUBLE) AS weight
+FROM cells GROUP BY doc_id, bucket
+"""
+
+
+@register(
+    "hashed_embedding_buckets",
+    HASH_EMBED_BUCKETS_SQL,
+    tags=("llm", "embedding", "hashing"),
+)
+def q_hashed_embedding_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signed feature-hashing featurization underneath
+    `llm.similarity.hashed_embeddings`, exposed as its oracle-checked
+    core: per-(doc, bucket) signed token counts with the engine's
+    cross-engine-stable md5-prefix arithmetic. The assembled/
+    normalized vector and the ANN loop it feeds are covered by
+    `hashed_embedding_neardup` and tests."""
+    from crane_spark.functions.text import tokens as _tokens
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    tok = docs.select(
+        "doc_id", F.explode(_tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("token"), 1, 4), 16, 10).cast("long"), F.lit(64)
+    )
+    sign = F.when(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("s:"), F.col("token"))), 1, 2), 16, 10
+            ).cast("long"),
+            F.lit(2),
+        )
+        == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    return (
+        tok.select("doc_id", bucket.alias("bucket"), sign.alias("s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").alias("weight"))
+    )
+
+
+@register(
+    "hashed_embedding_neardup", None, tags=("llm", "embedding", "hashing", "ann")
+)
+def q_hashed_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free text ANN end-to-end: documents -> signed feature-
+    hashed L2-normalized vectors (llm/similarity.hashed_embeddings, an
+    unbiased JL-style projection of the bag of words) -> exact cosine
+    top-1 — the full text-to-vector-to-ANN loop with no external
+    encoder. Rows-only (float vector assembly has no practical SQL
+    oracle); the featurization core is oracle-checked by
+    `hashed_embedding_buckets` and near-dup recall by test_llm."""
+    from crane_spark.llm.similarity import brute_force_topk, hashed_embeddings
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    emb = hashed_embeddings(docs, dim=64).localCheckpoint(eager=True)
+    return brute_force_topk(emb.filter(F.col("vec_id") < 20), emb, k=1)

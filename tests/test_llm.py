@@ -541,3 +541,51 @@ def test_lsh_degenerate_bucket_guard(spark):
     assert (100, 101) in unguarded and len(unguarded) >= 40 * 39 // 2
     assert (100, 101) in guarded
     assert all(a >= 100 for a, b in guarded)  # boilerplate pairs gone
+
+
+def test_hashed_embeddings_neardup_separation(spark):
+    """Signed feature hashing must separate near-duplicates from
+    unrelated text: one-token edits keep cosine high, disjoint
+    vocabularies score near zero, and vectors are unit-norm."""
+    from crane_spark.llm.similarity import brute_force_topk, hashed_embeddings
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base.replace("tok39", "changed")
+    other = " ".join(f"other{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    emb = hashed_embeddings(docs, dim=64)
+    for r in emb.collect():
+        assert len(r["embedding"]) == 64
+        assert abs(sum(x * x for x in r["embedding"]) - 1.0) < 1e-5
+    top = {r["query_id"]: r for r in brute_force_topk(emb, emb, k=1).collect()}
+    assert top[1]["neighbor_id"] == 2 and top[1]["cosine"] > 0.9
+    assert top[3]["cosine"] < 0.5  # unrelated text stays far
+
+
+def test_hashed_embeddings_feed_ivf_and_graph_ann(spark, sf_dir):
+    """The hashed vectors must be drop-in inputs for the indexed ANN
+    paths: IVF probe and graph search both run on them and return the
+    contract schema with genuine ids."""
+    import pyspark.sql.functions as F
+
+    from crane_spark.llm.graph_ann import graph_search_topk, knn_graph_build
+    from crane_spark.llm.similarity import hashed_embeddings, ivf_probe_topk
+    from crane_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    emb = hashed_embeddings(docs, dim=32).localCheckpoint(eager=True)
+    ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+
+    centroids = emb.filter(F.col("vec_id") < 24).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    ivf = ivf_probe_topk(queries, emb, centroids, k=2, probes=2).collect()
+    assert {r["query_id"] for r in ivf} == {r["vec_id"] for r in queries.collect()}
+    assert all(r["neighbor_id"] in ids for r in ivf)
+
+    edges = knn_graph_build(emb, k=4, n_iter=1)
+    g = graph_search_topk(queries, emb, edges, k=2, beam=8, hops=2).collect()
+    assert all(r["neighbor_id"] in ids and r["neighbor_id"] != r["query_id"] for r in g)
