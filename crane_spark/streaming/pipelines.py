@@ -610,3 +610,35 @@ def read_vector_index(
         .parquet(store_path)
         .dropDuplicates([id_col])
     )
+
+
+def compact_neardup_store(
+    spark: SparkSession, store_path: str, target_files: int = 4
+) -> dict[str, int]:
+    """Periodic maintenance for `stream_neardup_ingest`'s two stores:
+    the band index accretes duplicate rows across crash replays (bands
+    are written BEFORE docs, so a replayed batch re-appends its band
+    rows — harmless for dedup semantics, pure bloat), and both stores
+    accumulate one small file per micro-batch. Rewrite each as
+    `target_files` files with the index row-deduplicated, via a
+    staging dir + atomic-ish swap (never overwrite what is being
+    read). Returns row counts per store; safe to run between ingest
+    runs (the ingest's per-batch reads see either version)."""
+    import os
+    import shutil
+
+    out: dict[str, int] = {}
+    for name, dedup_cols in (("bands", ["band", "band_key", "doc_id"]), ("docs", None)):
+        path = os.path.join(store_path, name)
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        if dedup_cols:
+            df = df.dropDuplicates(dedup_cols)
+        staging = path + ".compact"
+        df.coalesce(target_files).write.mode("overwrite").parquet(staging)
+        n = spark.read.parquet(staging).count()
+        shutil.rmtree(path)
+        os.rename(staging, path)
+        out[name] = n
+    return out

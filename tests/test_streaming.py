@@ -956,3 +956,47 @@ def test_stream_vector_ingest_and_probe(spark, sf_dir, tmp_path):
     shutil.rmtree(ckpt)
     run()
     assert read_vector_index(spark, store).count() == candidates.count()
+
+
+def test_compact_neardup_store_dedups_index_and_preserves_semantics(spark, tmp_path):
+    """After a crash-replay bloats the band index with duplicate rows,
+    compaction removes them without changing ingest behavior: a
+    post-compaction run still drops repeats and admits novelty."""
+    import shutil
+
+    from crane_spark.streaming.pipelines import (
+        compact_neardup_store,
+        stream_neardup_ingest,
+    )
+
+    src = str(tmp_path / "docs")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    base = " ".join(f"w{i}" for i in range(30))
+
+    def run():
+        q = stream_neardup_ingest(
+            spark.readStream.schema(schema).parquet(src), store, ckpt
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(1, base)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    shutil.rmtree(ckpt)  # full replay appends duplicate band rows
+    run()
+    n_before = spark.read.parquet(store + "/bands").count()
+    counts = compact_neardup_store(spark, store)
+    n_after = spark.read.parquet(store + "/bands").count()
+    assert counts["bands"] == n_after <= n_before
+    assert spark.read.parquet(store + "/bands").dropDuplicates().count() == n_after
+
+    # semantics preserved: repeat still drops, novel doc still lands
+    spark.createDataFrame(
+        [(5, base), (6, " ".join(f"z{i}" for i in range(30)))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(store + "/docs").collect())
+    assert got == [1, 6]
