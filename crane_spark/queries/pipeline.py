@@ -410,3 +410,61 @@ def q_hashed_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     emb = hashed_embeddings(docs, dim=64).localCheckpoint(eager=True)
     return brute_force_topk(emb.filter(F.col("vec_id") < 20), emb, k=1)
+
+
+@register("multimodal_asset_report", None, tags=("llm", "multimodal", "codec"))
+def q_multimodal_asset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode inside the query surface: synthesize a
+    genuine container per document — a PGM image whose pixel grid is
+    the doc's text bytes for even ids, a PCM WAV whose samples encode
+    them for odd ids (llm/codecs encoders, deterministic) — then run
+    the full binary -> decode -> featurize path (llm/multimodal.
+    extract_features, fake=False) and report per-mime asset counts,
+    byte totals, and decoded feature means. Exercises the actual
+    BMP/PGM/WAV parsers under the driver harness, not just pytest;
+    rows-only (binary synthesis + codec features have no SQL oracle —
+    codec exactness is pinned by test_codecs' independent fixtures)."""
+    import numpy as np
+    import pandas as pd
+
+    from crane_spark.llm import codecs
+    from crane_spark.llm.multimodal import extract_features
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                data = np.frombuffer(text.encode()[:1024], dtype=np.uint8)
+                if int(did) % 2 == 0:
+                    side = max(2, int(len(data) ** 0.5))
+                    px = np.resize(data, (side, side))
+                    rows.append(
+                        (int(did), bytearray(codecs.encode_pgm(px)), "image/x-pgm")
+                    )
+                else:
+                    samples = (data.astype(np.float64) - 128.0) / 128.0
+                    rows.append(
+                        (
+                            int(did),
+                            bytearray(codecs.encode_wav(samples, 8000)),
+                            "audio/wav",
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["asset_id", "data", "mime"])
+
+    assets = docs.select("doc_id", "text").mapInPandas(
+        synth, "asset_id long, data binary, mime string"
+    )
+    feats = extract_features(assets, fake=False)
+    return (
+        feats.groupBy("mime")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum(F.col("feature").isNotNull().cast("long")).alias("n_decoded"),
+            F.round(F.avg(F.element_at("feature", 5)), 4).alias("mean_feat"),
+        )
+        .orderBy("mime")
+    )
