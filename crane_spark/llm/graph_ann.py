@@ -221,6 +221,7 @@ def graph_search_topk(
     entry: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    entry_nodes: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k by beam search over a k-NN graph: seed each query
     with ``entry`` strided-sample nodes (deterministic and spread
@@ -241,12 +242,21 @@ def graph_search_topk(
         F.col(id_col).alias("query_id"), F.col("nv").alias("qv")
     )
 
-    n = nv.count()
-    if entry is None:
-        entry = max(4, int(n**0.5))
-    entries = _spread_sample(nv, id_col, entry, n).select(
-        F.col(id_col).alias("node"), F.col("nv").alias("dv")
-    )
+    if entry_nodes is not None:
+        # IVF-route tiering: the caller supplies geometric cover
+        # nodes (e.g. the build's cell anchors) by id; their
+        # normalized vectors come from the vector table.
+        entries = entry_nodes.select(F.col(id_col).alias("node")).join(
+            nv.select(F.col(id_col).alias("node"), F.col("nv").alias("dv")),
+            "node",
+        )
+    else:
+        n = nv.count()
+        if entry is None:
+            entry = max(4, int(n**0.5))
+        entries = _spread_sample(nv, id_col, entry, n).select(
+            F.col(id_col).alias("node"), F.col("nv").alias("dv")
+        )
     scored0 = qv.crossJoin(F.broadcast(entries)).select(
         "query_id", "qv", F.col("node"), _pair_cos("qv", "dv").alias("cosine")
     )

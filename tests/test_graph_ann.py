@@ -102,3 +102,20 @@ def test_graph_search_on_fixture_embeddings(spark, sf_dir):
     exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
     ann_pairs = {(r["query_id"], r["neighbor_id"]) for r in ann}
     assert len(ann_pairs & exact_pairs) > 0
+
+
+def test_graph_search_with_explicit_entry_nodes(spark):
+    """IVF-route tiering: passing one well-placed entry node per
+    cluster recovers full recall even with a tiny entry budget the
+    strided default could not cover."""
+    vecs = _clustered_vectors(spark)
+    edges = knn_graph_build(vecs, k=4, n_iter=2)
+    queries = vecs.filter(F.col("vec_id") % 17 == 0)
+    anchors = vecs.filter(F.col("vec_id") % 20 == 0).select("vec_id")  # one per cluster
+    ann = graph_search_topk(
+        queries, vecs, edges, k=3, beam=12, hops=4, entry_nodes=anchors
+    ).collect()
+    exact = brute_force_topk(queries, vecs, k=3).collect()
+    ann_pairs = {(r["query_id"], r["neighbor_id"]) for r in ann}
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    assert len(ann_pairs & exact_pairs) / len(exact_pairs) >= 0.9
