@@ -642,3 +642,92 @@ def compact_neardup_store(
         os.rename(staging, path)
         out[name] = n
     return out
+
+
+def stream_heavy_hitters(
+    items: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    col: str = "token",
+    depth: int = 4,
+    width: int = 2048,
+    track_per_batch: int = 64,
+) -> StreamingQuery:
+    """Streaming heavy hitters over an unbounded key stream with
+    BOUNDED state: per micro-batch, (1) build the batch's count-min
+    sketch (functions/sketches.cms_build — sketch-sized shuffle no
+    matter the batch) and persist it; (2) persist the batch's
+    ``track_per_batch`` most frequent keys as heavy-hitter CANDIDATES.
+    Global counts are never stored per key — the persisted state is
+    one 64 KB-ish sketch plus a short candidate list per batch, and
+    sketches MERGE by cell-wise sum, so `read_heavy_hitters` answers
+    "top keys over the whole stream so far" from sketch merges alone.
+
+    The candidate list is the standard lossy-counting compromise: a
+    key that is globally heavy must be locally frequent in at least
+    some batch (a key below the per-batch track threshold in EVERY
+    batch is bounded by track-rank frequency per batch), so true heavy
+    hitters surface; the sketch then gives their (always >= true)
+    count estimate. Exactly-once: both stores use the per-(queryId,
+    batch) overwrite layout, so replays rewrite instead of
+    double-counting."""
+    import os
+
+    from crane_spark.functions.sketches import cms_build
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        qid = _streaming_query_id(checkpoint)
+        sub = os.path.join(qid, f"batch-{batch_id}")
+        sketch = cms_build(batch, col, depth, width)
+        sketch.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(store_path, "sketch", sub)
+        )
+        cands = (
+            batch.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc(col))
+            .limit(track_per_batch)
+            .select(col)
+        )
+        cands.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(store_path, "cands", sub)
+        )
+
+    return (
+        items.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_heavy_hitters(
+    spark: SparkSession,
+    store_path: str,
+    top_n: int = 10,
+    col: str = "token",
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Top keys across every ingested batch and run: merge all batch
+    sketches (cell-wise sum — one sketch-sized aggregate), probe the
+    deduplicated candidate set, rank by estimate with a key
+    tiebreak."""
+    from crane_spark.functions.sketches import cms_estimate
+
+    sketch = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(store_path + "/sketch")
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    cands = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(store_path + "/cands")
+        .dropDuplicates([col])
+    )
+    return (
+        cms_estimate(cands, sketch, col, depth, width)
+        .orderBy(F.desc("est_count"), F.asc(col))
+        .limit(top_n)
+    )

@@ -1000,3 +1000,69 @@ def test_compact_neardup_store_dedups_index_and_preserves_semantics(spark, tmp_p
     run()
     got = sorted(r["doc_id"] for r in spark.read.parquet(store + "/docs").collect())
     assert got == [1, 6]
+
+
+def test_stream_heavy_hitters_across_runs_and_replay(spark, tmp_path):
+    """Mergeable-sketch heavy hitters: two ingest runs over a skewed
+    token stream; the global top set matches exact counts, estimates
+    never undercount, and a forced replay changes nothing."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from crane_spark.streaming.pipelines import (
+        read_heavy_hitters,
+        stream_heavy_hitters,
+    )
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "hh")
+    ckpt = str(tmp_path / "ckpt")
+
+    def zipfy(start, n_rows, seed):
+        # token t{k} appears ~ n/k times: a clearly skewed stream
+        rows = []
+        for i in range(n_rows):
+            k = 1
+            x = (i * 2654435761 + seed) % 1000
+            while k < 40 and x > 1000 // (k + 1):
+                k += 1
+            rows.append((f"t{k}",))
+        return spark.createDataFrame(rows, "token string")
+
+    zipfy(0, 3000, 1).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        q = stream_heavy_hitters(
+            spark.readStream.schema("token string").parquet(src), store, ckpt
+        )
+        q.awaitTermination(120)
+
+    run()
+    zipfy(0, 3000, 7).coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    exact = {
+        r["token"]: r["n"]
+        for r in spark.read.parquet(src)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    top5_exact = sorted(exact, key=lambda t: (-exact[t], t))[:5]
+    got = read_heavy_hitters(spark, store, top_n=5).collect()
+    assert [r["token"] for r in got] == top5_exact
+    for r in got:
+        assert r["est_count"] >= exact[r["token"]]  # CMS never undercounts
+
+    # replay batch 0 of the second run: rewrites, never double-counts
+    commits = os.path.join(ckpt, "commits")
+    for f in os.listdir(commits):
+        os.remove(os.path.join(commits, f))
+    run()
+    again = read_heavy_hitters(spark, store, top_n=5).collect()
+    assert [(r["token"], r["est_count"]) for r in again] == [
+        (r["token"], r["est_count"]) for r in got
+    ]
+    shutil.rmtree(ckpt)
