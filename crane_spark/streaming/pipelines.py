@@ -731,3 +731,56 @@ def read_heavy_hitters(
         .orderBy(F.desc("est_count"), F.asc(col))
         .limit(top_n)
     )
+
+
+def stream_distinct_sketches(
+    keyed: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    key_col: str,
+    group_col: str | None = None,
+    lg_k: int = 14,
+) -> StreamingQuery:
+    """Streaming cardinality with bounded state: each micro-batch
+    aggregates its keys into native HLL sketch blobs
+    (`hll_sketch_agg`, one ~2^lg_k-byte blob per group) persisted in
+    replay-idempotent per-(queryId, batch) overwrite directories —
+    the distinct-count sibling of `stream_heavy_hitters`'s frequency
+    sketches. `read_distinct_counts` answers "distinct keys so far,
+    per group" by `hll_union_agg` over the stored blobs: sketch-count
+    rows touched, the raw stream never rescanned. Exact per-key state
+    (what dropDuplicates-based counting would keep) grows with
+    cardinality; this state grows with #groups x #batches only."""
+    import os
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        qid = _streaming_query_id(checkpoint)
+        sub = os.path.join(qid, f"batch-{batch_id}")
+        g = [group_col] if group_col else []
+        (
+            batch.groupBy(*g)
+            .agg(F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sk"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(store_path, sub))
+        )
+
+    return (
+        keyed.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_distinct_counts(
+    spark: SparkSession, store_path: str, group_col: str | None = None
+) -> DataFrame:
+    """Distinct-count estimates from the accumulated sketch store:
+    union the blobs per group and estimate."""
+    df = spark.read.option("recursiveFileLookup", "true").parquet(store_path)
+    g = [group_col] if group_col else []
+    agg = df.groupBy(*g).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_distinct")
+    )
+    return agg

@@ -1066,3 +1066,60 @@ def test_stream_heavy_hitters_across_runs_and_replay(spark, tmp_path):
         (r["token"], r["est_count"]) for r in got
     ]
     shutil.rmtree(ckpt)
+
+
+def test_stream_distinct_sketches_merge_across_runs(spark, tmp_path):
+    """HLL sketch blobs persisted per batch must union into accurate
+    global per-group distinct counts across runs, with replays
+    rewriting rather than inflating."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from crane_spark.streaming.pipelines import (
+        read_distinct_counts,
+        stream_distinct_sketches,
+    )
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "sk")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(lo, hi, grp):
+        spark.range(lo, hi).select(
+            F.col("id").alias("user_id"), F.lit(grp).alias("grp")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write(0, 400, "a")
+    write(0, 150, "b")
+
+    def run():
+        q = stream_distinct_sketches(
+            spark.readStream.schema("user_id long, grp string").parquet(src),
+            store,
+            ckpt,
+            key_col="user_id",
+            group_col="grp",
+        )
+        q.awaitTermination(120)
+
+    run()
+    write(200, 600, "a")  # 200 overlap + 200 new -> distinct 600
+    run()
+    got = {
+        r["grp"]: r["approx_distinct"]
+        for r in read_distinct_counts(spark, store, "grp").collect()
+    }
+    assert abs(got["a"] - 600) / 600 < 0.05  # lg_k=14: ~1% typical
+    assert abs(got["b"] - 150) / 150 < 0.05
+
+    # replay: same answer
+    commits = os.path.join(ckpt, "commits")
+    for f in os.listdir(commits):
+        os.remove(os.path.join(commits, f))
+    run()
+    again = {
+        r["grp"]: r["approx_distinct"]
+        for r in read_distinct_counts(spark, store, "grp").collect()
+    }
+    assert again == got
