@@ -240,3 +240,75 @@ def test_real_resize_images_and_audio(spark):
     # decimation keeps true sample values (within 16-bit quantization)
     idx = np.linspace(0, 3999, dec.n_frames).round().astype(int)
     assert np.allclose(dec.samples[:, 0], audio[idx], atol=2.5 / 32768)
+
+
+# ------------------------------------------------------------------
+# property-based fuzzing (hypothesis): roundtrips over arbitrary
+# shapes/values, and decoder robustness against mutated bytes
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    h=st.integers(min_value=1, max_value=12),
+    w=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_ppm_pgm_roundtrip_any_shape(h, w, seed):
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(px)).pixels, px)
+    assert np.array_equal(codecs.decode_ppm(codecs.encode_ppm(px)).pixels, px)
+    gray = px[:, :, 0]
+    assert np.array_equal(codecs.decode_pgm(codecs.encode_pgm(gray)).pixels[:, :, 0], gray)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=500),
+    ch=st.integers(min_value=1, max_value=3),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_roundtrip_any_shape(n, ch, rate, seed):
+    s = np.random.default_rng(seed).uniform(-1, 1, (n, ch))
+    dec = codecs.decode_wav(codecs.encode_wav(s, rate))
+    assert (dec.n_frames, dec.channels, dec.sample_rate) == (n, ch, rate)
+    assert np.allclose(dec.samples, s, atol=1.5 / 32768)
+
+
+@given(data=st.binary(min_size=0, max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_decoders_never_crash_on_garbage(data):
+    """Arbitrary bytes must produce ValueError (or a clean decode if
+    hypothesis stumbles onto a valid container) — never an unhandled
+    IndexError/struct.error/overflow, because one malformed asset in
+    a 100 TB scan must quarantine, not kill the job."""
+    import struct as _struct
+
+    for fn in (codecs.decode_asset, codecs.decode_bmp, codecs.decode_ppm,
+               codecs.decode_pgm, codecs.decode_wav):
+        try:
+            fn(data)
+        except (ValueError, _struct.error):
+            pass  # the contract multimodal.py catches
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1),
+       cut=st.integers(min_value=0, max_value=200))
+@settings(max_examples=40, deadline=None)
+def test_truncated_real_containers_fail_cleanly(seed, cut):
+    """Prefixes of VALID containers (the realistic corruption: a
+    partial upload) must also raise cleanly."""
+    import struct as _struct
+
+    px = np.random.default_rng(seed).integers(0, 256, (6, 6, 3), dtype=np.uint8)
+    for data in (codecs.encode_bmp(px), codecs.encode_ppm(px),
+                 codecs.encode_wav(np.zeros((50, 1)), 8000)):
+        trunc = data[: min(cut, len(data) - 1)]
+        try:
+            codecs.decode_asset(trunc)
+        except (ValueError, _struct.error):
+            pass
