@@ -255,6 +255,7 @@ def bpe_train(
     text_col: str = "text",
     checkpoint_every: int = 4,
     exact: bool = True,
+    words: DataFrame | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns [(left, right, freq)]
     in merge order. Deterministic: ties on count break toward the
@@ -273,7 +274,11 @@ def bpe_train(
     # Materialize the vocabulary-sized table once: the regime gate,
     # the collect (local path), and the loop partitioning all reuse it
     # without re-running the corpus aggregate.
-    words = word_freqs(docs, text_col).localCheckpoint(eager=True)
+    # ``words`` short-circuits the corpus scan when the caller already
+    # aggregated (word, freq) — training and inference over the same
+    # corpus then share ONE corpus-sized pass.
+    if words is None:
+        words = word_freqs(docs, text_col).localCheckpoint(eager=True)
     n_words = int(words.count())
     if exact and n_words <= LOCAL_VOCAB_MAX:
         return _bpe_train_local(
@@ -333,6 +338,7 @@ def apply_merges(
     seqs_or_docs: DataFrame,
     merges: list[tuple[str, str, int]],
     text_col: str = "text",
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenize with a learned merge table: replay merges in order
     (the inference side of BPE). Accepts a raw documents frame.
@@ -345,7 +351,9 @@ def apply_merges(
     batch, one left-to-right pass equals sequential replay, so a
     50k-merge tokenizer replays in ~hundreds of nested passes, not
     50k."""
-    seqs = _initial_symbols(word_freqs(seqs_or_docs, text_col))
+    if words is None:
+        words = word_freqs(seqs_or_docs, text_col)
+    seqs = _initial_symbols(words)
     batch: list[tuple[str, str, int]] = []
     blocked: set[str] = set()
     for a, b, n in merges:

@@ -1519,3 +1519,30 @@ def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_candidates long, n_true_pairs long, n_hits long, "
         "precision double, recall double",
     )
+
+
+@register("bpe_tokenize_stats", None, tags=("llm", "text", "tokenizer"))
+def q_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INFERENCE side of BPE in the query surface: train 40 merges
+    on the corpus vocabulary (deterministic classic order), replay
+    them over the same vocabulary with the batched apply
+    (llm/bpe.apply_merges re-groups the merge list into one-pass
+    disjoint batches), and report the tokenization outcome — how many
+    symbols each word compresses to, weighted by corpus frequency.
+    Rows-only (iterative training has no SQL oracle; training/apply
+    correctness is pinned canonically in tests/test_bpe.py)."""
+    from crane_spark.llm.bpe import apply_merges, bpe_train, word_freqs
+
+    docs = table(spark, sf_dir, "documents")
+    wf = word_freqs(docs).localCheckpoint(eager=True)
+    merges = bpe_train(None, n_merges=40, words=wf)
+    seqs = apply_merges(None, merges, words=wf)
+    return (
+        seqs.select(F.size("syms").alias("n_syms"), "freq")
+        .groupBy("n_syms")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("freq").alias("n_occurrences"),
+        )
+        .orderBy("n_syms")
+    )
