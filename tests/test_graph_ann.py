@@ -119,3 +119,25 @@ def test_graph_search_with_explicit_entry_nodes(spark):
     ann_pairs = {(r["query_id"], r["neighbor_id"]) for r in ann}
     exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
     assert len(ann_pairs & exact_pairs) / len(exact_pairs) >= 0.9
+
+
+def test_knn_graph_persist_reload_roundtrip(spark, tmp_path):
+    """The graph index is DATA: persist the edge table as a versioned
+    snapshot, reload it cold, and serve a search — identical results
+    to querying the freshly-built graph."""
+    from crane_spark.sources import versioned as V
+
+    vecs = _clustered_vectors(spark)
+    edges = knn_graph_build(vecs, k=4, n_iter=1)
+    root = str(tmp_path / "store")
+    V.put(edges, root, "knn_edges")
+    reloaded = V.get(spark, root, "knn_edges")
+    queries = vecs.filter(F.col("vec_id") % 31 == 0)
+
+    def serve(e):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["cosine"], r["rn"])
+            for r in graph_search_topk(queries, vecs, e, k=3, beam=8, hops=2).collect()
+        )
+
+    assert serve(reloaded) == serve(edges)
