@@ -151,3 +151,22 @@ def test_dup_span_ranges_finds_shifted_passages_maximally(spark, tmp_path):
         for r in REGISTRY["dup_span_ranges"].fn(spark, sf).collect()
     }
     assert out == {(1, 3, 15, 5), (2, 0, 12, 5)}
+
+
+def test_alternating_components_raises_when_unconverged(spark):
+    """Exhausting max_rounds without a fixed point must raise (an
+    iterative operator may never return silently-wrong labels —
+    round-1 ADVICE item, fixed in round 2)."""
+    import pytest
+
+    from crane_spark.operators.graph import connected_components_alternating
+
+    # a path graph long enough that 1 round cannot flatten it
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="fixed point"):
+        connected_components_alternating(edges, max_rounds=1)
+    # and with enough rounds the same input converges fine
+    out = connected_components_alternating(edges, max_rounds=30)
+    assert out.select("component_id").distinct().count() == 1

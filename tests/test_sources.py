@@ -284,3 +284,18 @@ def test_json_corrupt_record_capture(spark, tmp_path):
         assert bad == ["{this is not json}"]
     finally:
         df.unpersist()
+
+
+def test_evolved_streaming_read_rejects_multiple_paths(spark, tmp_path):
+    """readStream.parquet takes one directory; a multi-path streaming
+    request must fail loudly instead of silently reading only the
+    first path (the silent-truncation bug fixed in round 2)."""
+    import pytest
+
+    from crane_spark.sources.files import read_parquet_evolved
+
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.range(3).write.parquet(p1)
+    spark.range(3).write.parquet(p2)
+    with pytest.raises(ValueError, match="exactly one"):
+        read_parquet_evolved(spark, p1, p2, streaming=True)
