@@ -670,7 +670,15 @@ def stream_heavy_hitters(
     hitters surface; the sketch then gives their (always >= true)
     count estimate. Exactly-once: both stores use the per-(queryId,
     batch) overwrite layout, so replays rewrite instead of
-    double-counting."""
+    double-counting.
+
+    TOTAL checkpoint loss is the one residual at-least-once window:
+    re-ingestion under a fresh queryId adds second sketches for the
+    same data, and counter sketches — unlike HLL — are additive, not
+    union-idempotent, so estimates inflate (still never undercount
+    the true stream; the direction CMS already guarantees). Contrast
+    `stream_distinct_sketches`, whose HLL blobs are set-union
+    idempotent and survive checkpoint loss exactly."""
     import os
 
     from crane_spark.functions.sketches import cms_build
@@ -748,7 +756,10 @@ def stream_distinct_sketches(
     the distinct-count sibling of `stream_heavy_hitters`'s frequency
     sketches. `read_distinct_counts` answers "distinct keys so far,
     per group" by `hll_union_agg` over the stored blobs: sketch-count
-    rows touched, the raw stream never rescanned. Exact per-key state
+    rows touched, the raw stream never rescanned. HLL union is SET
+    idempotence — re-delivered data after total checkpoint loss
+    changes nothing (unlike additive counter sketches), so this store
+    is exactly-once under every failure mode. Exact per-key state
     (what dropDuplicates-based counting would keep) grows with
     cardinality; this state grows with #groups x #batches only."""
     import os

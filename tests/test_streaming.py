@@ -1123,3 +1123,39 @@ def test_stream_distinct_sketches_merge_across_runs(spark, tmp_path):
         for r in read_distinct_counts(spark, store, "grp").collect()
     }
     assert again == got
+
+
+def test_stream_distinct_sketches_survive_checkpoint_loss(spark, tmp_path):
+    """HLL union is set-idempotent: total checkpoint loss (full
+    re-delivery under a new query id) must leave the distinct
+    estimates EXACTLY unchanged — the property additive counter
+    sketches cannot give."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from crane_spark.streaming.pipelines import (
+        read_distinct_counts,
+        stream_distinct_sketches,
+    )
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "sk")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(500).select(F.col("id").alias("user_id")).coalesce(1).write.parquet(src)
+
+    def run():
+        q = stream_distinct_sketches(
+            spark.readStream.schema("user_id long").parquet(src),
+            store,
+            ckpt,
+            key_col="user_id",
+        )
+        q.awaitTermination(120)
+
+    run()
+    before = read_distinct_counts(spark, store).collect()[0]["approx_distinct"]
+    shutil.rmtree(ckpt)
+    run()
+    after = read_distinct_counts(spark, store).collect()[0]["approx_distinct"]
+    assert after == before
