@@ -193,11 +193,26 @@ def stream_training_corpus(
             .drop("_rn")
         )
         if os.path.exists(hashes_dir):
+            # The hash store is keyed by (query_id, batch_id) so a crashed
+            # attempt's own hashes/<qid>/batch-N (already on disk when the
+            # batch replays under the same checkpoint) is excluded — otherwise
+            # the replay would anti-join against itself, dedup to zero rows,
+            # and overwrite corpus/<qid>/batch-N with an empty frame.
+            # mergeSchema tolerates pre-ledger stores whose files carry only
+            # `_h`; their null query_id/batch_id never match and stay known.
             known = (
                 spark.read.option("recursiveFileLookup", "true")
+                .option("mergeSchema", "true")
                 .parquet(hashes_dir)
-                .select("_h")
             )
+            if "query_id" in known.columns:
+                known = known.filter(
+                    ~(
+                        F.col("query_id").eqNullSafe(F.lit(qid))
+                        & F.col("batch_id").eqNullSafe(F.lit(batch_id))
+                    )
+                )
+            known = known.select("_h")
             deduped = deduped.join(known, "_h", "left_anti")
         deduped = deduped.localCheckpoint(eager=True)
         counts["2_exact_dedup"] = deduped.count()
@@ -246,9 +261,11 @@ def stream_training_corpus(
         )
         # per-(query, batch) overwrite directories: replay-idempotent
         sharded.write.mode("overwrite").parquet(os.path.join(corpus_dir, sub))
-        deduped.select("_h").write.mode("overwrite").parquet(
-            os.path.join(hashes_dir, sub)
-        )
+        deduped.select(
+            "_h",
+            F.lit(qid).alias("query_id"),
+            F.lit(batch_id).alias("batch_id"),
+        ).write.mode("overwrite").parquet(os.path.join(hashes_dir, sub))
         batch_counts.select(
             F.lit(qid).alias("query_id"),
             F.lit(batch_id).alias("batch_id"),

@@ -613,33 +613,52 @@ def read_vector_index(
 
 
 def compact_neardup_store(
-    spark: SparkSession, store_path: str, target_files: int = 4
+    spark: SparkSession,
+    store_path: str,
+    target_files: int = 4,
+    id_col: str = "doc_id",
 ) -> dict[str, int]:
     """Periodic maintenance for `stream_neardup_ingest`'s two stores:
     the band index accretes duplicate rows across crash replays (bands
     are written BEFORE docs, so a replayed batch re-appends its band
     rows — harmless for dedup semantics, pure bloat), and both stores
     accumulate one small file per micro-batch. Rewrite each as
-    `target_files` files with the index row-deduplicated, via a
-    staging dir + atomic-ish swap (never overwrite what is being
-    read). Returns row counts per store; safe to run between ingest
-    runs (the ingest's per-batch reads see either version)."""
+    `target_files` files with the index row-deduplicated. `id_col`
+    must match the ingest's id column (default ``doc_id``).
+
+    Crash-safe swap: the compacted copy is staged, then installed via
+    two renames (live -> .old, staging -> live) before the old copy is
+    deleted — the store is always present under its own name except
+    during the metadata-only renames, so a crash at any point leaves
+    either the old or the new version readable (a stranded ``.old`` /
+    ``.compact`` dir is cleaned up on the next run). Returns row
+    counts per store; safe to run between ingest runs."""
     import os
     import shutil
 
     out: dict[str, int] = {}
-    for name, dedup_cols in (("bands", ["band", "band_key", "doc_id"]), ("docs", None)):
+    for name, dedup_cols in (("bands", ["band", "band_key", id_col]), ("docs", None)):
         path = os.path.join(store_path, name)
+        old = path + ".old"
+        staging = path + ".compact"
+        # recover from a previous crashed swap: if the live dir is gone
+        # but .old survives, the rename-aside crashed mid-swap — put it
+        # back; then clear any stale staging/old leftovers.
+        if not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)
+        for stale in (old, staging):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
         if not os.path.exists(path):
             continue
         df = spark.read.parquet(path)
         if dedup_cols:
             df = df.dropDuplicates(dedup_cols)
-        staging = path + ".compact"
         df.coalesce(target_files).write.mode("overwrite").parquet(staging)
         n = spark.read.parquet(staging).count()
-        shutil.rmtree(path)
+        os.rename(path, old)
         os.rename(staging, path)
+        shutil.rmtree(old)
         out[name] = n
     return out
 

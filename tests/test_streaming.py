@@ -894,6 +894,68 @@ def test_stream_training_corpus_incremental_and_replay(spark, sf_dir, tmp_path):
     assert corpus3.count() == n2
 
 
+def test_stream_training_corpus_same_checkpoint_replay(spark, sf_dir, tmp_path):
+    """Crash in the foreachBatch replay window: the batch's OWN hash
+    shard is already on disk but its checkpoint commit file is not, so
+    Structured Streaming replays the same (queryId, batch_id). The
+    known-hash anti-join must exclude the batch's own (qid, batch)
+    ledger rows — otherwise the replay dedups against itself and
+    silently overwrites corpus/<qid>/batch-N with an empty frame."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from crane_spark.llm.run_pipeline import (
+        read_stream_corpus,
+        stream_training_corpus,
+    )
+    from crane_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") < 20)
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = stream_training_corpus(
+            spark.readStream.schema(docs.schema).parquet(src), eval_docs, root, ckpt
+        )
+        q.awaitTermination(180)
+
+    docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 200)).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run()
+    corpus1, _ = read_stream_corpus(spark, root)
+    rows1 = sorted(r["doc_id"] for r in corpus1.collect())
+    assert rows1
+
+    # simulate a crash AFTER the batch's outputs (incl. its hashes/
+    # shard) hit disk but BEFORE the commit was recorded: remove only
+    # the newest commit file, keep offsets + every data directory.
+    commits = sorted(os.listdir(os.path.join(ckpt, "commits")))
+    committed = [c for c in commits if not c.startswith(".")]
+    os.remove(os.path.join(ckpt, "commits", committed[-1]))
+    crc = os.path.join(ckpt, "commits", f".{committed[-1]}.crc")
+    if os.path.exists(crc):  # local-FS checksum twin of the commit file
+        os.remove(crc)
+    run()
+
+    corpus2, _ = read_stream_corpus(spark, root)
+    assert sorted(r["doc_id"] for r in corpus2.collect()) == rows1
+
+    # and a later, genuinely-new batch still dedups against the store
+    docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 250)).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run()
+    corpus3, _ = read_stream_corpus(spark, root)
+    n3 = corpus3.count()
+    assert corpus3.select(F.md5("text")).distinct().count() == n3
+    assert n3 >= len(rows1)
+
+
 def test_stream_vector_ingest_and_probe(spark, sf_dir, tmp_path):
     """Incremental IVF index: two ingest runs accumulate vectors into
     the cell-assigned store; probing the read-back store (reusing the
@@ -1000,6 +1062,59 @@ def test_compact_neardup_store_dedups_index_and_preserves_semantics(spark, tmp_p
     run()
     got = sorted(r["doc_id"] for r in spark.read.parquet(store + "/docs").collect())
     assert got == [1, 6]
+
+
+def test_compact_neardup_store_custom_id_col_and_crash_recovery(spark, tmp_path):
+    """Compaction must honor the ingest's id column (a store ingested
+    with id_col='item_id' compacts on that key, not a hard-coded
+    doc_id) and survive a crash mid-swap: if a previous run renamed
+    the live dir aside but died before installing the staging copy,
+    the next run restores it instead of treating the store as empty."""
+    import os
+    import shutil
+
+    from crane_spark.streaming.pipelines import (
+        compact_neardup_store,
+        stream_neardup_ingest,
+    )
+
+    src = str(tmp_path / "docs")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "item_id long, body string"
+    base = " ".join(f"w{i}" for i in range(30))
+
+    def run():
+        q = stream_neardup_ingest(
+            spark.readStream.schema(schema).parquet(src),
+            store,
+            ckpt,
+            text_col="body",
+            id_col="item_id",
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(1, base)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    shutil.rmtree(ckpt)
+    run()  # replay bloats the band index
+    counts = compact_neardup_store(spark, store, id_col="item_id")
+    bands = spark.read.parquet(store + "/bands")
+    assert counts["bands"] == bands.count() == bands.dropDuplicates().count()
+
+    # crash mid-swap: live dir renamed aside, staging copy stranded
+    docs_path = os.path.join(store, "docs")
+    os.rename(docs_path, docs_path + ".old")
+    shutil.copytree(docs_path + ".old", docs_path + ".compact")
+    counts2 = compact_neardup_store(spark, store, id_col="item_id")
+    assert os.path.exists(docs_path)
+    assert not os.path.exists(docs_path + ".old")
+    assert not os.path.exists(docs_path + ".compact")
+    assert counts2["docs"] == 1
+    got = sorted(r["item_id"] for r in spark.read.parquet(docs_path).collect())
+    assert got == [1]
 
 
 def test_stream_heavy_hitters_across_runs_and_replay(spark, tmp_path):
