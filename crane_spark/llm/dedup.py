@@ -421,7 +421,10 @@ def drop_duplicate_spans(
         .filter(F.col("df") >= min_docs)
         .select("h")
     )
-    kept = spans.join(F.broadcast(dup), "h", "left_anti")
+    # dup's size tracks corpus duplication (data-dependent, unbounded)
+    # — no forced broadcast; AQE picks broadcast vs shuffled anti join
+    # from the measured size. Hash-only shuffle either way.
+    kept = spans.join(dup, "h", "left_anti")
     ordered = F.transform(
         F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
         lambda s: s["span"],
@@ -570,7 +573,7 @@ def prefix_filter_jaccard_pairs(
     counts (pair-ops and broadcast-bytes budgets), so corpus-scale
     inputs always take the indexed sparse path.
     """
-    from pyspark.sql import Window
+    from crane_spark.operators.indexing import dense_index
 
     # One materialization feeds BOTH the vocabulary aggregate and the
     # signature build (the shingle extraction is the expensive scan;
@@ -580,18 +583,21 @@ def prefix_filter_jaccard_pairs(
         eager=True
     )
     # Vocabulary-sized rank assignment: global rarity order as a dense
-    # int. The single-partition window is over DISTINCT shingles (the
-    # vocabulary), which is orders of magnitude smaller than the
-    # corpus; at extreme vocabularies swap in a two-level (bucketed)
-    # rank — the rest of the pipeline only needs the ORDER.
-    vocab = (
-        tok.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("dfreq"))
-        .withColumn(
-            "rank", F.row_number().over(Window.orderBy("dfreq", "token"))
-        )
-        .select("token", "rank")
-    )
+    # int (1..V), built by the two-level bucketed construction — NO
+    # single-partition sort anywhere, so a 100 TB shingle vocabulary
+    # (billions of tokens) ranks in parallel. The major order is dfreq
+    # (rarity — what the prefix filter needs); within a dfreq the
+    # hash-bucket/token order is an arbitrary deterministic tiebreak,
+    # exactly as `token` alone was. rank stays int: the per-doc
+    # signature arrays sort/intersect as plain ints (measured 2x over
+    # the string formulation); >2^31 vocabularies would widen to long.
+    vocab = dense_index(
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq")),
+        tiebreak="token",
+        major="dfreq",
+        out="rank",
+        one_based=True,
+    ).select("token", F.col("rank").cast("int").alias("rank"))
     ranked = tok.join(F.broadcast(vocab), "token").select(F.col(id_col), "rank")
     n_docs = tok.select(id_col).distinct().count()
     vocab_size = vocab.count()

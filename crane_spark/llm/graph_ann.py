@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from crane_spark.functions.vectors import to_double_vec, vec_norm
 from crane_spark.llm.similarity import ROUND_DIGITS, ivf_assign
+from crane_spark.operators.indexing import dense_index
 from crane_spark.tables import fan_out
 
 # score = rounded cosine of pre-normalized vectors, id tiebreaks —
@@ -52,17 +53,42 @@ def _normalized(vectors: DataFrame, vec_col: str, id_col: str) -> DataFrame:
 
 
 def _spread_sample(df: DataFrame, id_col: str, m: int, n: int) -> DataFrame:
-    """Deterministic spread sample: every ceil(n/m)-th row in id
-    order. Unlike a lowest-id prefix (which concentrates in whatever
-    region owns the small ids), a strided sample covers the id range —
-    which is what both the blocked init and the search entry set need
-    to be NAVIGABLE from everywhere."""
-    stride = max(1, -(-n // m))
-    w = Window.orderBy(id_col)
+    """Deterministic spread sample of ~m rows covering the id space,
+    with NO sort over the table (the old rank-strided form ran
+    row_number over an unpartitioned Window — one task sorting every
+    vector id).
+
+    Primary path (numeric ids): stride over the id VALUE range — one
+    min/max aggregate, then a map-side modulo filter keeping ids at
+    residue 0 of stride = span/m. For dense ids this reproduces the
+    rank-strided sample exactly (every ~n/m-th id); for moderately
+    sparse ids it still spreads by VALUE, which is the navigability
+    property the blocked init and the search entry set need (a
+    hash-random sample of m nodes misses whole regions with
+    coupon-collector probability — measured as a 0.8 -> 0.5 recall
+    drop on clustered fixtures).
+
+    Fallback (non-numeric or so sparse the value stride starves):
+    hash-strided sample trimmed in hash order — spread in
+    distribution, never empty. Every ordered step (TakeOrdered) runs
+    over the ~m-row sample, never the table."""
+    from pyspark.sql.types import NumericType
+
+    if isinstance(df.schema[id_col].dataType, NumericType):
+        lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
+        if lo is not None:
+            span = int(hi) - int(lo) + 1
+            stride = max(1, span // max(1, m))
+            vs = df.filter(
+                F.pmod(F.col(id_col) - F.lit(lo), F.lit(stride)) == 0
+            )
+            if vs.count() * 2 >= m:  # dense enough: value stride covers
+                return vs.orderBy(id_col).limit(m)
+    h = F.xxhash64(F.col(id_col))
+    stride = max(1, n // max(1, 2 * m))
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") - 1) % stride == 0)
-        .drop("_rn")
+        df.filter(F.pmod(h, F.lit(stride)) == 0)
+        .orderBy(h, F.col(id_col))
         .limit(m)
     )
 
@@ -160,9 +186,13 @@ def knn_graph_build(
         .select("src", "dst")
     )
     # random half: k deterministic hash partners per node, resolved
-    # through a dense 0..n-1 index so arbitrary id spaces work
-    w_ix = Window.orderBy(id_col)
-    idx = nv.select(id_col).withColumn("_ix", F.row_number().over(w_ix) - 1)
+    # through a dense 0..n-1 index so arbitrary id spaces work. The
+    # index is the two-level bucketed construction (operators/indexing)
+    # — parallel per-bucket ranks + bounded offset cumsum — because any
+    # deterministic bijection onto 0..n-1 serves partner resolution;
+    # the old row_number-over-everything sorted the whole vector table
+    # in one task.
+    idx = dense_index(nv.select(id_col), tiebreak=id_col, out="_ix")
     rand = (
         idx.select(F.col(id_col).alias("src"))
         .crossJoin(nv.sparkSession.range(k).withColumnRenamed("id", "_j"))

@@ -496,7 +496,13 @@ def q_dup_span_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") >= 2)
         .select("h")
     )
-    hits = grams.join(F.broadcast(dup), "h", "left_semi")
+    # No broadcast hint: the dup-gram set grows with corpus
+    # DUPLICATION, not with any fixed dimension — on a duplication-
+    # heavy crawl a forced broadcast exceeds the executor budget and
+    # fails the job outright. AQE broadcasts it when its measured size
+    # allows and falls back to a shuffled semi join when it doesn't
+    # (both shuffle only bare 16-byte hashes).
+    hits = grams.join(dup, "h", "left_semi")
     w = Window.partitionBy("doc_id").orderBy("p")
     prev_end = F.max(F.col("p") + L).over(
         w.rowsBetween(Window.unboundedPreceding, -1)

@@ -109,11 +109,18 @@ def test_bloom_contamination_keeps_broadcast_only_joins(spark, sf_dir):
     assert "shiftright" in plan
 
 
-def test_span_dedup_broadcasts_duplicate_set(spark, sf_dir):
-    """The duplicate-span set rides a broadcast anti-join; the
-    corpus-sized span stream must not shuffle for it."""
+def test_span_dedup_anti_join_unpinned(spark, sf_dir):
+    """The duplicate-span set is DATA-DEPENDENT (grows with corpus
+    duplication), so the anti join must not pin a broadcast — AQE
+    chooses. At fixture scale AQE measures it small and broadcasts;
+    the guard accepts either hash strategy but never a cross
+    product."""
     plan = _plan(spark, sf_dir, "span_dedup")
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or (
+        "SortMergeJoin" in plan
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
 def test_cms_probe_is_broadcast(spark, sf_dir):
@@ -208,14 +215,17 @@ def test_twap_single_user_shuffle_reused(spark, sf_dir):
     assert "hashpartitioning(user_id" in plan
 
 
-def test_dup_span_ranges_broadcast_semi_no_smj(spark, sf_dir):
-    """Duplicated-gram detection joins back by a BROADCAST semi join
-    (the dup-gram set is aggregate-sized); the island merge windows
-    run over the already-pruned hit list — no sort-merge join, no
-    cross product anywhere."""
+def test_dup_span_ranges_semi_join_unpinned(spark, sf_dir):
+    """Duplicated-gram detection joins back by a semi join whose
+    strategy AQE picks from the dup set's MEASURED size (a pinned
+    broadcast fails outright on duplication-heavy corpora where the
+    dup set exceeds the executor budget). The island merge windows
+    still run over the already-pruned hit list; no cross product
+    anywhere."""
     plan = _plan(spark, sf_dir, "dup_span_ranges")
-    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan and "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "Window" in plan
 
 
 def test_similar_activity_broadcasts_stats(spark, sf_dir):
@@ -265,3 +275,42 @@ def test_knn_graph_no_cartesian(spark, sf_dir):
     all-pairs blowup the graph exists to avoid."""
     plan = _plan(spark, sf_dir, "knn_graph_topk")
     assert "CartesianProduct" not in plan
+
+
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_ann_ppjoin_index_paths_no_unpartitioned_window(spark, sf_dir):
+    """The r2 verdict's three row_number-over-everything windows — the
+    NN-Descent dense init index, the centroid/entry spread sample, and
+    the PPJoin vocabulary rank — are now two-level bucketed builds and
+    map-side strided filters. The final registry plans cannot show
+    them (localCheckpoint truncation), so guard the ACTUAL frames: no
+    Window over an empty partition spec, which plans as an
+    Exchange SinglePartition sorting every row in one task."""
+    import pyspark.sql.functions as F
+
+    from crane_spark.llm.dedup import shingle_tokens
+    from crane_spark.llm.graph_ann import _spread_sample
+    from crane_spark.operators.indexing import dense_index
+    from crane_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id")
+    idx = dense_index(emb, tiebreak="vec_id", out="_ix")
+    samp = _spread_sample(emb, "vec_id", 16, emb.count())
+    tok = shingle_tokens(
+        table(spark, sf_dir, "documents").limit(200), "text", "doc_id", 3
+    )
+    vocab = dense_index(
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq")),
+        tiebreak="token",
+        major="dfreq",
+        out="rank",
+        one_based=True,
+    )
+    for name, df in (("init_index", idx), ("spread_sample", samp), ("vocab_rank", vocab)):
+        p = _explain(df)
+        assert "Exchange SinglePartition" not in p, name
