@@ -78,6 +78,18 @@ LOCAL_VOCAB_MAX = 200_000
 BATCH_CANDIDATES = 512
 MERGES_PER_ROUND = 256
 
+# Exact-mode delta maintenance: when the DISTINCT adjacent-pair table
+# fits under this many entries, the exact distributed loop mirrors it
+# driver-side once and then maintains it incrementally from per-round
+# DELTAS (pairs destroyed/created by the applied batch, aggregated
+# over only the REWRITTEN words) instead of re-counting every pair
+# every round. Pair diversity is symbol-pair-bounded (an alphabet² in
+# the letter phase, growing only by merge-created symbols), orders of
+# magnitude under the word count that gates the local path; corpora
+# whose pair diversity exceeds the cap fall back to the re-counting
+# loop unchanged.
+PAIR_DICT_MAX = 2_000_000
+
 
 def _select_batch(
     ranked: list[tuple[str, str, int]], cap: int, complete: bool
@@ -211,6 +223,105 @@ def _batch_merge_col(batch: list[tuple[str, str, int]]):
     )
 
 
+def _pair_structs(col_name: str):
+    """Adjacent-pair struct array of a symbol column, empty (typed)
+    when the word has shrunk below 2 symbols — `sequence(1, 0)`
+    DESCENDS in Spark, so the size guard is load-bearing."""
+    return F.when(
+        F.size(F.col(col_name)) >= 2,
+        F.expr(
+            f"transform(sequence(1, size({col_name}) - 1), "
+            f"i -> struct({col_name}[i - 1] AS a, {col_name}[i] AS b))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<struct<a:string,b:string>>)"))
+
+
+def _bpe_train_delta(
+    seqs: DataFrame,
+    counts: dict[tuple[str, str], int],
+    n_merges: int,
+) -> list[tuple[str, str, int]]:
+    """Exact distributed BPE with INCREMENTAL pair counts: the full
+    (pair -> count) table lives driver-side (gated by PAIR_DICT_MAX);
+    each round selects the provably-classic-equal disjoint batch from
+    the COMPLETE ranking (`_select_batch(complete=True)` — no
+    truncation cut, so batches are as long as exactness allows), then
+    one materialization pass rewrites only the words that contain a
+    batch pair and one small aggregate collects the pair deltas
+    (-freq for every old pair of a rewritten word, +freq for every
+    new one) to update the driver table. Per round: one map-only
+    rewrite + one delta aggregate over REWRITTEN words — never a full
+    pair re-count, never a vocabulary-wide shuffle.
+
+    Exactness: the batch is `_select_batch`'s disjoint prefix, whose
+    one-pass application equals sequential classic merges; the delta
+    update then reproduces exactly the counts a full re-count would
+    produce (pairs are an additive function of the word multiset),
+    so the next round's complete ranking is the classic ranking.
+    Regime equality vs `_bpe_train_local` is pinned in tests."""
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < n_merges and counts:
+        ranked = sorted(
+            ((a, b, n) for (a, b), n in counts.items()),
+            key=lambda t: (-t[2], t[0], t[1]),
+        )
+        cap = n_merges - len(merges)
+        batch = _select_batch(ranked, cap=min(cap, MERGES_PER_ROUND), complete=True)
+        if not batch:
+            break
+        merges.extend(batch)
+        entries = []
+        for a, b, _ in batch:
+            entries.append(F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")))
+            entries.append(F.lit(a + b))
+        m = F.create_map(*entries)
+        hit = F.exists(
+            _pair_structs("syms"), lambda p: F.try_element_at(m, p).isNotNull()
+        )
+        staged = seqs.select(
+            "word",
+            "freq",
+            "syms",
+            hit.alias("_hit"),
+            F.when(hit, _batch_merge_col(batch)).otherwise(F.col("syms")).alias(
+                "_new"
+            ),
+        ).localCheckpoint(eager=True)
+        neg = F.transform(
+            _pair_structs("syms"),
+            lambda p: F.struct(
+                p["a"].alias("a"),
+                p["b"].alias("b"),
+                (-F.col("freq")).alias("d"),
+            ),
+        )
+        pos = F.transform(
+            _pair_structs("_new"),
+            lambda p: F.struct(
+                p["a"].alias("a"), p["b"].alias("b"), F.col("freq").alias("d")
+            ),
+        )
+        delta = (
+            staged.filter("_hit")
+            .select(F.explode(F.concat(neg, pos)).alias("e"))
+            .groupBy("e.a", "e.b")
+            .agg(F.sum("e.d").alias("d"))
+            .filter(F.col("d") != 0)
+            .collect()
+        )
+        for r in delta:
+            key = (r["a"], r["b"])
+            n = counts.get(key, 0) + int(r["d"])
+            if n > 0:
+                counts[key] = n
+            elif n == 0:
+                counts.pop(key, None)
+            else:  # impossible if the maintained table is consistent
+                raise AssertionError(f"negative pair count for {key}: {n}")
+        seqs = staged.select("word", "freq", F.col("_new").alias("syms"))
+    return merges
+
+
 def _bpe_train_local(
     rows: list[tuple[str, int]], n_merges: int
 ) -> list[tuple[str, str, int]]:
@@ -294,6 +405,19 @@ def bpe_train(
     seqs = (
         _initial_symbols(words).coalesce(n_parts).localCheckpoint(eager=True)
     )
+    if exact:
+        # Delta-maintained exact loop (r2 verdict #6): mirror the full
+        # pair table driver-side when its DISTINCT size allows, then
+        # never re-count — each round costs one rewrite pass plus a
+        # delta aggregate over rewritten words, so the ~2-merges/round
+        # letter phase stops paying a vocabulary shuffle per round and
+        # the complete ranking lets batches reach full provable length.
+        pc = _pair_counts(seqs)
+        if pc.count() <= PAIR_DICT_MAX:
+            counts = {
+                (r["a"], r["b"]): int(r["n"]) for r in pc.collect()
+            }
+            return _bpe_train_delta(seqs, counts, n_merges)
     # BATCHED merge loop: one ranked-pair job per ROUND learns up to
     # MERGES_PER_ROUND provably-classic-equal merges (see
     # _select_batch), applied in one map-only pass — the driver

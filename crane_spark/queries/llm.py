@@ -537,6 +537,40 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(vectors, centroids, threshold=0.35)
 
 
+# Sampled oracle twin (see prefix_jaccard_sampled): a deterministic
+# 1/23 vec_id slice (centroids kept) so the in-cell pair oracle stays
+# tractable at rungs where cells hold thousands of vectors each.
+NEAR_DUP_SAMPLED_SQL = (
+    "WITH embeddings_s AS "
+    "(SELECT * FROM embeddings WHERE vec_id < 10 OR vec_id % 23 = 0),"
+    + NEAR_DUP_SQL.replace("FROM embeddings", "FROM embeddings_s")
+    .replace("JOIN embeddings e", "JOIN embeddings_s e")
+    .strip()
+    .removeprefix("WITH")
+)
+
+
+@register(
+    "embedding_near_dup_sampled",
+    NEAR_DUP_SAMPLED_SQL,
+    tags=("llm", "dedup", "similarity", "ivf", "sampled"),
+)
+def q_embedding_near_dup_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`embedding_near_dup` on a deterministic 1/23 vec_id slice
+    (centroid ids always kept) — the sampled oracle twin for big
+    rungs."""
+    from crane_spark.llm.similarity import cosine_near_dup_pairs
+
+    emb = table(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") < 10) | (F.col("vec_id") % 23 == 0)
+    )
+    centroids = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    vectors = emb.filter(F.col("vec_id") >= 10)
+    return cosine_near_dup_pairs(vectors, centroids, threshold=0.35)
+
+
 SEMANTIC_DEDUP_SQL = f"""
 WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 10),
 v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
@@ -1003,6 +1037,38 @@ def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(
         table(spark, sf_dir, "documents"), shingle_n=2, t_num=2, t_den=3
     )
+
+
+# Sampled twin for the BIG-rung oracle: the all-pairs DuckDB
+# definition is deliberately quadratic (that's what makes it a
+# trustworthy oracle), so at sf1 (50k docs -> 1.25B candidate pairs
+# ORACLE-side) it cannot run as-is. The twin restricts BOTH engines
+# to the same deterministic 1/89 doc slice (~sf0.01 density drawn
+# FROM the sf1 data, replicas included), which keeps the engine code
+# path identical (same regime gate, same pipeline) while the oracle
+# stays tractable at any rung. DuckDB rejects a CTE shadowing the
+# view it reads, so the slice gets its own CTE name and the body's
+# table references are rewritten onto it.
+PREFIX_JACCARD_SAMPLED_SQL = (
+    "WITH documents_s AS (SELECT * FROM documents WHERE doc_id % 89 = 0),"
+    + PREFIX_JACCARD_SQL.replace("FROM documents", "FROM documents_s")
+    .strip()
+    .removeprefix("WITH")
+)
+
+
+@register(
+    "prefix_jaccard_sampled",
+    PREFIX_JACCARD_SAMPLED_SQL,
+    tags=("llm", "dedup", "similarity", "sampled"),
+)
+def q_prefix_jaccard_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`prefix_jaccard_join` on a deterministic 1/89 doc_id slice —
+    the sampled oracle twin that keeps the exact similarity join
+    hash-verified at rungs where the quadratic all-pairs oracle
+    definition is intractable oracle-side (see SCALE.md)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 89 == 0)
+    return prefix_filter_jaccard_pairs(docs, shingle_n=2, t_num=2, t_den=3)
 
 
 GOPHER_SQL = f"""

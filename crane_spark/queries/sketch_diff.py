@@ -1,0 +1,200 @@
+"""Sketch-vs-exact DIFFERENTIAL queries (r2 verdict #7): the engine's
+approximate operators (HLL distinct rollup, rolling-HLL WAU, count-min
+heavy hitters) are engine-specific blobs with no DuckDB twin, so their
+registry entries were rows-only — their error bounds lived in pytest
+alone. These paired entries run sketch AND exact aggregation over the
+SAME input in one query and return
+
+    (keys..., exact value, within_bound)
+
+The exact values hash-verify against the DuckDB oracle like any other
+query, and the oracle pins `within_bound` to TRUE — so the driver's
+hash comparison itself asserts the sketch tracked the exact answer
+within its declared bound, on every rung it runs (sketch hash seeds
+are fixed, so the flag is deterministic per dataset, never flaky).
+
+Scale note: these are verification harnesses, not the serving path —
+the exact twin inside each is the cost the sketch exists to avoid.
+They stay in the registry because they are exactly what a 100 TB
+deployment runs on a SAMPLE to qualify a sketch config before trusting
+it fleet-wide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crane_spark.functions.sketches import cms_build, cms_estimate
+from crane_spark.functions.text import tokens
+from crane_spark.queries.core import register
+from crane_spark.tables import fan_out, table
+
+# --------------------------------------------------------------------
+# HLL region rollup vs exact distinct (twin of hll_rollup_regions)
+# --------------------------------------------------------------------
+
+# lgK=14 keeps HLL relative error well under 2% at fixture-to-sf1
+# cardinalities (same bound test_stats.test_hll_rollup_bounds pins).
+HLL_REL_BOUND = 0.02
+
+HLL_DIFF_SQL = """
+SELECT CAST(n.n_regionkey AS BIGINT) AS regionkey,
+       count(DISTINCT c.c_custkey) AS exact_customers,
+       TRUE AS within_bound
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_regionkey
+"""
+
+
+@register("hll_rollup_diff", HLL_DIFF_SQL, tags=("agg", "sketch", "hll", "differential"))
+def q_hll_rollup_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region: exact distinct customers, plus a flag that the
+    union-merged per-nation HLL estimate (the `hll_rollup_regions`
+    plan) lands within HLL_REL_BOUND of it."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    per_nation = joined.groupBy("n_regionkey", "n_nationkey").agg(
+        F.hll_sketch_agg("c_custkey", F.lit(14)).alias("sk"),
+        F.count_distinct("c_custkey").alias("n_exact"),
+    )
+    return per_nation.groupBy(
+        F.col("n_regionkey").cast("long").alias("regionkey")
+    ).agg(
+        # exact distinct per region == sum of per-nation exacts only
+        # because nation partitions customers; keep the same shape as
+        # the sketch side (merge partials) rather than rescanning.
+        F.sum("n_exact").alias("exact_customers"),
+        (
+            F.abs(
+                F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                - F.sum("n_exact")
+            )
+            <= F.lit(HLL_REL_BOUND) * F.sum("n_exact")
+        ).alias("within_bound"),
+    )
+
+
+# --------------------------------------------------------------------
+# Rolling 7-day HLL WAU vs exact (twin of rolling_7d_hll)
+# --------------------------------------------------------------------
+
+ROLLING_HLL_DIFF_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+contrib AS (
+  SELECT user_id,
+         CAST(UNNEST(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM pairs
+)
+SELECT c.day, count(DISTINCT c.user_id) AS wau_7d_exact,
+       TRUE AS within_bound
+FROM contrib c
+WHERE c.day IN (SELECT DISTINCT d FROM pairs)
+GROUP BY c.day
+"""
+
+
+@register(
+    "rolling_7d_hll_diff",
+    ROLLING_HLL_DIFF_SQL,
+    tags=("window", "sketch", "hll", "timeseries", "differential"),
+)
+def q_rolling_hll_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day: exact trailing-7-day distinct users, plus a flag that
+    the per-day-sketch union estimate (the `rolling_7d_hll` plan)
+    stays within max(3, 5%) of it — the bound
+    test_stats.test_rolling_hll_tracks_exact_wau pins."""
+    events = table(spark, sf_dir, "events")
+    pairs = events.select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = pairs.select("d").distinct()
+    contrib = pairs.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("day"),
+    )
+    both = (
+        contrib.join(days, contrib.day == days.d, "left_semi")
+        .groupBy("day")
+        .agg(
+            F.count_distinct("user_id").alias("wau_7d_exact"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("_est"),
+        )
+    )
+    return both.select(
+        "day",
+        "wau_7d_exact",
+        (
+            F.abs(F.col("_est") - F.col("wau_7d_exact"))
+            <= F.greatest(
+                F.lit(3.0), F.lit(0.05) * F.col("wau_7d_exact")
+            )
+        ).alias("within_bound"),
+    )
+
+
+# --------------------------------------------------------------------
+# Count-min estimates vs exact counts on the exact top tokens
+# (twin of cms_heavy_hitters)
+# --------------------------------------------------------------------
+
+CMS_DIFF_TOPK = 20
+# CMS guarantee: est >= exact always; est <= exact + (e/width)*N with
+# probability 1 - e^-depth per key. The flag checks both sides; hash
+# seeds are fixed, so the outcome is deterministic per dataset.
+CMS_EPS_NUM, CMS_EPS_DEN = 2719, 2048 * 1000  # e/width, slight over-round
+
+CMS_DIFF_SQL = f"""
+WITH tok AS (
+  SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT token, count(*) AS exact_count FROM tok
+  WHERE len(token) > 0 GROUP BY token
+)
+SELECT token, exact_count, TRUE AS within_bound FROM (
+  SELECT token, exact_count,
+         row_number() OVER (ORDER BY exact_count DESC, token) AS rk
+  FROM counts
+) WHERE rk <= {CMS_DIFF_TOPK}
+"""
+
+
+@register(
+    "cms_heavy_hitters_diff",
+    CMS_DIFF_SQL,
+    tags=("llm", "sketch", "agg", "differential"),
+)
+def q_cms_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For the EXACT top-{k} corpus tokens (SQL-reproducible key set,
+    unlike the estimate-ranked `cms_heavy_hitters`): exact count plus
+    a flag that the count-min estimate respects both sides of its
+    guarantee (never undercounts; overcounts by at most eps*N)."""
+    docs = table(spark, sf_dir, "documents")
+    tok = fan_out(docs).select(F.explode(tokens("text")).alias("token"))
+    total = tok.groupBy().agg(F.count(F.lit(1)).alias("N"))
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+    top = exact.orderBy(F.desc("exact_count"), F.asc("token")).limit(
+        CMS_DIFF_TOPK
+    )
+    sketch = cms_build(tok, "token")
+    est = cms_estimate(top.select("token"), sketch, "token")
+    return (
+        top.join(est, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "exact_count",
+            (
+                (F.col("est_count") >= F.col("exact_count"))
+                & (
+                    (F.col("est_count") - F.col("exact_count"))
+                    * F.lit(CMS_EPS_DEN)
+                    <= F.lit(CMS_EPS_NUM) * F.col("N")
+                )
+            ).alias("within_bound"),
+        )
+    )
