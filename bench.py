@@ -143,9 +143,18 @@ def main() -> int:
         start = time.perf_counter()
         bpe_merges = B.bpe_train(bpe_corpus, n_merges=1000, exact=False)
         bpe_seconds = round(time.perf_counter() - start, 3)
+        # Exact mode at the same depth (r2 verdict #6): the delta-
+        # maintained loop (driver-mirrored pair table + per-round
+        # rewrite/delta pass) must keep provably-classic training
+        # within ~2x of greedy throughput instead of degenerating to
+        # ~2 merges/round of full re-counts.
+        start = time.perf_counter()
+        bpe_exact = B.bpe_train(bpe_corpus, n_merges=1000, exact=True)
+        bpe_exact_seconds = round(time.perf_counter() - start, 3)
     finally:
         B.LOCAL_VOCAB_MAX = saved_local_max
     assert len(bpe_merges) == 1000
+    assert len(bpe_exact) == 1000
 
     # Headline = best of the two passes per query: robust to transient
     # GC/worker churn, and what steady-state throughput actually is.
@@ -169,6 +178,7 @@ def main() -> int:
     if stream_lps is not None:
         payload["streaming_wordcount_lines_per_sec"] = stream_lps
     payload["bpe_1000_merges_distributed_sec"] = bpe_seconds
+    payload["bpe_1000_merges_exact_sec"] = bpe_exact_seconds
 
     # Full per-query detail goes to a file; the stdout line must stay
     # compact. The driver captures only a bounded tail of stdout
