@@ -897,11 +897,13 @@ def q_similar_activity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # TakeOrdered top-30, never a user-space-wide single-partition
+    # window (user count grows with the data).
     top = (
         daily.groupBy("user_id")
         .agg(F.sum("v").alias("tot"))
-        .withColumn("rn", F.row_number().over(Window.orderBy(F.desc("tot"), "user_id")))
-        .filter(F.col("rn") <= 30)
+        .orderBy(F.desc("tot"), "user_id")
+        .limit(30)
         .select("user_id")
     )
     d = daily.join(F.broadcast(top), "user_id").localCheckpoint(eager=True)
@@ -1000,8 +1002,14 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("n_rows"),
         F.sum(F.col("cnt") * F.col("cnt")).alias("sum_sq"),
     )
+    # TakeOrdered top-10 + 10-row rank window: the per-key count table
+    # is key-space-sized and must not cross a single-partition sort.
     w = Window.orderBy(F.desc("cnt"), "key")
-    top = c.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    top = (
+        c.orderBy(F.desc("cnt"), "key")
+        .limit(10)
+        .withColumn("rn", F.row_number().over(w))
+    )
     nrows = F.col("n_rows").cast("double")
     return top.crossJoin(F.broadcast(g)).select(
         "key",

@@ -52,11 +52,9 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("term_freq"),
         F.count_distinct("doc_id").alias("doc_freq"),
     )
+    top = freq.orderBy(F.desc("term_freq"), F.asc("token")).limit(100)
     w = Window.orderBy(F.desc("term_freq"), F.asc("token"))
-    return (
-        freq.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 100)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 # --------------------------------------------------------------------

@@ -99,11 +99,14 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = cms_estimate(cand, sketch, "token")
     from pyspark.sql import Window
 
+    # top-k BEFORE the rank window: orderBy+limit plans as
+    # TakeOrderedAndProject (per-partition heaps), so the single-
+    # partition row_number only ever sees CMS_TOPK rows — the
+    # estimate table is VOCABULARY-sized and must never cross a
+    # single-partition window sort.
+    top = est.orderBy(F.desc("est_count"), F.asc("token")).limit(CMS_TOPK)
     w = Window.orderBy(F.desc("est_count"), F.asc("token"))
-    return (
-        est.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= CMS_TOPK)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 SPAN, MIN_DOCS = 16, 2

@@ -150,13 +150,26 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    # Vocabulary-sized data: a single-partition rank window is fine
-    # (vocab grows ~log with corpus size, not linearly).
-    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    # Dense rank without a single-partition vocabulary sort: the
+    # two-level bucketed index (operators/indexing) ordered by freq
+    # desc. Ties (same freq) may take different ranks than a plain
+    # token-tiebreak sort, but the regression is INVARIANT to that:
+    # tied tokens share y = ln(freq) and permute within the same rank
+    # set, so every moment sum — and the DuckDB oracle's — is
+    # unchanged.
+    from crane_spark.operators.indexing import dense_index
+
+    ranked = dense_index(
+        tf.withColumn("_negfreq", -F.col("freq")),
+        tiebreak="token",
+        major="_negfreq",
+        out="rank",
+        one_based=True,
+    )
     lnx = F.log(F.col("rank").cast("double"))
     lny = F.log(F.col("freq").cast("double"))
     pts = (
-        tf.withColumn("rank", F.row_number().over(w).cast("long"))
+        ranked
         .select(
             F.round(lnx, 9).cast("decimal(28,9)").alias("x"),
             F.round(lny, 9).cast("decimal(28,9)").alias("y"),
