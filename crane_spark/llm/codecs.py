@@ -1,5 +1,5 @@
-"""Dependency-free multimodal codecs: BMP / PPM / PGM images and
-WAV-PCM audio, pure Python + NumPy.
+"""Dependency-free multimodal codecs: PNG / BMP / PPM / PGM images
+and WAV-PCM audio, pure Python + NumPy (+ stdlib zlib for PNG).
 
 These are the REAL decoders behind `llm.multimodal`'s `fake=False`
 path (the container has no PIL/ffmpeg; these formats need none). Each
@@ -9,6 +9,10 @@ spec-conformant file that external tools (and Python's stdlib `wave`
 module, used as the independent oracle in tests) can read back.
 
 Supported:
+  * PNG: 8-bit-per-sample, color types 0/2/3/4/6 (gray, RGB, palette,
+    gray+alpha, RGBA), all five scanline filters, non-interlaced;
+    CRCs verified on read, alpha stripped to the DecodedImage 1/3
+    channel contract, palette expanded via PLTE.
   * BMP: uncompressed 24-bit BI_RGB (BITMAPINFOHEADER), bottom-up or
     top-down row order, 4-byte-aligned rows (the overwhelmingly common
     on-disk layout).
@@ -24,6 +28,7 @@ stage stays a pure function over the binary column.
 from __future__ import annotations
 
 import struct
+import zlib
 from dataclasses import dataclass
 
 import numpy as np
@@ -33,8 +38,10 @@ import numpy as np
 
 
 def sniff(data: bytes) -> str | None:
-    """Best-effort container detection from magic bytes: 'bmp', 'ppm',
-    'pgm', 'wav', or None for anything unrecognized."""
+    """Best-effort container detection from magic bytes: 'png', 'bmp',
+    'ppm', 'pgm', 'wav', or None for anything unrecognized."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     if data[:2] == b"BM":
         return "bmp"
     if data[:2] == b"P6":
@@ -86,6 +93,152 @@ class DecodedAudio:
     @property
     def channels(self) -> int:
         return self.samples.shape[1]
+
+
+# --------------------------------------------------------------------
+# PNG (8-bit, non-interlaced; stdlib zlib + CRC verification)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (before palette expansion)
+_PNG_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(data: bytes):
+    """Walk (type, body) chunks, verifying each CRC — corruption fails
+    loudly here instead of surfacing as garbled pixels downstream."""
+    pos = 8
+    n = len(data)
+    while pos + 8 <= n:
+        (size,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size or pos + 12 + size > n:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + size)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {ctype!r} chunk")
+        yield ctype, body
+        if ctype == b"IEND":
+            return
+        pos += 12 + size
+    raise ValueError("PNG missing IEND chunk")
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters. Rows are sequential by
+    spec (each depends on the fully reconstructed row above); the
+    within-row recurrences (Sub/Average/Paeth depend on the pixel to
+    the left) run as a per-pixel-column loop of width-long vector ops
+    — O(h * stride) total work either way, loop overhead bounded by
+    bytes-per-pixel * height iterations."""
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-recursive
+            rec = cur.copy()
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    rec[x] = (cur[x] + a) & 0xFF
+                elif f == 3:
+                    rec[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+                else:
+                    b = prev[x]
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = rec.astype(np.uint8)
+    return out
+
+
+def decode_png(data: bytes) -> DecodedImage:
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    w = h = None
+    color = depth = interlace = None
+    plte: bytes | None = None
+    idat: list[bytes] = []
+    for ctype, body in _png_chunks(data):
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (only 8)")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    if color not in _PNG_SAMPLES:
+        raise ValueError(f"unsupported PNG color type {color}")
+    spp = _PNG_SAMPLES[color]
+    stride = w * spp
+    try:
+        raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    px = _png_unfilter(raw, h, stride, spp).reshape(h, w, spp)
+    if color == 3:  # palette -> RGB
+        if plte is None or len(plte) % 3:
+            raise ValueError("paletted PNG missing/invalid PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        px = pal[idx]
+    elif color == 4:  # gray+alpha -> gray
+        px = px[:, :, :1]
+    elif color == 6:  # RGBA -> RGB
+        px = px[:, :, :3]
+    return DecodedImage(pixels=np.ascontiguousarray(px), fmt="png")
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode (h, w, 3) RGB or (h, w, 1)/(h, w) gray uint8 as a
+    non-interlaced 8-bit PNG (filter 0 scanlines — readers handle any
+    filter; writers may pick the cheapest)."""
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, ch = pixels.shape
+    if ch not in (1, 3):
+        raise ValueError(f"encode_png expects 1 or 3 channels, got {ch}")
+    color = 0 if ch == 1 else 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    scan = np.zeros((h, 1 + w * ch), dtype=np.uint8)
+    scan[:, 1:] = pixels.reshape(h, w * ch)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 # --------------------------------------------------------------------
@@ -276,7 +429,12 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 # --------------------------------------------------------------------
 # unified entry
 
-_IMAGE_DECODERS = {"bmp": decode_bmp, "ppm": decode_ppm, "pgm": decode_pgm}
+_IMAGE_DECODERS = {
+    "png": decode_png,
+    "bmp": decode_bmp,
+    "ppm": decode_ppm,
+    "pgm": decode_pgm,
+}
 
 
 def decode_asset(data: bytes) -> DecodedImage | DecodedAudio:
@@ -289,8 +447,8 @@ def decode_asset(data: bytes) -> DecodedImage | DecodedAudio:
     if kind == "wav":
         return decode_wav(data)
     raise ValueError(
-        "unrecognized asset container (supported: 24-bit BMP, binary "
-        "PPM/PGM, PCM WAV)"
+        "unrecognized asset container (supported: 8-bit PNG, 24-bit "
+        "BMP, binary PPM/PGM, PCM WAV)"
     )
 
 
@@ -298,6 +456,8 @@ def encode_like(decoded: DecodedImage | DecodedAudio) -> bytes:
     """Re-encode a decoded asset in its ORIGINAL container format —
     the second half of a decode -> transform -> re-encode stage."""
     if isinstance(decoded, DecodedImage):
+        if decoded.fmt == "png":
+            return encode_png(decoded.pixels)
         if decoded.fmt == "bmp":
             return encode_bmp(decoded.pixels)
         if decoded.fmt == "ppm":

@@ -140,7 +140,7 @@ def knn_graph_build(
     NN-Descent.
 
     Init: IVF-style blocking — assign vectors to ``init_cells``
-    deterministic centroids (a strided id-order sample, so the anchors
+    deterministic centroids (a value-strided spread sample, so the anchors
     cover the id range) and take exact within-cell top-k — UNIONED
     with k hash-pseudo-random partners per node. The random half is
     load-bearing, not decoration: NN-Descent's convergence argument

@@ -233,7 +233,7 @@ def _resize_real(data: bytes, target_bytes: int) -> bytes:
     except (ValueError, struct_error):
         return bytes(data)
     if isinstance(dec, DecodedImage):
-        bytes_per_px = 1 if dec.fmt == "pgm" else 3
+        bytes_per_px = dec.channels  # 1 gray / 3 RGB, any container
         budget_px = max(1, (target_bytes - 64) // bytes_per_px)
         cur_px = dec.width * dec.height
         if cur_px <= budget_px:

@@ -415,13 +415,14 @@ def q_hashed_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("multimodal_asset_report", None, tags=("llm", "multimodal", "codec"))
 def q_multimodal_asset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multimodal decode inside the query surface: synthesize a
-    genuine container per document — a PGM image whose pixel grid is
-    the doc's text bytes for even ids, a PCM WAV whose samples encode
-    them for odd ids (llm/codecs encoders, deterministic) — then run
-    the full binary -> decode -> featurize path (llm/multimodal.
+    genuine container per document — an RGB PNG (zlib-compressed,
+    CRC'd) for ids % 3 == 0, a PGM whose pixel grid is the doc's text
+    bytes for % 3 == 1, a PCM WAV whose samples encode them for
+    % 3 == 2 (llm/codecs encoders, deterministic) — then run the full
+    binary -> decode -> featurize path (llm/multimodal.
     extract_features, fake=False) and report per-mime asset counts,
     byte totals, and decoded feature means. Exercises the actual
-    BMP/PGM/WAV parsers under the driver harness, not just pytest;
+    PNG/PGM/WAV parsers under the driver harness, not just pytest;
     rows-only (binary synthesis + codec features have no SQL oracle —
     codec exactness is pinned by test_codecs' independent fixtures)."""
     import numpy as np
@@ -437,7 +438,14 @@ def q_multimodal_asset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 data = np.frombuffer(text.encode()[:1024], dtype=np.uint8)
-                if int(did) % 2 == 0:
+                m = int(did) % 3
+                if m == 0:
+                    side = max(2, int((len(data) // 3) ** 0.5))
+                    px = np.resize(data, (side, side, 3))
+                    rows.append(
+                        (int(did), bytearray(codecs.encode_png(px)), "image/png")
+                    )
+                elif m == 1:
                     side = max(2, int(len(data) ** 0.5))
                     px = np.resize(data, (side, side))
                     rows.append(

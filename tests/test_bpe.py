@@ -167,3 +167,24 @@ def test_bpe_greedy_mode_deterministic_and_valid(spark, sf_dir, monkeypatch):
     B.bpe_train(docs, n_merges=30, exact=True)
     B.bpe_train(docs, n_merges=30, exact=False)
     assert calls["greedy"] < calls["exact"]
+
+
+def test_bpe_delta_path_equals_recount_fallback(spark, sf_dir, monkeypatch):
+    """The delta-maintained exact loop (driver-mirrored pair table,
+    incremental updates) and the re-counting fallback (PAIR_DICT_MAX
+    forced to 0) must learn IDENTICAL merge sequences — the delta
+    updates reproduce exactly what a fresh pair count would see."""
+    from crane_spark.llm import bpe as B
+    from crane_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").filter("doc_id < 150")
+    monkeypatch.setattr(B, "LOCAL_VOCAB_MAX", 0)
+    delta = B.bpe_train(docs, n_merges=60)
+    monkeypatch.setattr(B, "PAIR_DICT_MAX", 0)  # force full re-counts
+    recount = B.bpe_train(docs, n_merges=60)
+    assert delta == recount
+    assert len(delta) == 60
+    # and both equal the classic local path
+    monkeypatch.setattr(B, "LOCAL_VOCAB_MAX", 200_000)
+    local = B.bpe_train(docs, n_merges=60)
+    assert delta == local

@@ -136,7 +136,11 @@ def test_decode_asset_dispatch_and_unknown():
     assert codecs.decode_asset(codecs.encode_ppm(rng_pixels(2, 2))).fmt == "ppm"
     assert codecs.decode_asset(stdlib_wav(np.zeros(10), 8000)).fmt == "wav"
     with pytest.raises(ValueError, match="unrecognized"):
-        codecs.decode_asset(b"\x89PNG\r\n\x1a\n not actually supported")
+        codecs.decode_asset(b"GIF89a not a supported container")
+    # a PNG signature with garbage after it is recognized as PNG and
+    # fails with a PNG-specific error, not "unrecognized"
+    with pytest.raises(ValueError, match="PNG"):
+        codecs.decode_asset(b"\x89PNG\r\n\x1a\n garbage chunk data")
 
 
 def test_encode_like_preserves_container():
@@ -312,3 +316,178 @@ def test_truncated_real_containers_fail_cleanly(seed, cut):
             codecs.decode_asset(trunc)
         except (ValueError, _struct.error):
             pass
+
+
+# ------------------------------------------------------------------
+# PNG
+
+
+def _png_with_filters(px, filters):
+    """Build a spec-conformant RGB PNG whose scanlines use the GIVEN
+    per-row filter types — an independent construction of the filter
+    algebra (forward direction from the spec) so decode_png's
+    unfiltering is tested against hand-filtered data, not against our
+    own encoder."""
+    import struct
+    import zlib
+
+    h, w, _ = px.shape
+    bpp = 3
+    out = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for y in range(h):
+        row = px[y].reshape(-1).astype(np.int32)
+        f = filters[y % len(filters)]
+        out.append(f)
+        if f == 0:
+            enc = row
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+            enc = (row - left) & 0xFF
+        elif f == 2:  # Up
+            enc = (row - prev) & 0xFF
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+            enc = (row - ((left + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            enc = np.zeros_like(row)
+            for x in range(w * bpp):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (row[x] - pred) & 0xFF
+        out.extend(int(v) & 0xFF for v in enc)
+        prev = row
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_filter_types_decode_exactly():
+    """Every scanline filter (None/Sub/Up/Average/Paeth), forward-
+    filtered independently from the spec, must unfilter back to the
+    original pixels."""
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (10, 7, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        dec = codecs.decode_png(_png_with_filters(px, filters))
+        assert dec.fmt == "png" and np.array_equal(dec.pixels, px), filters
+
+
+def test_png_roundtrip_rgb_and_gray_and_sniff():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (9, 5, 3), dtype=np.uint8)
+    data = codecs.encode_png(px)
+    assert codecs.sniff(data) == "png"
+    assert np.array_equal(codecs.decode_png(data).pixels, px)
+    gray = px[:, :, 0]
+    dec = codecs.decode_png(codecs.encode_png(gray))
+    assert dec.channels == 1 and np.array_equal(dec.pixels[:, :, 0], gray)
+
+
+def test_png_palette_alpha_and_errors():
+    import struct
+    import zlib as _z
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # paletted 2x2: indices [[0,1],[1,0]] expand through PLTE to RGB
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 0, 255])
+    scan = bytes([0, 0, 1, 0, 1, 0])
+    data = (
+        sig
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", _z.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    dec = codecs.decode_png(data)
+    want = np.array(
+        [[[255, 0, 0], [0, 0, 255]], [[0, 0, 255], [255, 0, 0]]], dtype=np.uint8
+    )
+    assert np.array_equal(dec.pixels, want)
+
+    # RGBA strips alpha
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0)
+    data = (
+        sig
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _z.compress(bytes([0, 10, 20, 30, 99])))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(
+        codecs.decode_png(data).pixels, np.array([[[10, 20, 30]]], dtype=np.uint8)
+    )
+
+    # CRC corruption fails loudly
+    good = codecs.encode_png(np.zeros((3, 3, 3), dtype=np.uint8))
+    bad = bytearray(good)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        codecs.decode_png(bytes(bad))
+    # interlaced rejected
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
+    with pytest.raises(ValueError):
+        codecs.decode_png(
+            sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", _z.compress(b"\0" * 4))
+            + chunk(b"IEND", b"")
+        )
+
+
+def test_png_decode_asset_dispatch_and_encode_like():
+    px = np.random.default_rng(11).integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    data = codecs.encode_png(px)
+    dec = codecs.decode_asset(data)
+    assert dec.fmt == "png"
+    again = codecs.encode_like(dec)
+    assert codecs.sniff(again) == "png"
+    assert np.array_equal(codecs.decode_png(again).pixels, px)
+
+
+@given(
+    h=st.integers(min_value=1, max_value=12),
+    w=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_any_shape(h, w, seed):
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(px)).pixels, px)
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1),
+       cut=st.integers(min_value=0, max_value=200))
+@settings(max_examples=40, deadline=None)
+def test_png_truncation_fails_cleanly(seed, cut):
+    import struct as _struct
+
+    px = np.random.default_rng(seed).integers(0, 256, (6, 6, 3), dtype=np.uint8)
+    data = codecs.encode_png(px)
+    try:
+        codecs.decode_png(data[: min(cut, len(data) - 1)])
+    except (ValueError, _struct.error):
+        pass
