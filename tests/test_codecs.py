@@ -1,4 +1,4 @@
-"""Real multimodal decode: BMP/PPM/PGM/WAV codecs (llm/codecs.py) and
+"""Real multimodal decode: PNG/BMP/PPM/PGM/WAV codecs (llm/codecs.py) and
 the fake=False paths of llm/multimodal.py over genuine container
 bytes. Fixtures are built INDEPENDENTLY of the codecs under test where
 possible — WAV via the stdlib `wave` module, BMP by hand with struct —
