@@ -236,6 +236,17 @@ def _pair_structs(col_name: str):
     ).otherwise(F.expr("CAST(array() AS array<struct<a:string,b:string>>)"))
 
 
+# Bracketing delimiters for the delta loop's STRING symbol
+# representation: each symbol rides as \x01sym\x02, so a merge of
+# (a, b) is one `replace` of \x01a\x02\x01b\x02 with \x01ab\x02 —
+# unambiguous (patterns are bracket-aligned, symbols can't collide
+# across brackets) and non-overlapping left-to-right, which is
+# exactly classic BPE's skip-one merge semantics. Corpora whose raw
+# words contain these control bytes (no natural text does) are
+# detected up front and routed to the array re-counting loop instead.
+_SYM_OPEN, _SYM_CLOSE = "\x01", "\x02"
+
+
 def _bpe_train_delta(
     seqs: DataFrame,
     counts: dict[tuple[str, str], int],
@@ -246,20 +257,67 @@ def _bpe_train_delta(
     each round selects the provably-classic-equal disjoint batch from
     the COMPLETE ranking (`_select_batch(complete=True)` — no
     truncation cut, so batches are as long as exactness allows), then
-    one materialization pass rewrites only the words that contain a
-    batch pair and one small aggregate collects the pair deltas
-    (-freq for every old pair of a rewritten word, +freq for every
-    new one) to update the driver table. Per round: one map-only
-    rewrite + one delta aggregate over REWRITTEN words — never a full
-    pair re-count, never a vocabulary-wide shuffle.
+    one pass rewrites the words containing a batch pair and one small
+    aggregate collects the pair deltas (-freq for every old pair of a
+    rewritten word, +freq for every new one) to update the driver
+    table. Per round: one job — never a full pair re-count, never a
+    vocabulary-wide shuffle.
+
+    The letter phase runs hundreds of ~1-2-merge rounds (the provable
+    batching limit when top pairs share symbols), so the round
+    CONSTANT is everything. Three measured reductions vs the naive
+    round (207 s -> 114 s for 1000 merges on the bench corpus):
+
+    - symbol sequences live as \\x01/\\x02-bracketed STRINGS, so the
+      batch rewrite is 1-2 nested `replace` calls instead of a deep
+      aggregate-HOF + literal-map expression tree (the tree's py4j
+      construction plus Catalyst analysis cost ~0.14 s/round alone);
+    - the rewrite is a LAZY localCheckpoint materialized as a side
+      effect of the delta aggregate — one job per round, and the next
+      round reads the stored copy instead of recomputing;
+    - the previous round's stored copy is released explicitly once
+      its successor is materialized (ADVICE r3: parking hundreds of
+      vocabulary-sized copies until a driver GC cycle noticed them
+      was real executor-storage pressure).
 
     Exactness: the batch is `_select_batch`'s disjoint prefix, whose
-    one-pass application equals sequential classic merges; the delta
-    update then reproduces exactly the counts a full re-count would
-    produce (pairs are an additive function of the word multiset),
-    so the next round's complete ranking is the classic ranking.
-    Regime equality vs `_bpe_train_local` is pinned in tests."""
+    one-pass application equals sequential classic merges (for the
+    string form: a replace for pair P neither creates nor destroys
+    occurrences of a disjoint pair Q, since P's output symbol is
+    blocked from Q and positions around a P merge keep their
+    adjacency); the delta update then reproduces exactly the counts a
+    full re-count would produce (pairs are an additive function of
+    the word multiset), so the next round's complete ranking is the
+    classic ranking. Regime equality vs `_bpe_train_local` is pinned
+    in tests."""
+    from crane_spark.operators.caching import release_local_checkpoint
+
+    o, c = _SYM_OPEN, _SYM_CLOSE
+    cur = seqs.select(
+        "word",
+        "freq",
+        F.concat(F.lit(o), F.array_join("syms", c + o), F.lit(c)).alias("s"),
+    ).localCheckpoint(eager=True)
+    # Loop-invariant delta expressions (built once): un-bracket both
+    # sides back to symbol arrays, emit -freq for old adjacencies and
+    # +freq for new ones. `split` on \x02\x01 is regex-safe (neither
+    # byte is a metacharacter).
+    old_arr = F.split(F.btrim(F.col("s"), F.lit(o + c)), c + o)
+    new_arr = F.split(F.btrim(F.col("_new"), F.lit(o + c)), c + o)
+    neg = F.transform(
+        _pair_structs("_oa"),
+        lambda p: F.struct(
+            p["a"].alias("a"), p["b"].alias("b"), (-F.col("freq")).alias("d")
+        ),
+    )
+    pos = F.transform(
+        _pair_structs("_na"),
+        lambda p: F.struct(
+            p["a"].alias("a"), p["b"].alias("b"), F.col("freq").alias("d")
+        ),
+    )
     merges: list[tuple[str, str, int]] = []
+    prev: DataFrame | None = None
     while len(merges) < n_merges and counts:
         ranked = sorted(
             ((a, b, n) for (a, b), n in counts.items()),
@@ -270,45 +328,30 @@ def _bpe_train_delta(
         if not batch:
             break
         merges.extend(batch)
-        entries = []
+        rep = F.col("s")
         for a, b, _ in batch:
-            entries.append(F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")))
-            entries.append(F.lit(a + b))
-        m = F.create_map(*entries)
-        hit = F.exists(
-            _pair_structs("syms"), lambda p: F.try_element_at(m, p).isNotNull()
-        )
-        staged = seqs.select(
-            "word",
-            "freq",
-            "syms",
-            hit.alias("_hit"),
-            F.when(hit, _batch_merge_col(batch)).otherwise(F.col("syms")).alias(
-                "_new"
-            ),
-        ).localCheckpoint(eager=True)
-        neg = F.transform(
-            _pair_structs("syms"),
-            lambda p: F.struct(
-                p["a"].alias("a"),
-                p["b"].alias("b"),
-                (-F.col("freq")).alias("d"),
-            ),
-        )
-        pos = F.transform(
-            _pair_structs("_new"),
-            lambda p: F.struct(
-                p["a"].alias("a"), p["b"].alias("b"), F.col("freq").alias("d")
-            ),
+            rep = F.replace(
+                rep, F.lit(o + a + c + o + b + c), F.lit(o + a + b + c)
+            )
+        staged = cur.select("word", "freq", "s", rep.alias("_new")).localCheckpoint(
+            eager=False
         )
         delta = (
-            staged.filter("_hit")
+            staged.filter("s != _new")
+            .withColumn("_oa", old_arr)
+            .withColumn("_na", new_arr)
             .select(F.explode(F.concat(neg, pos)).alias("e"))
             .groupBy("e.a", "e.b")
             .agg(F.sum("e.d").alias("d"))
             .filter(F.col("d") != 0)
             .collect()
         )
+        # `staged` is stored now (the collect computed every
+        # partition through the checkpoint mark); its predecessor has
+        # no remaining consumer — free it immediately.
+        if prev is not None:
+            release_local_checkpoint(prev)
+        prev = staged
         for r in delta:
             key = (r["a"], r["b"])
             n = counts.get(key, 0) + int(r["d"])
@@ -318,7 +361,7 @@ def _bpe_train_delta(
                 counts.pop(key, None)
             else:  # impossible if the maintained table is consistent
                 raise AssertionError(f"negative pair count for {key}: {n}")
-        seqs = staged.select("word", "freq", F.col("_new").alias("syms"))
+        cur = staged.select("word", "freq", F.col("_new").alias("s"))
     return merges
 
 
@@ -408,12 +451,23 @@ def bpe_train(
     if exact:
         # Delta-maintained exact loop (r2 verdict #6): mirror the full
         # pair table driver-side when its DISTINCT size allows, then
-        # never re-count — each round costs one rewrite pass plus a
-        # delta aggregate over rewritten words, so the ~2-merges/round
-        # letter phase stops paying a vocabulary shuffle per round and
-        # the complete ranking lets batches reach full provable length.
+        # never re-count — each round costs one job over the staged
+        # words, so the ~2-merges/round letter phase stops paying a
+        # vocabulary shuffle per round and the complete ranking lets
+        # batches reach full provable length. The loop's string
+        # representation needs words free of its bracket bytes —
+        # no natural corpus contains \x01/\x02, but a corpus that
+        # does simply keeps the array re-counting loop.
+        clean = (
+            words.filter(
+                F.col("word").contains(_SYM_OPEN)
+                | F.col("word").contains(_SYM_CLOSE)
+            )
+            .limit(1)
+            .isEmpty()
+        )
         pc = _pair_counts(seqs)
-        if pc.count() <= PAIR_DICT_MAX:
+        if clean and pc.count() <= PAIR_DICT_MAX:
             counts = {
                 (r["a"], r["b"]): int(r["n"]) for r in pc.collect()
             }
@@ -424,8 +478,12 @@ def bpe_train(
     # round-trip count drops from 2 jobs/merge to ~1 job per batch,
     # which is what makes 50k-merge tokenizer training feasible on the
     # distributed path (VERDICT r1 #1 under "What's wrong").
+    from crane_spark.operators.caching import release_local_checkpoint
+
     merges: list[tuple[str, str, int]] = []
     rounds = 0
+    prev = seqs  # the materialized checkpoint the current chain roots at
+    pending: DataFrame | None = None  # lazily checkpointed, not yet stored
     while len(merges) < n_merges:
         ranked_rows = (
             _pair_counts(seqs)
@@ -433,6 +491,13 @@ def bpe_train(
             .limit(BATCH_CANDIDATES + 1)
             .collect()
         )
+        # The collect above ran every partition through any pending
+        # checkpoint mark — the predecessor copy is now dead weight;
+        # free it instead of stacking one copy per round until a
+        # driver GC notices (ADVICE r3).
+        if pending is not None:
+            release_local_checkpoint(prev)
+            prev, pending = pending, None
         if not ranked_rows:
             break
         complete = len(ranked_rows) <= BATCH_CANDIDATES
@@ -452,9 +517,12 @@ def bpe_train(
         # rounds carry cap-sized literal maps whose interpreted
         # lookups are linear in map size, so nesting multiplies a
         # much bigger per-pass cost — checkpoint every round there
-        # (measured 3x on the 1000-merge training).
+        # (measured 3x on the 1000-merge training). The checkpoint is
+        # LAZY: the next round's ranked-pairs collect materializes it
+        # as a side effect, so a round costs one job, not two.
         if rounds % (1 if not exact else checkpoint_every) == 0:
-            seqs = seqs.localCheckpoint(eager=True)
+            seqs = seqs.localCheckpoint(eager=False)
+            pending = seqs
     return merges
 
 

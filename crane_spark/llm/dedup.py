@@ -597,10 +597,20 @@ def prefix_filter_jaccard_pairs(
         major="dfreq",
         out="rank",
         one_based=True,
-    ).select("token", F.col("rank").cast("int").alias("rank"))
+    ).localCheckpoint(eager=True)  # read twice below (count + join)
+    vocab_size = vocab.count()
+    if vocab_size >= 2**31:
+        # The int cast below would silently WRAP past 2^31 entries and
+        # corrupt the prefix-filter total order (ADVICE r3) — fail
+        # loudly instead; widening `rank` (and the signature arrays)
+        # to long is the supported change when a corpus gets there.
+        raise ValueError(
+            f"shingle vocabulary has {vocab_size} entries; int ranks "
+            "hold only < 2^31 — widen rank to long for this corpus"
+        )
+    vocab = vocab.select("token", F.col("rank").cast("int").alias("rank"))
     ranked = tok.join(F.broadcast(vocab), "token").select(F.col(id_col), "rank")
     n_docs = tok.select(id_col).distinct().count()
-    vocab_size = vocab.count()
     if (
         0 < n_docs
         and n_docs * n_docs * vocab_size <= _DENSE_PAIR_OPS_BUDGET

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from crane_spark.functions.vectors import to_double_vec, vec_norm
 from crane_spark.llm.similarity import ROUND_DIGITS, ivf_assign
+from crane_spark.operators.caching import release_local_checkpoint
 from crane_spark.operators.indexing import dense_index
 from crane_spark.tables import fan_out
 
@@ -71,18 +72,34 @@ def _spread_sample(df: DataFrame, id_col: str, m: int, n: int) -> DataFrame:
     Fallback (non-numeric or so sparse the value stride starves):
     hash-strided sample trimmed in hash order — spread in
     distribution, never empty. Every ordered step (TakeOrdered) runs
-    over the ~m-row sample, never the table."""
+    over the ~m-row sample, never the table.
+
+    Cost/bias contract (ADVICE r3): the stride rounds UP, so at most
+    m residue values exist in the span and the trailing limit(m) can
+    never drop high-id residues (the old floor stride kept up to 2m-1
+    rows and the ascending trim systematically shaved coverage off
+    the top of the id range); and the dense-enough decision uses the
+    EXPECTED kept count n/stride from the same single min/max/count
+    aggregate instead of a second count() job over the filtered
+    table. For uniform-ish id layouts the estimate equals the old
+    measured count; a pathologically clustered id space can overshoot
+    it and starve the value stride, which costs entry-set coverage,
+    not correctness — the recall tests pin the floor."""
     from pyspark.sql.types import NumericType
 
     if isinstance(df.schema[id_col].dataType, NumericType):
-        lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
+        lo, hi, n_rows = df.agg(
+            F.min(id_col), F.max(id_col), F.count(F.lit(1))
+        ).first()
         if lo is not None:
+            if int(n_rows) <= m:  # whole table fits the sample
+                return df.orderBy(id_col).limit(m)
             span = int(hi) - int(lo) + 1
-            stride = max(1, span // max(1, m))
-            vs = df.filter(
-                F.pmod(F.col(id_col) - F.lit(lo), F.lit(stride)) == 0
-            )
-            if vs.count() * 2 >= m:  # dense enough: value stride covers
+            stride = max(1, -(-span // max(1, m)))
+            if (int(n_rows) // stride) * 2 >= m:
+                vs = df.filter(
+                    F.pmod(F.col(id_col) - F.lit(lo), F.lit(stride)) == 0
+                )
                 return vs.orderBy(id_col).limit(m)
     h = F.xxhash64(F.col(id_col))
     stride = max(1, n // max(1, 2 * m))
@@ -237,7 +254,11 @@ def knn_graph_build(
             .join(dv, "dst")
             .select("src", "dst", _pair_cos("sv", "dv").alias("cosine"))
         )
-        edges = _topk_edges(scored, k).localCheckpoint(eager=True)
+        nxt_edges = _topk_edges(scored, k).localCheckpoint(eager=True)
+        # the superseded round's stored copy has no consumer left —
+        # free it now rather than when a driver GC notices (ADVICE r3)
+        release_local_checkpoint(edges)
+        edges = nxt_edges
     return edges
 
 
@@ -314,7 +335,9 @@ def graph_search_topk(
             .join(qv, "query_id")
             .select("query_id", "node", _pair_cos("qv", "dv").alias("cosine"))
         )
-        seen = seen.union(newly).localCheckpoint(eager=True)
+        nxt_seen = seen.union(newly).localCheckpoint(eager=True)
+        release_local_checkpoint(seen)
+        seen = nxt_seen
         frontier = (
             seen.withColumn("rn", F.row_number().over(wq))
             .filter(F.col("rn") <= beam)

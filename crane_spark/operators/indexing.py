@@ -64,7 +64,17 @@ def dense_index(
     """
     spark = df.sparkSession
     hb = F.pmod(F.xxhash64(F.col(tiebreak)), F.lit(buckets))
-    d = df.withColumn("_hb", hb)
+    # The input's lineage is typically an expensive aggregate (a
+    # vocabulary build, an id distinct); the construction below reads
+    # it 2-3 times (bucket counts, major totals, the final indexed
+    # join). Checkpoint it ONCE so those passes read executor storage
+    # instead of re-running the upstream scan per pass — without this,
+    # a caller like zipf_slope re-tokenized its whole corpus three
+    # times (measured 3.5x on the query). The copy is the frame being
+    # indexed (vocabulary/id-table-sized, exactly what an iterative
+    # cluster job would stage); it is freed by the ContextCleaner once
+    # the caller's plan is executed and dropped.
+    d = df.withColumn("_hb", hb).localCheckpoint(eager=True)
     base = F.lit(1) if one_based else F.lit(0)
 
     if major is None:
@@ -95,9 +105,14 @@ def dense_index(
     )
     within = cnt.withColumn("_woff", F.coalesce(F.sum("_n").over(w_in), F.lit(0)))
     totals = cnt.groupBy(major).agg(F.sum("_n").alias("_t"))
-    n_major = totals.count()
-    if n_major <= major_cap:
-        rows = {r[major]: r["_t"] for r in totals.collect()}
+    # One job decides the regime AND fetches the driver-path data:
+    # collect at most major_cap+1 total rows — a full result means all
+    # majors are in hand (driver cumsum), an overflowing one falls back
+    # to the post-aggregate window (the separate count() job this
+    # replaces paid a full pass over `totals` just to learn the size).
+    fetched = totals.limit(major_cap + 1).collect()
+    if len(fetched) <= major_cap:
+        rows = {r[major]: r["_t"] for r in fetched}
         moff, acc = [], 0
         for mv in sorted(rows):
             moff.append((mv, acc))

@@ -188,3 +188,28 @@ def test_bpe_delta_path_equals_recount_fallback(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(B, "LOCAL_VOCAB_MAX", 200_000)
     local = B.bpe_train(docs, n_merges=60)
     assert delta == local
+
+
+def test_bpe_delta_delimiter_collision_falls_back(spark, monkeypatch):
+    """A corpus whose words contain the delta loop's bracket bytes
+    (\\x01/\\x02) must be detected up front and routed to the array
+    re-counting loop — training still exact, never corrupted by a
+    delimiter collision in the string representation."""
+    from crane_spark.llm import bpe as B
+
+    rows = [("ab\x01cd",), ("ab\x01cd",), ("ab\x02ef",), ("abxy",), ("abxy",), ("abxy",)]
+    docs = spark.createDataFrame(rows, "text string")
+    monkeypatch.setattr(B, "LOCAL_VOCAB_MAX", 0)
+    calls = {"delta": 0}
+    orig = B._bpe_train_delta
+    monkeypatch.setattr(
+        B,
+        "_bpe_train_delta",
+        lambda *a, **k: (calls.__setitem__("delta", calls["delta"] + 1), orig(*a, **k))[1],
+    )
+    distributed = B.bpe_train(docs, n_merges=8, exact=True)
+    assert calls["delta"] == 0  # delimiter gate kept the delta loop out
+    local = B._bpe_train_local(
+        [("ab\x01cd", 2), ("ab\x02ef", 1), ("abxy", 3)], 8
+    )
+    assert distributed == local
