@@ -93,11 +93,19 @@ def logreg_train(
     returned weights are FOLDED BACK to raw-feature space
     (w_d/std_d, bias -= sum w_d*mean_d/std_d), so `logreg_score`
     serves on raw features with no scaling state to carry."""
-    dim = len(data.select(features_col).first()[0])
-    n = data.count()
+    # One job learns n AND the dimensionality (F.first inside the agg
+    # replaces a separate .first() job); the raw features are NOT
+    # checkpointed — they are cheap scan-local expressions, and at
+    # corpus scale storing a features copy costs more than the one
+    # extra scan the standardized checkpoint below pays.
+    head = data.agg(
+        F.count(F.lit(1)).alias("n"), F.first(features_col).alias("f0")
+    ).first()
+    n = int(head["n"])
+    dim = len(head["f0"])
     raw = data.select(
         F.col(features_col).alias("x"), F.col(label_col).cast("double").alias("y")
-    ).localCheckpoint(eager=True)
+    )
 
     def dgrid9(col):
         return F.round(col, GRID).cast(f"decimal(28,{GRID})")

@@ -276,6 +276,13 @@ def stream_training_corpus(
             [(qid, batch_id, k, v) for k, v in sorted(counts.items())],
             "query_id string, batch_id long, stage string, n_docs long",
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(report_dir, sub))
+        # every sink above has executed — free this batch's staged
+        # copies now; a long soak otherwise stacks three checkpoints
+        # per micro-batch until a driver GC cycle (ADVICE r3 pattern)
+        from crane_spark.operators.caching import release_local_checkpoint
+
+        for staged in (clean, deduped, b):
+            release_local_checkpoint(staged)
 
     return (
         docs.writeStream.foreachBatch(ingest)

@@ -314,6 +314,7 @@ def kmeans_train(
         .select(F.col(id_col).alias("centroid_id"), vec_col)
         .localCheckpoint(eager=True)
     )
+    prev_ck = centroids
     inertia: list[float] = []
     for i in range(n_iter):
         assigned = ivf_assign(vectors, centroids, vec_col=vec_col, id_col=id_col)
@@ -352,11 +353,15 @@ def kmeans_train(
                 ),
             )
         )
-        centroids = (
-            new_centroids.localCheckpoint(eager=True)
-            if (i + 1) % checkpoint_every == 0
-            else new_centroids
-        )
+        if (i + 1) % checkpoint_every == 0:
+            from crane_spark.operators.caching import release_local_checkpoint
+
+            centroids = new_centroids.localCheckpoint(eager=True)
+            # the chain now roots at the fresh copy; free the old one
+            release_local_checkpoint(prev_ck)
+            prev_ck = centroids
+        else:
+            centroids = new_centroids
     return centroids, inertia
 
 

@@ -56,6 +56,9 @@ def connected_components(
         .select("v", F.col("v").alias("label"))
         .localCheckpoint(eager=True)
     )
+    from crane_spark.operators.caching import release_local_checkpoint
+
+    prev_ck = labels
     for _ in range(max_rounds):
         neighbor_min = (
             und.join(labels, und["s"] == labels["v"])
@@ -73,6 +76,9 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
+        # the superseded round's stored labels have no consumer left
+        release_local_checkpoint(prev_ck)
+        prev_ck = new_labels
         changed = new_labels.filter(F.col("improved")).count()
         labels = new_labels.select("v", "label")
         if changed == 0:
@@ -173,10 +179,19 @@ def connected_components_alternating(
             .localCheckpoint(eager=True)
         )
 
+    from crane_spark.operators.caching import release_local_checkpoint
+
     prev_sig = None
     converged = False
     for _ in range(max_rounds):
-        e = star(star(e, large=True), large=False)
+        mid = star(e, large=True)
+        nxt = star(mid, large=False)
+        # both inputs of this round are superseded once `nxt` is
+        # stored — free them now instead of stacking two copies per
+        # round until a driver GC runs (ADVICE r3 pattern)
+        release_local_checkpoint(mid)
+        release_local_checkpoint(e)
+        e = nxt
         sig = e.agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),

@@ -100,6 +100,7 @@ def pagerank_iterations(
         .distinct()
     )
     ranks = vertices.select("vid", F.lit(1.0).alias("rank"))
+    prev_ck = None
     for i in range(iterations):
         contribs = (
             edges.join(degrees, "src")
@@ -122,4 +123,9 @@ def pagerank_iterations(
         )
         if (i + 1) % 4 == 0:
             ranks = ranks.localCheckpoint(eager=True)
+            if prev_ck is not None:
+                from crane_spark.operators.caching import release_local_checkpoint
+
+                release_local_checkpoint(prev_ck)
+            prev_ck = ranks
     return ranks

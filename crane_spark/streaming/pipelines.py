@@ -459,6 +459,13 @@ def stream_neardup_ingest(
         keep.unionByName(keep_short.drop("_h")).write.mode("append").parquet(
             docs_store
         )
+        # both sinks have executed — free this batch's staged copies
+        # now; a production firehose otherwise stacks six checkpoints
+        # per micro-batch until a driver GC cycle (ADVICE r3 pattern)
+        from crane_spark.operators.caching import release_local_checkpoint
+
+        for staged in (keep, keep_short, bands, sets, short, ball):
+            release_local_checkpoint(staged)
 
     return (
         docs.writeStream.foreachBatch(ingest)
