@@ -145,6 +145,16 @@ def _topk_edges(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def normalized_vectors(
+    vectors: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, nv) unit-norm double arrays, checkpointed once — the
+    shared input for knn_graph_build + graph_search_topk pipelines
+    (pass it as ``prenormalized`` to both to normalize the table one
+    time instead of once per stage)."""
+    return _normalized(vectors, vec_col, id_col).localCheckpoint(eager=True)
+
+
 def knn_graph_build(
     vectors: DataFrame,
     k: int = 8,
@@ -152,6 +162,7 @@ def knn_graph_build(
     init_cells: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    prenormalized: DataFrame | None = None,
 ) -> DataFrame:
     """Build an approximate k-NN edge table (src, dst, cosine) by
     NN-Descent.
@@ -187,7 +198,14 @@ def knn_graph_build(
     assigned = ivf_assign(vectors, centroids, vec_col, id_col).select(
         id_col, "centroid_id"
     )
-    nv = _normalized(vectors, vec_col, id_col).localCheckpoint(eager=True)
+    # `prenormalized` lets a caller that both builds and searches (the
+    # usual pairing) normalize + checkpoint the vector table ONCE —
+    # (id, nv) with unit-norm arrays, from normalized_vectors().
+    nv = (
+        prenormalized
+        if prenormalized is not None
+        else _normalized(vectors, vec_col, id_col).localCheckpoint(eager=True)
+    )
 
     sv = nv.select(F.col(id_col).alias("src"), F.col("nv").alias("sv"))
     dv = nv.select(F.col(id_col).alias("dst"), F.col("nv").alias("dv"))
@@ -273,6 +291,7 @@ def graph_search_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     entry_nodes: DataFrame | None = None,
+    prenormalized: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k by beam search over a k-NN graph: seed each query
     with ``entry`` strided-sample nodes (deterministic and spread
@@ -287,8 +306,16 @@ def graph_search_topk(
     everything scored; the answer is the accumulation's top-k
     (self-matches excluded). Returns (query_id, neighbor_id, cosine,
     rn) — schema-compatible with brute_force_topk / ivf_probe_topk so
-    recall harnesses swap implementations freely."""
-    nv = _normalized(vectors, vec_col, id_col).localCheckpoint(eager=True)
+    recall harnesses swap implementations freely.
+
+    ``prenormalized`` shares the build's normalized-vector checkpoint
+    (see normalized_vectors) so build+search pipelines normalize the
+    table once instead of twice."""
+    nv = (
+        prenormalized
+        if prenormalized is not None
+        else _normalized(vectors, vec_col, id_col).localCheckpoint(eager=True)
+    )
     qv = _normalized(queries, vec_col, id_col).select(
         F.col(id_col).alias("query_id"), F.col("nv").alias("qv")
     )

@@ -307,12 +307,20 @@ def q_knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF prunes by global cells, the graph follows local geometry —
     a 100 TB retrieval stack tiers them (route by cell, refine by
     graph within the routed shard)."""
-    from crane_spark.llm.graph_ann import graph_search_topk, knn_graph_build
+    from crane_spark.llm.graph_ann import (
+        graph_search_topk,
+        knn_graph_build,
+        normalized_vectors,
+    )
 
     emb = table(spark, sf_dir, "embeddings")
-    edges = knn_graph_build(emb, k=6, n_iter=1)
+    # one normalization checkpoint feeds both stages
+    nv = normalized_vectors(emb)
+    edges = knn_graph_build(emb, k=6, n_iter=1, prenormalized=nv)
     queries = emb.filter(F.col("vec_id") < 5)
-    return graph_search_topk(queries, emb, edges, k=3, beam=12, hops=2)
+    return graph_search_topk(
+        queries, emb, edges, k=3, beam=12, hops=2, prenormalized=nv
+    )
 
 
 @register("quality_gate_scores", None, tags=("llm", "ml", "iterative", "quality"))

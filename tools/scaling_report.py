@@ -85,7 +85,16 @@ HEADLINERS: dict[str, tuple[str, bool]] = {
 def timed(fn, *args) -> float:
     t0 = time.perf_counter()
     fn(*args)
-    return time.perf_counter() - t0
+    elapsed = time.perf_counter() - t0
+    # Same discipline as bench.py: drop py4j refs so the ContextCleaner
+    # can release checkpoint/broadcast blocks between measurements —
+    # without it, blocks from earlier rungs inflate later measurements
+    # (a copurchase_pairs sf0.1 row once read 4.0 s in the ladder vs
+    # 1.4-1.8 s standalone purely from accumulated GC pressure).
+    import gc
+
+    gc.collect()
+    return elapsed
 
 
 def similarity_regime_table(spark) -> list[str]:
