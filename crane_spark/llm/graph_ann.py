@@ -191,7 +191,17 @@ def knn_graph_build(
     """
     n = vectors.count()
     if init_cells is None:
-        init_cells = max(1, int(n**0.5 / 2))
+        # Cell count sized for a LINEAR in-cell pair budget: cells of
+        # ~max(24, 4k) vectors give every node a constant ~max(24, 4k)
+        # blocked candidates, so init candidate generation costs
+        # O(n) pairs at any n. The old sqrt(n)/2 default made in-cell
+        # pairs grow as 2*n^1.5 — superlinear in the corpus, the kind
+        # of curve that looks fine at fixture scale and dominates the
+        # job at 100x. The 24 floor keeps small-k builds at the
+        # occupancy the clustered-fixture recall tests pin; the k
+        # hash-random partners per node plus the refinement rounds
+        # carry the diversity burden beyond the cell.
+        init_cells = max(1, n // max(24, 4 * k))
     centroids = _spread_sample(vectors, id_col, init_cells, n).select(
         F.col(id_col).alias("centroid_id"), vec_col
     )
