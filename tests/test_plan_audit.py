@@ -1,0 +1,22 @@
+"""Registry-wide physical-plan audit: no query may introduce an
+unreviewed single-partition exchange (tools/audit_single_partition.py
+— the repeatable form of the manual WindowExec sweep from round 3)."""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_no_unreviewed_single_partition_exchanges():
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "audit_single_partition.py")],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, (
+        "single-partition audit failed — re-plan the flagged query or "
+        "review it into the allowlist:\n" + proc.stdout[-3000:] + proc.stderr[-1000:]
+    )
