@@ -190,6 +190,27 @@ def test_bpe_delta_path_equals_recount_fallback(spark, sf_dir, monkeypatch):
     assert delta == local
 
 
+def test_bpe_unicode_astral_regime_equality(spark, monkeypatch):
+    """Distributed symbol splitting (JVM split on '') must agree with
+    the local path's Python list(word) on NON-BMP text: astral-plane
+    code points (emoji) are one symbol, never a surrogate pair —
+    pinned because a UTF-16 code-unit split would silently diverge on
+    multilingual web corpora while passing every ASCII fixture."""
+    from crane_spark.llm import bpe as B
+
+    rows = [
+        ("he\U0001F600llo he\U0001F600llo xy",),
+        ("日本語 処理 日本語",),
+        ("naïve café naïve",),
+    ]
+    docs = spark.createDataFrame(rows, "text string")
+    local = B.bpe_train(docs, n_merges=12)  # local classic path
+    monkeypatch.setattr(B, "LOCAL_VOCAB_MAX", 0)  # force distributed
+    dist = B.bpe_train(docs, n_merges=12)  # delta loop (string repr)
+    assert local == dist
+    assert any("\U0001F600" in a + b for a, b, _ in local)
+
+
 def test_bpe_delta_delimiter_collision_falls_back(spark, monkeypatch):
     """A corpus whose words contain the delta loop's bracket bytes
     (\\x01/\\x02) must be detected up front and routed to the array
