@@ -233,3 +233,48 @@ def test_units_roundtrip_any_cents(spark, cents):
     df = spark.createDataFrame([(c / 100.0,) for c in cents], "x double")
     got = [r["u"] for r in df.select(units("x").alias("u")).collect()]
     assert sorted(got) == sorted(cents)
+
+
+# --- exact BPE regime equality under arbitrary unicode corpora -------
+
+_bpe_word = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        exclude_characters=" \x01\x02",
+        exclude_categories=("Cs",),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    words=st.lists(_bpe_word, min_size=2, max_size=12),
+    n_merges=st.integers(min_value=1, max_value=10),
+)
+def test_bpe_delta_loop_equals_classic_on_random_unicode(words, n_merges):
+    """The distributed delta loop (driver-mirrored pair counts,
+    string-repr replace rounds) must reproduce classic sequential BPE
+    bit-for-bit on ANY corpus — random unicode words, arbitrary merge
+    depths, repetition patterns hypothesis invents. This is the
+    exactness proof's empirical shadow: a wrong strict-cut rule,
+    replace-semantics mismatch, or delta drift shows up here as a
+    divergent merge sequence."""
+    from crane_spark.llm import bpe as B
+
+    spark = _session()
+    docs = spark.createDataFrame([(" ".join(words),)], "text string")
+    local = B._bpe_train_local(
+        sorted(
+            ((w, words.count(w)) for w in set(words)), key=lambda t: t[0]
+        ),
+        n_merges,
+    )
+    saved = B.LOCAL_VOCAB_MAX
+    B.LOCAL_VOCAB_MAX = 0  # force the distributed path
+    try:
+        dist = B.bpe_train(docs, n_merges=n_merges, exact=True)
+    finally:
+        B.LOCAL_VOCAB_MAX = saved
+    assert dist == local
