@@ -241,9 +241,11 @@ ORACLE_SF1_SECTION = """
 ## Oracle-verified at sf1
 
 Correctness holds at the rung where performance is measured:
-`python tools/check_oracle.py /tmp/crane_sf1 <names>` hash-matches
-DuckDB for **193/193** oracle-backed registry queries on the 6M-row
-lineitem rung — every exact-oracle query except `prefix_jaccard_join`
+`python tools/check_oracle.py /tmp/crane_sf1 <names>` passes
+**208/208** registry queries on the 6M-row lineitem rung (196
+hash-exact vs DuckDB incl. the sampled similarity twins, 12 rows-only
+with unit-test contracts; re-run end of round 4 on the shipped code)
+— every exact-oracle query except `prefix_jaccard_join`
 and `embedding_near_dup`, whose DuckDB oracle definitions are
 deliberately quadratic (all-pairs over 50k docs / in-cell pairs over
 20k vectors) and intractable ORACLE-side at this rung. Those two are
