@@ -582,23 +582,13 @@ def prefix_filter_jaccard_pairs(
     tok = shingle_tokens(docs, text_col, id_col, shingle_n).localCheckpoint(
         eager=True
     )
-    # Vocabulary-sized rank assignment: global rarity order as a dense
-    # int (1..V), built by the two-level bucketed construction — NO
-    # single-partition sort anywhere, so a 100 TB shingle vocabulary
-    # (billions of tokens) ranks in parallel. The major order is dfreq
-    # (rarity — what the prefix filter needs); within a dfreq the
-    # hash-bucket/token order is an arbitrary deterministic tiebreak,
-    # exactly as `token` alone was. rank stays int: the per-doc
-    # signature arrays sort/intersect as plain ints (measured 2x over
-    # the string formulation); >2^31 vocabularies would widen to long.
-    vocab = dense_index(
-        tok.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq")),
-        tiebreak="token",
-        major="dfreq",
-        out="rank",
-        one_based=True,
-    ).localCheckpoint(eager=True)  # read twice below (count + join)
-    vocab_size = vocab.count()
+    # Gate sizing first, in ONE job over the checkpointed tokens (the
+    # separate distinct-doc count job this replaces paid a full pass).
+    sizes = tok.agg(
+        F.count_distinct("token").alias("v"),
+        F.count_distinct(F.col(id_col)).alias("n"),
+    ).first()
+    vocab_size, n_docs = int(sizes["v"]), int(sizes["n"])
     if vocab_size >= 2**31:
         # The int cast below would silently WRAP past 2^31 entries and
         # corrupt the prefix-filter total order (ADVICE r3) — fail
@@ -608,9 +598,11 @@ def prefix_filter_jaccard_pairs(
             f"shingle vocabulary has {vocab_size} entries; int ranks "
             "hold only < 2^31 — widen rank to long for this corpus"
         )
-    vocab = vocab.select("token", F.col("rank").cast("int").alias("rank"))
-    ranked = tok.join(F.broadcast(vocab), "token").select(F.col(id_col), "rank")
-    n_docs = tok.select(id_col).distinct().count()
+
+    def ranked_tokens(vocab):
+        v = vocab.select("token", F.col("rank").cast("int").alias("rank"))
+        return tok.join(F.broadcast(v), "token").select(F.col(id_col), "rank")
+
     if (
         0 < n_docs
         and n_docs * n_docs * vocab_size <= _DENSE_PAIR_OPS_BUDGET
@@ -625,8 +617,37 @@ def prefix_filter_jaccard_pairs(
         # The dense path builds the bitmap straight from (id, rank)
         # pairs — the per-doc array assembly (collect_list shuffle +
         # sort) exists only for the prefix machinery and is skipped
-        # entirely (measured ~25% off the dense end-to-end).
-        return _dense_bitset_pairs(ranked, id_col, vocab_size, t_num, t_den)
+        # entirely (measured ~25% off the dense end-to-end). It also
+        # needs no RARITY order — intersection counts are invariant to
+        # the column permutation — so the bijection comes from the
+        # cheap no-major dense_index (per-bucket ranks + 256-row
+        # offset collect) instead of the dfreq-major construction.
+        vocab = dense_index(
+            tok.select("token").distinct(),
+            tiebreak="token",
+            out="rank",
+            one_based=True,
+        )
+        return _dense_bitset_pairs(
+            ranked_tokens(vocab), id_col, vocab_size, t_num, t_den
+        )
+    # Sparse regime: vocabulary-sized RARITY rank assignment as a dense
+    # int (1..V), built by the two-level bucketed construction — NO
+    # single-partition sort anywhere, so a 100 TB shingle vocabulary
+    # (billions of tokens) ranks in parallel. The major order is dfreq
+    # (rarity — what the prefix filter needs); within a dfreq the
+    # hash-bucket/token order is an arbitrary deterministic tiebreak,
+    # exactly as `token` alone was. rank stays int: the per-doc
+    # signature arrays sort/intersect as plain ints (measured 2x over
+    # the string formulation).
+    vocab = dense_index(
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq")),
+        tiebreak="token",
+        major="dfreq",
+        out="rank",
+        one_based=True,
+    )
+    ranked = ranked_tokens(vocab)
     ordered = (
         ranked.groupBy(id_col)
         .agg(F.sort_array(F.collect_list("rank")).alias("arr"))
