@@ -82,3 +82,19 @@ def test_dense_index_plan_has_no_unpartitioned_window(spark):
     )
     plan2 = _plan(dense_index(vocab, "token", major="dfreq", out="rank"))
     assert "Exchange SinglePartition" not in plan2
+
+
+def test_dense_index_empty_input_both_regimes(spark):
+    """Zero-row inputs (an empty corpus slice, a filtered-out
+    vocabulary) must yield an empty indexed frame with the expected
+    column, not a driver error in the offset construction — both the
+    no-major and the major (driver-cumsum) paths."""
+    from crane_spark.operators.indexing import dense_index
+
+    empty = spark.createDataFrame([], "token string, dfreq long")
+    plain = dense_index(empty, tiebreak="token", out="rank", one_based=True)
+    assert plain.count() == 0 and "rank" in plain.columns
+    major = dense_index(
+        empty, tiebreak="token", major="dfreq", out="rank", one_based=True
+    )
+    assert major.count() == 0 and "rank" in major.columns
