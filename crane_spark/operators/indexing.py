@@ -43,6 +43,109 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def exact_ntile(
+    df: DataFrame,
+    k: int,
+    key: str,
+    tiebreaks: list[str],
+    out: str = "bucket",
+    buckets: int = 64,
+    accuracy: int = 10_000,
+    checkpoint: bool = False,
+) -> DataFrame:
+    """SQL ``ntile(k) OVER (ORDER BY key, *tiebreaks)`` — bit-exact
+    bucket membership — WITHOUT the data-sized ``Exchange
+    SinglePartition`` the window version plans.
+
+    Construction (the RANGE-bucketed variant of :func:`dense_index`;
+    hash buckets would scramble the value order, so bucketing here is
+    by value range and the global order ``(range_bucket, key,
+    tiebreaks)`` equals ``(key, tiebreaks)`` exactly):
+
+    1. one aggregate job sketches ``buckets-1`` approximate cut points
+       of ``key`` (``percentile_approx``; accuracy only affects load
+       balance, never the result);
+    2. each row maps to a range bucket via a codegen'd fold over the
+       literal cut array with STRICT ``>`` — ties on ``key`` can
+       never split across buckets, so within-bucket ``row_number``
+       over ``(key, *tiebreaks)`` composes with bucket offsets into
+       the exact global rank;
+    3. bucket counts (<= ``buckets`` rows) collect to the driver for
+       the offset cumsum AND the total n, making the ntile boundary
+       arithmetic pure literals: with ``q, r = divmod(n, k)`` the
+       first ``r`` buckets take ``q+1`` rows (ANSI ntile), so
+       ``bucket = (rank-1) div (q+1) + 1`` for ranks in the head and
+       ``r + (rank-1-r*(q+1)) div q + 1`` for the tail.
+
+    The plan is: one sketch aggregate + one count aggregate + B
+    parallel sorts of ~n/B rows — every exchange hash- or
+    range-bounded, nothing data-sized in one task. Degenerate key
+    distributions (one dominant value) collapse buckets and re-create
+    the single big sort; that is inherent to ntile's tiebreak
+    semantics, not this construction.
+
+    ``checkpoint=True`` localCheckpoints the (narrow) input so the
+    three passes don't recompute an expensive upstream; leave False
+    when the input is a bare columnar scan (pushdown makes re-reads
+    cheap) or for explain-only paths.
+    """
+    if k < 1:
+        raise ValueError(f"ntile k must be >= 1, got {k}")
+    spark = df.sparkSession
+    if checkpoint:
+        df = df.localCheckpoint(eager=True)
+    fracs = [i / buckets for i in range(1, buckets)]
+    cuts_row = df.select(
+        F.percentile_approx(key, fracs, accuracy).alias("c")
+    ).first()
+    cuts = sorted({c for c in (cuts_row["c"] or []) if c is not None})
+    if cuts:
+        # Plain sum-of-whens, not an F.aggregate lambda: a HigherOrder
+        # lambda capturing `key` breaks when Catalyst's constraint
+        # inference copies the `_rb` definition across the broadcast
+        # join below (ATTRIBUTE_NOT_FOUND on the build side). This is
+        # a flat codegen'd expression with <= `buckets` terms.
+        rb = sum(
+            (F.when(F.col(key) > F.lit(c), 1).otherwise(0) for c in cuts),
+            start=F.lit(0),
+        )
+    else:  # empty input or all-null/constant key: one bucket
+        rb = F.lit(0)
+    d = df.withColumn("_rb", rb)
+    cnt = {
+        r["_rb"]: r["n"]
+        for r in d.groupBy("_rb").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = sum(cnt.values())
+    off, acc = [], 0
+    for b in sorted(cnt):  # <= `buckets` rows by construction
+        off.append((b, acc))
+        acc += cnt[b]
+    if not off:
+        off = [(0, 0)]
+    off_df = spark.createDataFrame(off, "_rb int, _off long")
+    w = Window.partitionBy("_rb").orderBy(key, *tiebreaks)
+    ranked = (
+        d.join(F.broadcast(off_df), "_rb")
+        .withColumn("_rank", F.col("_off") + F.row_number().over(w))
+    )
+    q, r = divmod(n, k)
+    if q == 0:  # fewer rows than tiles: bucket == rank
+        tile = F.col("_rank")
+    elif r == 0:
+        tile = F.expr(f"(_rank - 1) div {q}") + F.lit(1)
+    else:
+        head = r * (q + 1)
+        tile = (
+            F.when(
+                F.col("_rank") <= F.lit(head),
+                F.expr(f"(_rank - 1) div {q + 1}"),
+            ).otherwise(F.lit(r) + F.expr(f"(_rank - 1 - {head}) div {q}"))
+            + F.lit(1)
+        )
+    return ranked.withColumn(out, tile.cast("long")).drop("_rb", "_off", "_rank")
+
+
 def dense_index(
     df: DataFrame,
     tiebreak: str,

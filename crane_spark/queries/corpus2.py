@@ -295,25 +295,27 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic within-decile shuffle key. The epoch order is
     (decile, cur_key, doc_id) as sortable COLUMNS — the writer
     range-partitions on them, so the total order materializes without
-    a single-node sort. The ntile here is a global window; at 100 TB
-    replace it with approx-percentile cut points broadcast onto the
-    scan (same output contract, sketch-accurate bucket edges) — kept
-    exact ntile here because the oracle compares bucket assignments,
-    and interpolated quantile cuts differ between engines in the last
-    ulp."""
-    from pyspark.sql import Window
-
+    a single-node sort. Deciles come from `exact_ntile` (range-bucketed
+    parallel rank + literal boundary arithmetic): bit-identical to the
+    ANSI ntile the oracle runs, but with no data-sized global window —
+    approx cut points only steer load balance, never bucket
+    membership. The narrow (doc_id, ttr) projection is checkpointed so
+    the three ntile passes don't re-tokenize the corpus."""
     from crane_spark.llm.sampling import hash_bucket
+    from crane_spark.operators.indexing import exact_ntile
 
     docs = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
     scored = docs.select("doc_id", ttr.alias("ttr"))
-    w = Window.orderBy("ttr", "doc_id")
-    return scored.select(
+    tiled = exact_ntile(
+        scored, 10, key="ttr", tiebreaks=["doc_id"], out="decile",
+        checkpoint=True,
+    )
+    return tiled.select(
         "doc_id",
         F.round("ttr", 6).alias("ttr"),
-        F.ntile(10).over(w).cast("long").alias("decile"),
+        "decile",
         hash_bucket("doc_id", "cur").alias("cur_key"),
     )
 
@@ -472,12 +474,19 @@ def q_dup_span_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid, a duplicated passage is caught at ANY offset, and the output
     names the exact range to cut rather than a grid cell.
 
-    Scale shape: grams explode narrow off the scan and shrink to an
-    (hash, doc-count) aggregate (map-side combined); only grams proven
-    duplicated survive into the per-doc window (hit lists are tiny
-    relative to the corpus), and the island merge is one partition-by-
-    doc window — corpus-sized data crosses the shuffle once, as bare
-    (doc_id, position) pairs."""
+    Scale shape (round 5: SINGLE gram scan): the sliding-gram explode
+    is the dominant stage at corpus scale, and the previous
+    aggregate + semi-join shape ran it twice (once into the dup-hash
+    aggregate, once as the probe). Now the gram stream crosses ONE
+    shuffle keyed on the gram hash and the duplicated test is
+    `min(doc_id) != max(doc_id)` over the h-partition — exactly
+    `count(DISTINCT doc_id) >= 2` without a second scan or a
+    dup-set join. The window frame is unbounded-over-h, which Spark
+    buffers in a spillable row array — duplication-heavy grams spill
+    rather than OOM, and no dup-set ever needs to fit in one
+    executor (the failure mode that forbade the broadcast hint in
+    the old shape). The island merge then windows over the pruned
+    hit list as before."""
     L = _DSR_L
     toks = tokens("text")
     n = F.size(toks)
@@ -493,19 +502,16 @@ def q_dup_span_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.array_join(F.slice("toks", F.col("p0") + 1, L), " ")).alias("h"),
         )
     )
-    dup = (
-        grams.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("h")
+    wh = Window.partitionBy("h")
+    hits = (
+        grams.select(
+            "doc_id",
+            "p",
+            (F.min("doc_id").over(wh) != F.max("doc_id").over(wh)).alias("_dup"),
+        )
+        .filter(F.col("_dup"))
+        .drop("_dup")
     )
-    # No broadcast hint: the dup-gram set grows with corpus
-    # DUPLICATION, not with any fixed dimension — on a duplication-
-    # heavy crawl a forced broadcast exceeds the executor budget and
-    # fails the job outright. AQE broadcasts it when its measured size
-    # allows and falls back to a shuffled semi join when it doesn't
-    # (both shuffle only bare 16-byte hashes).
-    hits = grams.join(dup, "h", "left_semi")
     w = Window.partitionBy("doc_id").orderBy("p")
     prev_end = F.max(F.col("p") + L).over(
         w.rowsBetween(Window.unboundedPreceding, -1)

@@ -276,11 +276,25 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket membership deterministic — the rank-arithmetic approach
     that avoids comparing data against interpolated quantile cuts
     (engine last-ulp differences would flip boundary rows). This is
-    the optimizer-statistics / feature-binning primitive."""
+    the optimizer-statistics / feature-binning primitive.
+
+    Scale note: NOT the ntile window (which plans a data-sized
+    Exchange SinglePartition — one task sorting every order). The
+    bucket grid comes from `exact_ntile`: range-bucketed parallel
+    rank + driver-side boundary arithmetic, bit-identical to ANSI
+    ntile, every exchange bounded."""
+    from crane_spark.operators.indexing import exact_ntile
+
     orders = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    tiled = exact_ntile(
+        orders.select("o_totalprice", "o_orderkey"),
+        8,
+        key="o_totalprice",
+        tiebreaks=["o_orderkey"],
+        out="bucket",
+    )
     return (
-        orders.select("o_totalprice", F.ntile(8).over(w).cast("long").alias("bucket"))
+        tiled.select("o_totalprice", "bucket")
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

@@ -98,3 +98,70 @@ def test_dense_index_empty_input_both_regimes(spark):
         empty, tiebreak="token", major="dfreq", out="rank", one_based=True
     )
     assert major.count() == 0 and "rank" in major.columns
+
+
+# --------------------------------------------------------------------
+# exact_ntile: ANSI ntile semantics without the global window
+# --------------------------------------------------------------------
+
+def _ntile_ref(spark, df, k, key, tiebreaks):
+    from pyspark.sql import Window
+
+    w = Window.orderBy(key, *tiebreaks)
+    return {
+        tuple(r[c] for c in [key, *tiebreaks]): r["_t"]
+        for r in df.withColumn("_t", F.ntile(k).over(w).cast("long")).collect()
+    }
+
+
+def test_exact_ntile_matches_window_ntile_uneven(spark):
+    """n=1003, k=8 (n%k=3): first 3 tiles take 126 rows, rest 125 —
+    must agree with Spark's own ntile window row for row."""
+    from crane_spark.operators.indexing import exact_ntile
+
+    df = spark.range(1003).select(
+        (F.pmod(F.col("id") * 37, F.lit(251))).alias("v"), F.col("id").alias("tb")
+    )
+    got = {
+        (r["v"], r["tb"]): r["bucket"]
+        for r in exact_ntile(df, 8, key="v", tiebreaks=["tb"]).collect()
+    }
+    assert got == _ntile_ref(spark, df, 8, "v", ["tb"])
+
+
+def test_exact_ntile_heavy_ties_and_divisible(spark):
+    """Ties on the range key may not split buckets incorrectly; also
+    the r==0 branch (n divisible by k)."""
+    from crane_spark.operators.indexing import exact_ntile
+
+    df = spark.range(1000).select(
+        (F.col("id") % 5).alias("v"), F.col("id").alias("tb")
+    )
+    got = {
+        (r["v"], r["tb"]): r["bucket"]
+        for r in exact_ntile(df, 4, key="v", tiebreaks=["tb"]).collect()
+    }
+    assert got == _ntile_ref(spark, df, 4, "v", ["tb"])
+
+
+def test_exact_ntile_fewer_rows_than_tiles_and_empty(spark):
+    from crane_spark.operators.indexing import exact_ntile
+
+    df = spark.range(3).select(F.col("id").alias("v"), F.col("id").alias("tb"))
+    got = sorted(
+        (r["v"], r["bucket"])
+        for r in exact_ntile(df, 10, key="v", tiebreaks=["tb"]).collect()
+    )
+    assert got == [(0, 1), (1, 2), (2, 3)]
+    empty = df.where(F.lit(False))
+    assert exact_ntile(empty, 10, key="v", tiebreaks=["tb"]).count() == 0
+
+
+def test_exact_ntile_plan_has_no_single_partition_exchange(spark):
+    from crane_spark.operators.indexing import exact_ntile
+
+    df = spark.range(5000).select(
+        (F.col("id") * 13 % 997).alias("v"), F.col("id").alias("tb")
+    )
+    out = exact_ntile(df, 10, key="v", tiebreaks=["tb"])
+    assert "Exchange SinglePartition" not in _plan(out)

@@ -215,17 +215,20 @@ def test_twap_single_user_shuffle_reused(spark, sf_dir):
     assert "hashpartitioning(user_id" in plan
 
 
-def test_dup_span_ranges_semi_join_unpinned(spark, sf_dir):
-    """Duplicated-gram detection joins back by a semi join whose
-    strategy AQE picks from the dup set's MEASURED size (a pinned
-    broadcast fails outright on duplication-heavy corpora where the
-    dup set exceeds the executor budget). The island merge windows
-    still run over the already-pruned hit list; no cross product
-    anywhere."""
+def test_dup_span_ranges_single_gram_scan(spark, sf_dir):
+    """Round-5 restructure: the sliding-gram explode (the dominant
+    stage at corpus scale) must appear ONCE in the plan — the
+    duplicated test is min(doc_id)!=max(doc_id) over a window keyed
+    on the gram hash, not an aggregate + semi-join that re-runs the
+    explode as its probe. No join of any kind remains; the only
+    exchanges are the h-window shuffle and the per-doc island
+    windows."""
     plan = _plan(spark, sf_dir, "dup_span_ranges")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "LeftSemi" in plan and "Window" in plan
+    assert "Join" not in plan
+    assert plan.count("- Generate (") == 1  # one explode node in the tree
+    assert "Window" in plan
 
 
 def test_similar_activity_broadcasts_stats(spark, sf_dir):
@@ -314,3 +317,18 @@ def test_ann_ppjoin_index_paths_no_unpartitioned_window(spark, sf_dir):
     for name, df in (("init_index", idx), ("spread_sample", samp), ("vocab_rank", vocab)):
         p = _explain(df)
         assert "Exchange SinglePartition" not in p, name
+
+
+def test_equidepth_and_curriculum_ntile_no_single_partition(spark, sf_dir):
+    """Round-5 re-plan: the last two data-sized ntile windows
+    (equidepth_histogram, curriculum_order) now go through
+    operators.indexing.exact_ntile — range-bucketed parallel rank
+    with literal boundary arithmetic. Guard the property that made
+    them allowlist entries: no Exchange SinglePartition anywhere in
+    either final plan."""
+    from crane_spark.queries import REGISTRY
+
+    for name in ("equidepth_histogram", "curriculum_order"):
+        p = _explain(REGISTRY[name].fn(spark, sf_dir))
+        assert "Exchange SinglePartition" not in p, name
+        assert "hashpartitioning(_rb" in p, name  # the bucketed rank path

@@ -48,20 +48,13 @@ _BENIGN = (
 
 # query -> why its non-benign single-partition exchange is
 # semantically bounded (reviewed; everything else in the registry is
-# either exchange-free or matches a _BENIGN pattern). All five carry
-# the same documented at-scale replacement: rank arithmetic over a
-# pre-aggregated distribution instead of a row-level global window —
-# kept as-is because the oracle contract pins exact ntile/cumsum
-# bucket membership (interpolated quantile cuts differ between
-# engines in the last ulp).
+# either exchange-free or matches a _BENIGN pattern). The two former
+# data-sized entries (equidepth_histogram, curriculum_order ntile
+# windows) were re-planned in round 5 onto operators.indexing
+# .exact_ntile — range-bucketed parallel rank + literal boundary
+# arithmetic, bit-identical to ANSI ntile — so only the three
+# aggregate-/calendar-bounded frames remain.
 ALLOWLIST: dict[str, str] = {
-    "equidepth_histogram": (
-        "ntile over orders, oracle-pinned bucket grid (documented "
-        "at-scale replacement: rank arithmetic over a value histogram)"
-    ),
-    "curriculum_order": (
-        "ntile over per-doc TTR scores, oracle-pinned decile grid"
-    ),
     "error_rate_spikes": (
         "global frame over per-HOUR aggregate rows - calendar-bounded "
         "input (hours, not events)"
@@ -76,8 +69,14 @@ ALLOWLIST: dict[str, str] = {
 }
 
 
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_AUDIT_SF_DIR", "/root/testdata/sf0.001")
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SF_DIR
+    if not os.path.isdir(sf_dir):
+        print(f"fixture dir not found: {sf_dir} (set SPARK_GRAFT_AUDIT_SF_DIR)")
+        return 3
     spark = get_spark("audit_single_partition")
     spark.sparkContext.setLogLevel("ERROR")
     flagged: dict[str, str] = {}
