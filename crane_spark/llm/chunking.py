@@ -15,7 +15,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -64,18 +64,25 @@ def pack_by_token_budget(
     """Assign each doc a pack_id such that consecutive docs (by
     `order_col`, within `partition_col`) share a pack until the token
     budget is exhausted. pack_id = floor(cumulative_tokens_before /
-    budget): one shuffle on the partition column, no driver loop."""
+    budget), with the running total from `exact_prefix_sum` — the
+    naive `sum OVER (PARTITION BY source ...)` window hands one task
+    per source a corpus-sized sort (source has a handful of values),
+    while the bucketed construction runs B parallel cell cumsums per
+    source and offsets them with aggregate-row arithmetic. Bit-equal
+    to the window, no driver loop, no data-sized partition."""
+    from crane_spark.operators.indexing import exact_prefix_sum
+
     n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
-    w = (
-        Window.partitionBy(partition_col)
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
+    d = exact_prefix_sum(
+        docs.select(partition_col, order_col, n_tok.alias("n_tokens")),
+        measure="n_tokens",
+        key=order_col,
+        tiebreaks=[],
+        out="_cum_before",
+        major=partition_col,
+        exclusive=True,
     )
-    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return (
-        docs.select(partition_col, order_col, n_tok.alias("n_tokens"))
-        .withColumn(
-            "pack_id",
-            F.floor(cum_before / F.lit(float(budget))).cast("long"),
-        )
-    )
+    return d.withColumn(
+        "pack_id",
+        F.floor(F.col("_cum_before") / F.lit(float(budget))).cast("long"),
+    ).drop("_cum_before")

@@ -43,6 +43,284 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _range_bucket(key: str, cuts: list, descending: bool):
+    """Codegen'd range-bucket id for ``key`` against literal ``cuts``
+    (ascending-sorted, distinct, non-null). Strict comparisons keep
+    key-ties in one bucket; bucket order matches the requested sort
+    direction. NULL keys follow Spark's defaults: first for ASC
+    (bucket 0 — NULL compares false against every cut, and within
+    bucket 0 ``asc`` sorts nulls first), an own trailing bucket for
+    DESC (``desc`` = nulls LAST, after every non-null bucket).
+
+    Plain sum-of-whens, not an F.aggregate lambda: a HigherOrder
+    lambda capturing ``key`` breaks when Catalyst's constraint
+    inference copies the bucket definition across the broadcast join
+    downstream (ATTRIBUTE_NOT_FOUND on the build side). This is a
+    flat codegen'd expression with <= ``len(cuts)`` terms.
+    """
+    if not cuts:  # empty/constant/all-null key: one bucket
+        return F.lit(0)
+    if descending:
+        nonnull = sum(
+            (F.when(F.col(key) < F.lit(c), 1).otherwise(0) for c in cuts),
+            start=F.lit(0),
+        )
+        return F.when(F.col(key).isNull(), F.lit(len(cuts) + 1)).otherwise(nonnull)
+    return sum(
+        (F.when(F.col(key) > F.lit(c), 1).otherwise(0) for c in cuts),
+        start=F.lit(0),
+    )
+
+
+def exact_rank(
+    df: DataFrame,
+    key: str,
+    tiebreaks: list[str],
+    out: str = "_rank",
+    major: str | None = None,
+    descending: bool = False,
+    buckets: int = 64,
+    accuracy: int = 10_000,
+    checkpoint: bool = False,
+    n_out: str | None = None,
+) -> DataFrame:
+    """``row_number() OVER ([PARTITION BY major] ORDER BY key
+    [DESC], *tiebreaks)`` — bit-exact — WITHOUT a data-sized sort in
+    any single task.
+
+    The SQL window version plans one sort task per PARTITION BY value:
+    fine when the partition key is high-cardinality, a scale-killer
+    when it has a handful of values over a corpus-sized table (each
+    task then sorts ~n/|majors| rows — ``PARTITION BY source`` over
+    the documents table IS the corpus in one task). This construction
+    range-buckets on approximate GLOBAL cut points of ``key``
+    (``percentile_approx``; accuracy only affects load balance, never
+    the result), ranks within each ``(major, bucket)`` cell in
+    parallel, and adds per-cell offsets computed from CELL COUNTS —
+    windows over aggregate rows (<= |majors| x buckets), never data
+    rows.
+
+    ``n_out``, when given, adds the per-major row count as a column
+    (callers derive ntile / percent_rank / cume_dist from rank + n).
+
+    Degenerate distributions (one dominant ``key`` value, or a major
+    concentrated inside one global cut interval) collapse cells and
+    re-create the big per-task sort; that is inherent to exact rank
+    semantics over ties, not this construction. NULL ``major`` rows
+    are ranked in their own null group (null-safe cell join).
+
+    Determinism requirement: the construction reads ``df`` in two
+    Spark jobs (cut-point sketch; the ranked plan, whose cell-count
+    aggregate and final join re-scan it). A source that returns
+    different rows per scan yields undefined ranks — pass
+    ``checkpoint=True`` to pin one materialization (the global-rank
+    driver path additionally fails loudly on a count mismatch; see
+    :func:`exact_ntile`).
+    """
+    spark = df.sparkSession
+    if checkpoint:
+        df = df.localCheckpoint(eager=True)
+    fracs = [i / buckets for i in range(1, buckets)]
+    cuts_row = df.select(
+        F.percentile_approx(key, fracs, accuracy).alias("c")
+    ).first()
+    cuts = sorted({c for c in ((cuts_row["c"] if cuts_row else None) or []) if c is not None})
+    d = df.withColumn("_rb", _range_bucket(key, cuts, descending))
+    order = [F.col(key).desc() if descending else F.col(key).asc()]
+    order += [F.col(t).asc() for t in tiebreaks]
+
+    if major is None:
+        n, off_df = _global_bucket_offsets(spark, d)
+        w = Window.partitionBy("_rb").orderBy(*order)
+        guarded_off = F.when(
+            F.col("_off").isNull(),
+            F.raise_error(
+                F.lit(
+                    "exact_rank: a bucket appeared that the count pass did not "
+                    "observe — the input is non-deterministic across scans; "
+                    "pass checkpoint=True or materialize the input"
+                )
+            ).cast("long"),
+        ).otherwise(F.col("_off"))
+        res = d.join(F.broadcast(off_df), "_rb", "left").withColumn(
+            out, guarded_off + F.row_number().over(w)
+        )
+        if n_out is not None:
+            res = res.withColumn(n_out, F.lit(n).cast("long"))
+        return res.drop("_rb", "_off")
+
+    # Per-major path: offsets and totals are windows over the cell
+    # COUNT aggregate (<= |majors| x buckets rows), then a null-safe
+    # join back on (major, cell). Everything lives in ONE final job —
+    # no driver collect, no cross-job count to disagree.
+    cnt = d.groupBy(major, "_rb").agg(F.count(F.lit(1)).alias("_bn"))
+    w_off = (
+        Window.partitionBy(major)
+        .orderBy("_rb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stats = cnt.select(
+        F.col(major).alias("_mj"),
+        F.col("_rb").alias("_sb"),
+        F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_bn").over(Window.partitionBy(major)).alias("_sn"),
+    )
+    w = Window.partitionBy(major, "_rb").orderBy(*order)
+    res = (
+        d.join(
+            stats,
+            F.col(major).eqNullSafe(F.col("_mj")) & (F.col("_rb") == F.col("_sb")),
+        )
+        .withColumn(out, F.col("_off") + F.row_number().over(w))
+    )
+    if n_out is not None and n_out != "_sn":
+        res = res.withColumn(n_out, F.col("_sn").cast("long"))
+    return res.drop("_rb", "_sb", "_mj", "_off") if n_out == "_sn" else res.drop(
+        "_rb", "_sb", "_mj", "_off", "_sn"
+    )
+
+
+def exact_prefix_sum(
+    df: DataFrame,
+    measure: str,
+    key: str,
+    tiebreaks: list[str],
+    out: str = "_psum",
+    major: str | None = None,
+    descending: bool = False,
+    buckets: int = 64,
+    accuracy: int = 10_000,
+    checkpoint: bool = False,
+    exclusive: bool = True,
+) -> DataFrame:
+    """``sum(measure) OVER ([PARTITION BY major] ORDER BY key [DESC],
+    *tiebreaks ROWS UNBOUNDED PRECEDING [AND 1 PRECEDING])`` — the
+    running-total twin of :func:`exact_rank`, without a data-sized
+    sort in any task.
+
+    Same construction: range-bucket on ``key``'s global percentile
+    cuts, run the running sum WITHIN each ``(major, bucket)`` cell in
+    parallel, and offset each cell by the sum of the cells before it —
+    computed from per-cell TOTALS (aggregate rows), never data rows.
+    Strict-comparison bucketing keeps key-ties unsplit, so within-cell
+    window order composes exactly with cell order. NULL measures are
+    skipped (SQL sum semantics); an all-null prefix yields 0, matching
+    ``coalesce(sum(...) over w, 0)`` — callers wanting SQL's NULL
+    instead should not coalesce on their side.
+
+    Shares :func:`exact_rank`'s determinism requirement (two scans:
+    cut sketch + final plan; the global path adds a count pass) —
+    ``checkpoint=True`` pins non-deterministic inputs.
+    """
+    spark = df.sparkSession
+    if checkpoint:
+        df = df.localCheckpoint(eager=True)
+    fracs = [i / buckets for i in range(1, buckets)]
+    cuts_row = df.select(
+        F.percentile_approx(key, fracs, accuracy).alias("c")
+    ).first()
+    cuts = sorted({c for c in ((cuts_row["c"] if cuts_row else None) or []) if c is not None})
+    d = df.withColumn("_rb", _range_bucket(key, cuts, descending))
+    order = [F.col(key).desc() if descending else F.col(key).asc()]
+    order += [F.col(t).asc() for t in tiebreaks]
+    end = -1 if exclusive else 0
+
+    if major is None:
+        sums = {
+            r["_rb"]: r["s"]
+            for r in d.groupBy("_rb")
+            .agg(F.coalesce(F.sum(measure), F.lit(0)).alias("s"))
+            .collect()
+        }
+        off, acc = [], 0
+        for b in sorted(sums):  # <= buckets rows by construction
+            off.append((b, acc))
+            acc += sums[b]
+        if not off:
+            off = [(0, 0)]
+        off_t = "double" if dict(df.dtypes)[measure] in ("double", "float") else "long"
+        off_df = spark.createDataFrame(off, f"_rb int, _off {off_t}")
+        w = Window.partitionBy("_rb").orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, end
+        )
+        guarded_off = F.when(
+            F.col("_off").isNull(),
+            F.raise_error(
+                F.lit(
+                    "exact_prefix_sum: a bucket appeared that the sum pass did "
+                    "not observe — the input is non-deterministic across "
+                    "scans; pass checkpoint=True or materialize the input"
+                )
+            ).cast("long"),
+        ).otherwise(F.col("_off"))
+        return (
+            d.join(F.broadcast(off_df), "_rb", "left")
+            .withColumn(
+                out, guarded_off + F.coalesce(F.sum(measure).over(w), F.lit(0))
+            )
+            .drop("_rb", "_off")
+        )
+
+    cnt = d.groupBy(major, "_rb").agg(
+        F.coalesce(F.sum(measure), F.lit(0)).alias("_bn")
+    )
+    w_off = (
+        Window.partitionBy(major)
+        .orderBy("_rb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stats = cnt.select(
+        F.col(major).alias("_mj"),
+        F.col("_rb").alias("_sb"),
+        F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w = Window.partitionBy(major, "_rb").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, end
+    )
+    return (
+        d.join(
+            stats,
+            F.col(major).eqNullSafe(F.col("_mj")) & (F.col("_rb") == F.col("_sb")),
+        )
+        .withColumn(out, F.col("_off") + F.coalesce(F.sum(measure).over(w), F.lit(0)))
+        .drop("_rb", "_sb", "_mj", "_off")
+    )
+
+
+def _global_bucket_offsets(spark, d: DataFrame):
+    """Collect per-bucket counts (<= ``buckets`` rows by construction)
+    and return (total n, broadcastable offsets frame)."""
+    cnt = {
+        r["_rb"]: r["n"]
+        for r in d.groupBy("_rb").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = sum(cnt.values())
+    off, acc = [], 0
+    for b in sorted(cnt):
+        off.append((b, acc))
+        acc += cnt[b]
+    if not off:
+        off = [(0, 0)]
+    return n, spark.createDataFrame(off, "_rb int, _off long")
+
+
+def _ansi_tile(rank, n, k: int):
+    """ANSI ntile bucket from exact rank + partition count, as column
+    arithmetic: with q, r = divmod(n, k) the first r tiles take q+1
+    rows. All operands non-negative longs, so floor == div."""
+    q = F.floor(n / k)
+    r = n - q * k
+    head = r * (q + 1)
+    return (
+        F.when(q == 0, rank)  # fewer rows than tiles: tile == rank
+        .when(
+            rank <= head,
+            F.floor((rank - 1) / (q + 1)) + 1,
+        )
+        .otherwise(r + F.floor((rank - 1 - head) / q) + 1)
+    )
+
+
 def exact_ntile(
     df: DataFrame,
     k: int,
@@ -52,6 +330,8 @@ def exact_ntile(
     buckets: int = 64,
     accuracy: int = 10_000,
     checkpoint: bool = False,
+    major: str | None = None,
+    descending: bool = False,
 ) -> DataFrame:
     """SQL ``ntile(k) OVER (ORDER BY key, *tiebreaks)`` — bit-exact
     bucket membership — WITHOUT the data-sized ``Exchange
@@ -84,66 +364,54 @@ def exact_ntile(
     the single big sort; that is inherent to ntile's tiebreak
     semantics, not this construction.
 
+    ``major`` generalizes to ``ntile(k) OVER (PARTITION BY major
+    ORDER BY ...)``: ranks come from :func:`exact_rank`'s per-major
+    cell construction (one final job, offsets from aggregate-row
+    windows), and the boundary arithmetic runs on the per-major count
+    COLUMN instead of driver literals — the fix for data-sized windows
+    hiding behind low-cardinality partition keys (``PARTITION BY
+    source`` over a corpus-sized table).
+
     ``checkpoint=True`` localCheckpoints the (narrow) input so the
-    three passes don't recompute an expensive upstream; leave False
-    when the input is a bare columnar scan (pushdown makes re-reads
-    cheap) or for explain-only paths.
+    passes don't recompute an expensive upstream; leave False when
+    the input is a bare columnar scan (pushdown makes re-reads cheap)
+    or for explain-only paths.
+
+    Determinism: the global path reads ``df`` in three jobs (sketch,
+    count, final). A non-deterministic source is detected loudly — the
+    final plan left-joins the counted bucket offsets and raises on a
+    bucket the count pass never saw, and ranks past the counted total
+    raise in the tile arithmetic — but rows REMOVED between passes
+    cannot be detected; use ``checkpoint=True`` for such sources.
     """
     if k < 1:
         raise ValueError(f"ntile k must be >= 1, got {k}")
-    spark = df.sparkSession
-    if checkpoint:
-        df = df.localCheckpoint(eager=True)
-    fracs = [i / buckets for i in range(1, buckets)]
-    cuts_row = df.select(
-        F.percentile_approx(key, fracs, accuracy).alias("c")
-    ).first()
-    cuts = sorted({c for c in (cuts_row["c"] or []) if c is not None})
-    if cuts:
-        # Plain sum-of-whens, not an F.aggregate lambda: a HigherOrder
-        # lambda capturing `key` breaks when Catalyst's constraint
-        # inference copies the `_rb` definition across the broadcast
-        # join below (ATTRIBUTE_NOT_FOUND on the build side). This is
-        # a flat codegen'd expression with <= `buckets` terms.
-        rb = sum(
-            (F.when(F.col(key) > F.lit(c), 1).otherwise(0) for c in cuts),
-            start=F.lit(0),
-        )
-    else:  # empty input or all-null/constant key: one bucket
-        rb = F.lit(0)
-    d = df.withColumn("_rb", rb)
-    cnt = {
-        r["_rb"]: r["n"]
-        for r in d.groupBy("_rb").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    n = sum(cnt.values())
-    off, acc = [], 0
-    for b in sorted(cnt):  # <= `buckets` rows by construction
-        off.append((b, acc))
-        acc += cnt[b]
-    if not off:
-        off = [(0, 0)]
-    off_df = spark.createDataFrame(off, "_rb int, _off long")
-    w = Window.partitionBy("_rb").orderBy(key, *tiebreaks)
-    ranked = (
-        d.join(F.broadcast(off_df), "_rb")
-        .withColumn("_rank", F.col("_off") + F.row_number().over(w))
+    ranked = exact_rank(
+        df,
+        key,
+        tiebreaks,
+        out="_rank",
+        major=major,
+        descending=descending,
+        buckets=buckets,
+        accuracy=accuracy,
+        checkpoint=checkpoint,
+        n_out="_n",
     )
-    q, r = divmod(n, k)
-    if q == 0:  # fewer rows than tiles: bucket == rank
-        tile = F.col("_rank")
-    elif r == 0:
-        tile = F.expr(f"(_rank - 1) div {q}") + F.lit(1)
-    else:
-        head = r * (q + 1)
-        tile = (
-            F.when(
-                F.col("_rank") <= F.lit(head),
-                F.expr(f"(_rank - 1) div {q + 1}"),
-            ).otherwise(F.lit(r) + F.expr(f"(_rank - 1 - {head}) div {q}"))
-            + F.lit(1)
-        )
-    return ranked.withColumn(out, tile.cast("long")).drop("_rb", "_off", "_rank")
+    overflow_guard = F.when(
+        F.col("_rank") > F.col("_n"),
+        F.raise_error(
+            F.lit(
+                "exact_ntile: rank exceeds the counted partition size — the "
+                "input grew between passes; pass checkpoint=True or "
+                "materialize the input"
+            )
+        ).cast("long"),
+    )
+    tile = overflow_guard.otherwise(
+        _ansi_tile(F.col("_rank"), F.col("_n"), k)
+    )
+    return ranked.withColumn(out, tile.cast("long")).drop("_rank", "_n")
 
 
 def dense_index(

@@ -343,14 +343,25 @@ def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift check a training pipeline runs before mixing; rank
     arithmetic (ntile with a doc_id tiebreak) keeps bucket membership
     deterministic instead of comparing against interpolated quantile
-    cuts. The window partitions by source, so each source sorts
-    independently — no global sort."""
-    from pyspark.sql import Window
+    cuts. `source` has a handful of values while `documents` IS the
+    corpus-scale table, so `ntile OVER (PARTITION BY source)` would
+    hand each task a corpus-sized sort; `exact_ntile(major="source")`
+    is bit-identical ANSI ntile but ranks in parallel range-bucket
+    cells with aggregate-row offset windows — no data-sized partition
+    in any task."""
+    from crane_spark.operators.indexing import exact_ntile
 
     docs = table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    tiled = exact_ntile(
+        docs.select("source", "n_chars", "doc_id"),
+        10,
+        key="n_chars",
+        tiebreaks=["doc_id"],
+        out="decile",
+        major="source",
+    )
     return (
-        docs.select("source", "n_chars", F.ntile(10).over(w).cast("long").alias("decile"))
+        tiled.select("source", "n_chars", "decile")
         .groupBy("source", "decile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -191,17 +191,52 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
 
 @register("window_analytics", ANALYTICS_SQL, tags=("window",))
 def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank/navigation analytics over `PARTITION BY c_nationkey` —
+    25 partition values, so the window version hands each task a
+    customers/25-sized sort (a data-sized partition at scale, the
+    same class `exact_ntile` kills for global ntile). Re-planned on
+    `exact_rank`: the ordering tuple (c_acctbal DESC, c_custkey) is
+    UNIQUE per nation, so `dense_rank == rank == row_number` — one
+    balanced-cell rank pass gives drank directly, quartile and
+    percent_rank are arithmetic on (rank, per-nation n), and
+    lag(2)/lead(1) become equi-joins on the unique (nation, rank±d)
+    key — shuffle-balanced, no per-nation sort anywhere."""
+    from crane_spark.operators.indexing import _ansi_tile, exact_rank
+
     cust = table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return cust.select(
+    ranked = exact_rank(
+        cust.select("c_nationkey", "c_custkey", "c_acctbal"),
+        key="c_acctbal",
+        tiebreaks=["c_custkey"],
+        out="_rk",
+        major="c_nationkey",
+        descending=True,
+        n_out="_n",
+    )
+    nb = ranked.select(
+        F.col("c_nationkey").alias("_jn"),
+        F.col("_rk").alias("_jr"),
+        F.col("c_acctbal").alias("_jv"),
+    )
+    rk = F.col("_rk")
+    lagged = ranked.join(
+        nb, (F.col("c_nationkey") == F.col("_jn")) & (F.col("_jr") == rk - 2), "left"
+    ).withColumnRenamed("_jv", "_lag2").drop("_jn", "_jr")
+    both = lagged.join(
+        nb, (F.col("c_nationkey") == F.col("_jn")) & (F.col("_jr") == rk + 1), "left"
+    ).withColumnRenamed("_jv", "_lead1").drop("_jn", "_jr")
+    return both.select(
         "c_nationkey",
         "c_custkey",
         "c_acctbal",
-        F.dense_rank().over(w).cast("long").alias("drank"),
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.lag("c_acctbal", 2).over(w).alias("lag2"),
-        F.lead("c_acctbal").over(w).alias("lead1"),
-        F.percent_rank().over(w).alias("prank"),
+        rk.cast("long").alias("drank"),
+        _ansi_tile(rk, F.col("_n"), 4).cast("long").alias("quartile"),
+        F.col("_lag2").alias("lag2"),
+        F.col("_lead1").alias("lead1"),
+        F.when(F.col("_n") == 1, F.lit(0.0))
+        .otherwise((rk - 1) / (F.col("_n") - 1))
+        .cast("double")
+        .alias("prank"),
     )
 
 
@@ -519,19 +554,45 @@ def q_window_analytics2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The second tier of window analytics: cume_dist, nth_value
     (default running frame), and IGNORE NULLS first/last over the full
     partition frame — the null-skipping navigation functions gap-fill
-    pipelines lean on."""
+    pipelines lean on.
+
+    Re-planned off the 25-value `PARTITION BY c_nationkey` window
+    (data-sized partitions at scale): the ordering tuple is unique
+    per nation, so every one of these collapses to exact_rank
+    arithmetic plus ONE per-nation aggregate — cume_dist = rank/n
+    (no peers), nth_value(3, running frame) = the rank-3 value gated
+    on rank>=3, IGNORE-NULLS first over the full frame = max of the
+    positives (order is acctbal DESC), and last over the full frame
+    = min(acctbal). The aggregate is 25 rows, broadcast back."""
+    from crane_spark.operators.indexing import exact_rank
+
     cust = table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = exact_rank(
+        cust.select("c_nationkey", "c_custkey", "c_acctbal"),
+        key="c_acctbal",
+        tiebreaks=["c_custkey"],
+        out="_rk",
+        major="c_nationkey",
+        descending=True,
+        n_out="_n",
+    )
     pos_bal = F.when(F.col("c_acctbal") > 0, F.col("c_acctbal"))
-    return cust.select(
+    aggs = ranked.groupBy(F.col("c_nationkey").alias("_an")).agg(
+        F.max(F.when(F.col("_rk") == 3, F.col("c_acctbal"))).alias("_third"),
+        F.max(pos_bal).alias("_first_pos"),
+        F.min("c_acctbal").alias("_min_bal"),
+    )
+    rk = F.col("_rk")
+    return ranked.join(
+        F.broadcast(aggs), F.col("c_nationkey") == F.col("_an"), "left"
+    ).select(
         "c_nationkey",
         "c_custkey",
         "c_acctbal",
-        F.cume_dist().over(w).alias("cdist"),
-        F.nth_value("c_acctbal", 3).over(w).alias("third_bal"),
-        F.first(pos_bal, ignorenulls=True).over(wf).alias("first_pos_bal"),
-        F.last("c_acctbal").over(wf).alias("min_bal_in_nation"),
+        (rk / F.col("_n")).cast("double").alias("cdist"),
+        F.when(rk >= 3, F.col("_third")).alias("third_bal"),
+        F.col("_first_pos").alias("first_pos_bal"),
+        F.col("_min_bal").alias("min_bal_in_nation"),
     )
 
 

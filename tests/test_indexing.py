@@ -165,3 +165,152 @@ def test_exact_ntile_plan_has_no_single_partition_exchange(spark):
     )
     out = exact_ntile(df, 10, key="v", tiebreaks=["tb"])
     assert "Exchange SinglePartition" not in _plan(out)
+
+
+# --------------------------------------------------------------------
+# exact_rank / exact_prefix_sum: per-major windows without data-sized
+# partitions (round 6: the low-cardinality-partition window killer)
+# --------------------------------------------------------------------
+
+def _win(major, key, tiebreaks, descending):
+    from pyspark.sql import Window
+
+    order = [F.col(key).desc() if descending else F.col(key).asc()]
+    order += [F.col(t).asc() for t in tiebreaks]
+    w = Window.orderBy(*order)
+    return w if major is None else Window.partitionBy(major).orderBy(*order)
+
+
+def test_exact_rank_major_desc_matches_window(spark):
+    """7 majors x heavy key ties, DESC order: rank and per-major n
+    must equal Spark's own row_number window bit for bit."""
+    from crane_spark.operators.indexing import exact_rank
+
+    df = spark.range(2003).select(
+        (F.col("id") % 7).alias("m"),
+        (F.col("id") * 37 % 50).alias("v"),
+        F.col("id").alias("tb"),
+    )
+    w = _win("m", "v", ["tb"], descending=True)
+    ref = {
+        (r["m"], r["tb"]): (r["_r"], r["_n"])
+        for r in df.withColumn("_r", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(_win("m", "v", [], True).rowsBetween(-(1 << 30), 1 << 30)))
+        .collect()
+    }
+    got = {
+        (r["m"], r["tb"]): (r["rk"], r["n"])
+        for r in exact_rank(
+            df, key="v", tiebreaks=["tb"], out="rk", major="m",
+            descending=True, n_out="n",
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_exact_rank_null_keys_and_null_major(spark):
+    """NULL keys follow Spark's sort defaults (ASC nulls first, DESC
+    nulls last); NULL majors form their own rank group."""
+    from crane_spark.operators.indexing import exact_rank
+
+    rows = [
+        (m, None if i % 5 == 0 else (i * 13) % 20, i)
+        for i, m in enumerate([0, 1, None] * 40)
+    ]
+    df = spark.createDataFrame(rows, "m int, v int, tb int")
+    for desc in (False, True):
+        w = _win("m", "v", ["tb"], descending=desc)
+        ref = {
+            (r["m"], r["tb"]): r["_r"]
+            for r in df.withColumn("_r", F.row_number().over(w)).collect()
+        }
+        got = {
+            (r["m"], r["tb"]): r["rk"]
+            for r in exact_rank(
+                df, key="v", tiebreaks=["tb"], out="rk", major="m",
+                descending=desc,
+            ).collect()
+        }
+        assert got == ref, f"descending={desc}"
+
+
+def test_exact_ntile_major_matches_window(spark):
+    """ntile(4) OVER (PARTITION BY m ORDER BY v, tb) — uneven per-major
+    sizes so each major exercises different divmod branches."""
+    from pyspark.sql import Window
+
+    from crane_spark.operators.indexing import exact_ntile
+
+    df = spark.range(1777).select(
+        (F.col("id") % 5).alias("m"),
+        (F.col("id") * 11 % 97).alias("v"),
+        F.col("id").alias("tb"),
+    )
+    w = Window.partitionBy("m").orderBy("v", "tb")
+    ref = {
+        (r["m"], r["tb"]): r["_t"]
+        for r in df.withColumn("_t", F.ntile(4).over(w).cast("long")).collect()
+    }
+    got = {
+        (r["m"], r["tb"]): r["bucket"]
+        for r in exact_ntile(df, 4, key="v", tiebreaks=["tb"], major="m").collect()
+    }
+    assert got == ref
+
+
+def test_exact_prefix_sum_matches_window(spark):
+    """Exclusive and inclusive running totals per major, with NULL
+    measures skipped exactly as SQL sum does."""
+    from pyspark.sql import Window
+
+    from crane_spark.operators.indexing import exact_prefix_sum
+
+    df = spark.range(1203).select(
+        (F.col("id") % 4).alias("m"),
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 7 != 0, F.col("id") % 29).alias("x"),
+    )
+    for exclusive in (True, False):
+        end = -1 if exclusive else 0
+        w = (
+            Window.partitionBy("m")
+            .orderBy("k")
+            .rowsBetween(Window.unboundedPreceding, end)
+        )
+        ref = {
+            (r["m"], r["k"]): r["_s"]
+            for r in df.withColumn(
+                "_s", F.coalesce(F.sum("x").over(w), F.lit(0))
+            ).collect()
+        }
+        got = {
+            (r["m"], r["k"]): r["ps"]
+            for r in exact_prefix_sum(
+                df, measure="x", key="k", tiebreaks=[], out="ps",
+                major="m", exclusive=exclusive,
+            ).collect()
+        }
+        assert got == ref, f"exclusive={exclusive}"
+
+
+def test_exact_rank_major_plan_has_no_data_sized_partition(spark):
+    """The whole point: no SinglePartition exchange, and no Window
+    partitioned on the bare major — only (major, _rb) cells."""
+    import re
+
+    from crane_spark.operators.indexing import exact_rank
+
+    df = spark.range(5000).select(
+        (F.col("id") % 3).alias("m"),
+        (F.col("id") * 13 % 997).alias("v"),
+        F.col("id").alias("tb"),
+    )
+    out = exact_rank(df, key="v", tiebreaks=["tb"], out="rk", major="m")
+    plan = _plan(out)
+    assert "Exchange SinglePartition" not in plan
+    # every data-row Window must include the _rb cell column in its
+    # partition spec; aggregate-row windows (cell stats) are exempt
+    # because their input is a keyed HashAggregate
+    for m in re.finditer(r"Arguments: \[[^\]]*windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        assert "_rb" in spec or "_sb" in spec or "_bn" in spec or "count" in spec, spec

@@ -68,6 +68,99 @@ ALLOWLIST: dict[str, str] = {
     ),
 }
 
+# ---------------------------------------------------------------------------
+# Dimension 2 (round 6): data-sized windows hiding behind LOW-CARDINALITY
+# partition keys. `Exchange SinglePartition` only catches UNpartitioned
+# global sorts; `ntile(10) OVER (PARTITION BY source ...)` over the
+# documents table never single-partitions, yet `source` has a handful of
+# values, so at scale each task still sorts a corpus-sized partition —
+# the shape exact_rank/exact_ntile(major=) exist to kill. The audit
+# flags every physical Window whose partition spec references a column
+# from the bounded-cardinality catalog below, UNLESS the window's input
+# subtree is bounded by construction:
+#   - a grouped aggregate below the window (the window runs over
+#     aggregate rows, not data rows);
+#   - WindowGroupLimit below it (rank-limit pushdown caps rows to k per
+#     partition before the sort);
+#   - a `_rb` range-bucket cell in the partition spec (the exact_rank
+#     construction: cells are (major x buckets)-bounded AND
+#     load-balanced by percentile cuts, with `buckets` tunable to the
+#     cluster — the reviewed replacement, not the problem).
+# Anything else needs an entry in WINDOW_ALLOWLIST with a justification.
+
+# Columns whose cardinality is bounded by schema or calendar, not data
+# size (TPC-H key ranges, corpus metadata enums, date parts).
+_LOWCARD = re.compile(
+    r"nationkey|regionkey|\bsource\b|status|returnflag|linestatus"
+    r"|priority|shipmode|brand|container|mktsegment|segment|\blang\b"
+    r"|\byear\b|\bmonth\b|\bquarter\b|\bweek\b|\bdow\b|year\(|month\(|quarter\("
+)
+
+_AGG_BELOW = re.compile(
+    r"HashAggregate\(keys=\[[^\]]|AggregateInPandas|WindowGroupLimit"
+)
+
+WINDOW_ALLOWLIST: dict[str, str] = {
+    "recursive_nation_chain": (
+        "lead() over the 25-row nation dimension (PARTITION BY "
+        "n_regionkey) - input bounded by schema, not data size; the "
+        "recursion below joins vocabulary-sized edges only"
+    ),
+}
+
+
+def _tree_depth(line: str) -> int:
+    """Indent depth of a simple-mode plan line: offset of the node
+    name past the `+-`/`:-`/`: ` tree-drawing prefix."""
+    m = re.match(r"^[\s:+|-]*", line)
+    return m.end() if m else 0
+
+
+def _window_partition_specs(plan: str):
+    """Yield (partition_spec, child_subtree_text) for each Window node
+    in a simple-mode physical plan string."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        m = re.search(r"\bWindow(?:GroupLimit)?\s", ln)
+        if not m or "WindowGroupLimit" in ln:
+            continue
+        # Window [funcs], [partition], [order] — take the second
+        # top-level bracket group.
+        groups, depth, start = [], 0, None
+        for j, ch in enumerate(ln):
+            if ch == "[":
+                if depth == 0:
+                    start = j + 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0 and start is not None:
+                    groups.append(ln[start:j])
+                    start = None
+        if len(groups) < 2:
+            continue
+        d = _tree_depth(ln)
+        sub = []
+        for nxt in lines[i + 1 :]:
+            if nxt.strip() and _tree_depth(nxt) <= d and re.search(r"\w", nxt):
+                break
+            sub.append(nxt)
+        yield groups[1], "\n".join(sub)
+
+
+def audit_lowcard_windows(name: str, plan: str) -> str | None:
+    """Return a finding string if `plan` contains a data-row Window
+    partitioned only on bounded-cardinality keys, else None."""
+    for part, sub in _window_partition_specs(plan):
+        if re.search(r"\b(ASC|DESC)\b", part):
+            continue  # 2-group form: an UNpartitioned window's ordering
+            # spec, not a partition spec — dimension 1's territory.
+        if "_rb" in part:  # exact_rank cell construction: reviewed
+            continue
+        if _LOWCARD.search(part) and not _AGG_BELOW.search(sub):
+            return re.sub(r"#\d+L?", "", part)[:80]
+    return None
+
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_AUDIT_SF_DIR", "/root/testdata/sf0.001")
 
@@ -80,6 +173,7 @@ def main() -> int:
     spark = get_spark("audit_single_partition")
     spark.sparkContext.setLogLevel("ERROR")
     flagged: dict[str, str] = {}
+    w_flagged: dict[str, str] = {}
     for name, spec in REGISTRY.items():
         try:
             plan = spec.fn(spark, sf_dir)._jdf.queryExecution().explainString(
@@ -102,17 +196,32 @@ def main() -> int:
             ]
             if bad:
                 flagged[name] = re.sub(r"#\d+L?", "", bad[0])[:80]
+        w_finding = audit_lowcard_windows(name, plan)
+        if w_finding is not None:
+            w_flagged[name] = w_finding
     unexpected = sorted(set(flagged) - set(ALLOWLIST))
     stale = sorted(set(ALLOWLIST) - set(flagged))
+    w_unexpected = sorted(set(w_flagged) - set(WINDOW_ALLOWLIST))
+    w_stale = sorted(set(WINDOW_ALLOWLIST) - set(w_flagged))
     for name in sorted(flagged):
         mark = "ok " if name in ALLOWLIST else "NEW"
         print(f"{mark}  {name}: {flagged[name]}")
+    for name in sorted(w_flagged):
+        mark = "ok " if name in WINDOW_ALLOWLIST else "NEW"
+        print(f"{mark}  [lowcard-window] {name}: PARTITION BY {w_flagged[name]}")
     if unexpected:
         print(f"\nUNEXPECTED single-partition exchanges: {unexpected}")
     if stale:
         print(f"\nSTALE allowlist entries (no longer flag): {stale}")
-    print(f"\n{len(flagged)} flagged / {len(REGISTRY)} queries")
-    return 1 if (unexpected or stale) else 0
+    if w_unexpected:
+        print(f"\nUNEXPECTED low-cardinality-partition windows: {w_unexpected}")
+    if w_stale:
+        print(f"\nSTALE window-allowlist entries (no longer flag): {w_stale}")
+    print(
+        f"\n{len(flagged)} flagged / {len(w_flagged)} lowcard-window "
+        f"/ {len(REGISTRY)} queries"
+    )
+    return 1 if (unexpected or stale or w_unexpected or w_stale) else 0
 
 
 if __name__ == "__main__":
