@@ -75,6 +75,7 @@ def logreg_train(
     lr: float = 0.5,
     features_col: str = "features",
     label_col: str = "label",
+    reliable: bool = False,
 ) -> tuple[list[float], list[float]]:
     """Full-batch logistic regression; returns (weights, per-iteration
     mean log-loss). ``data`` is (features array<double>, label 0/1).
@@ -92,7 +93,15 @@ def logreg_train(
     the big ones (observed divergence on the fixture corpus). The
     returned weights are FOLDED BACK to raw-feature space
     (w_d/std_d, bias -= sum w_d*mean_d/std_d), so `logreg_score`
-    serves on raw features with no scaling state to carry."""
+    serves on raw features with no scaling state to carry.
+
+    The loop's only executor-storage dependency is the standardized
+    input pinned below — weights live on the driver — so durability
+    here is a single switch, not a cadence: ``reliable=True`` pins the
+    input with a durable ``df.checkpoint()`` instead of
+    localCheckpoint (identical rows; training is bit-identical), and a
+    lost executor recomputes scans from the checkpoint files instead
+    of killing the train (operators/caching.py docstring)."""
     # One job learns n AND the dimensionality (F.first inside the agg
     # replaces a separate .first() job); the raw features are NOT
     # checkpointed — they are cheap scan-local expressions, and at
@@ -130,7 +139,14 @@ def logreg_train(
             for i in range(1, dim)
         ],
     )
-    d = raw.select(scaled.alias("x"), "y").localCheckpoint(eager=True)
+    d = raw.select(scaled.alias("x"), "y")
+    if reliable:
+        from crane_spark.operators.caching import ensure_checkpoint_dir
+
+        ensure_checkpoint_dir(d.sparkSession)
+        d = d.checkpoint(eager=True)
+    else:
+        d = d.localCheckpoint(eager=True)
 
     w = [0.0] * dim
     losses: list[float] = []

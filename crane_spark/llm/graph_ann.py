@@ -163,9 +163,12 @@ def knn_graph_build(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     prenormalized: DataFrame | None = None,
+    reliable_every: int = 0,
 ) -> DataFrame:
     """Build an approximate k-NN edge table (src, dst, cosine) by
-    NN-Descent.
+    NN-Descent. ``reliable_every=N`` swaps every Nth round's edge
+    checkpoint for a durable ``df.checkpoint()`` (bounded replay after
+    executor loss; bit-identical graph — operators/caching.py).
 
     Init: IVF-style blocking — assign vectors to ``init_cells``
     deterministic centroids (a value-strided spread sample, so the anchors
@@ -263,7 +266,9 @@ def knn_graph_build(
         .select("src", "dst", _pair_cos("sv", "dv").alias("cosine"))
     )
     edges = _topk_edges(init_scored, k).localCheckpoint(eager=True)
-    for _ in range(n_iter):
+    from crane_spark.operators.caching import loop_checkpoint
+
+    for rnd in range(1, n_iter + 1):
         # neighbors-of-neighbors (u -> v -> w gives candidate u -> w)
         hop = (
             edges.select(F.col("src"), F.col("dst").alias("mid"))
@@ -285,7 +290,7 @@ def knn_graph_build(
             .join(dv, "dst")
             .select("src", "dst", _pair_cos("sv", "dv").alias("cosine"))
         )
-        nxt_edges = _topk_edges(scored, k).localCheckpoint(eager=True)
+        nxt_edges = loop_checkpoint(_topk_edges(scored, k), rnd, reliable_every)
         # the superseded round's stored copy has no consumer left —
         # free it now rather than when a driver GC notices (ADVICE r3)
         release_local_checkpoint(edges)
@@ -305,6 +310,7 @@ def graph_search_topk(
     id_col: str = "vec_id",
     entry_nodes: DataFrame | None = None,
     prenormalized: DataFrame | None = None,
+    reliable_every: int = 0,
 ) -> DataFrame:
     """ANN top-k by beam search over a k-NN graph: seed each query
     with ``entry`` strided-sample nodes (deterministic and spread
@@ -352,6 +358,8 @@ def graph_search_topk(
         "query_id", "qv", F.col("node"), _pair_cos("qv", "dv").alias("cosine")
     )
     seen = scored0.select("query_id", "node", "cosine").localCheckpoint(eager=True)
+    from crane_spark.operators.caching import loop_checkpoint
+
     wq = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("node"))
     frontier = (
         seen.withColumn("rn", F.row_number().over(wq))
@@ -360,7 +368,7 @@ def graph_search_topk(
     )
 
     dvt = nv.select(F.col(id_col).alias("node"), F.col("nv").alias("dv"))
-    for _ in range(hops):
+    for hop in range(1, hops + 1):
         nxt = (
             frontier.join(
                 edges.select(F.col("src").alias("node"), F.col("dst")), "node"
@@ -375,7 +383,7 @@ def graph_search_topk(
             .join(qv, "query_id")
             .select("query_id", "node", _pair_cos("qv", "dv").alias("cosine"))
         )
-        nxt_seen = seen.union(newly).localCheckpoint(eager=True)
+        nxt_seen = loop_checkpoint(seen.union(newly), hop, reliable_every)
         release_local_checkpoint(seen)
         seen = nxt_seen
         frontier = (

@@ -292,6 +292,7 @@ def kmeans_train(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     checkpoint_every: int = 2,
+    reliable_every: int = 0,
 ) -> tuple[DataFrame, list[float]]:
     """Full k-means training: driver loop over (assign -> recompute)
     iterations, returning (final centroids, per-iteration inertia).
@@ -307,6 +308,9 @@ def kmeans_train(
 
     Initialization: the k lowest-id vectors (deterministic; k-means++
     would plug in here as one extra weighted-sample pass).
+    ``reliable_every=N`` upgrades every Nth checkpoint to a durable
+    ``df.checkpoint()`` — bounded replay after executor loss,
+    bit-identical centroids (operators/caching.py docstring).
     """
     centroids = (
         vectors.orderBy(id_col)
@@ -354,9 +358,14 @@ def kmeans_train(
             )
         )
         if (i + 1) % checkpoint_every == 0:
-            from crane_spark.operators.caching import release_local_checkpoint
+            from crane_spark.operators.caching import (
+                loop_checkpoint,
+                release_local_checkpoint,
+            )
 
-            centroids = new_centroids.localCheckpoint(eager=True)
+            centroids = loop_checkpoint(
+                new_centroids, (i + 1) // checkpoint_every, reliable_every
+            )
             # the chain now roots at the fresh copy; free the old one
             release_local_checkpoint(prev_ck)
             prev_ck = centroids

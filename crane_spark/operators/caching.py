@@ -17,11 +17,67 @@ blocks are never touched) and unpersists it. After release the frame
 is unusable (lineage was truncated; there is nothing to recompute
 from), so callers release only frames whose every consumer has run —
 the loop pattern is: materialize round N+1, then release round N.
+
+Durability (round 6): ``localCheckpoint`` copies live ONLY in executor
+storage — on a real cluster, losing an executor mid-loop destroys the
+only copy of that round's state and, because lineage was truncated,
+Spark cannot recompute it: the whole job dies (a 1000-round BPE train
+or NN-Descent build restarts from zero). Every iterative operator
+therefore accepts ``reliable_every=N`` (default 0 = off, local-only —
+the right choice on local[*] where executor==driver): every Nth round
+routes through :func:`loop_checkpoint`'s REAL ``df.checkpoint()``,
+which writes the round's rows to the SparkContext checkpoint directory
+(HDFS/object store on a cluster — set ``sc.setCheckpointDir`` to a
+durable path; :func:`ensure_checkpoint_dir` falls back to a local temp
+dir so the cadence is exercisable everywhere). Recovery story: after
+an executor loss, rounds since the last reliable checkpoint recompute
+from its files instead of dying — bounded replay, exactly the
+Structured Streaming state-store discipline applied to batch loops.
+Both checkpoint flavors materialize identical rows, so outputs are
+bit-identical with the flag on or off (tested); the only trade is
+round latency every Nth round. Reliable checkpoint files are removed
+by the ContextCleaner only when
+``spark.cleaner.referenceTracking.cleanCheckpoints=true``; otherwise
+they persist for post-mortem reuse and need manual cleanup.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+
+def ensure_checkpoint_dir(spark) -> str:
+    """Return the session's RDD checkpoint directory, setting a local
+    temp fallback when unset. On a cluster, set a durable
+    (HDFS/object-store) dir up front — the fallback is driver-local
+    and only as durable as the driver's disk."""
+    sc = spark.sparkContext
+    cur = sc.getCheckpointDir()
+    if cur:
+        return cur
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="crane_reliable_ckpt_")
+    sc.setCheckpointDir(path)
+    return path
+
+
+def loop_checkpoint(
+    df: DataFrame, round_no: int, reliable_every: int = 0
+) -> DataFrame:
+    """One iterative-loop round's lineage truncation: eager
+    ``localCheckpoint`` normally; a REAL eager ``checkpoint()`` on
+    rounds where ``reliable_every`` divides ``round_no`` (1-based), so
+    executor loss replays at most ``reliable_every - 1`` rounds. Both
+    paths materialize the same rows in the same partition order —
+    bit-identical loop output either way. Frames from either path are
+    LogicalRDD-backed and safe to pass to
+    :func:`release_local_checkpoint` (for reliable frames the release
+    is a storage no-op; the durable files stay on disk)."""
+    if reliable_every > 0 and round_no % reliable_every == 0:
+        ensure_checkpoint_dir(df.sparkSession)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def release_local_checkpoint(df: DataFrame) -> None:

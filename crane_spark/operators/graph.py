@@ -30,9 +30,13 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_rounds: int = 50,
+    reliable_every: int = 0,
 ) -> DataFrame:
     """(vertex, component_id) for every vertex with at least one edge;
-    component_id is the minimum vertex id in the component."""
+    component_id is the minimum vertex id in the component.
+    ``reliable_every=N`` swaps every Nth round's localCheckpoint for a
+    durable ``df.checkpoint()`` (bounded replay after executor loss;
+    bit-identical output — see operators/caching.py)."""
     und = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
@@ -56,10 +60,13 @@ def connected_components(
         .select("v", F.col("v").alias("label"))
         .localCheckpoint(eager=True)
     )
-    from crane_spark.operators.caching import release_local_checkpoint
+    from crane_spark.operators.caching import (
+        loop_checkpoint,
+        release_local_checkpoint,
+    )
 
     prev_ck = labels
-    for _ in range(max_rounds):
+    for rnd in range(1, max_rounds + 1):
         neighbor_min = (
             und.join(labels, und["s"] == labels["v"])
             .groupBy("t")
@@ -74,8 +81,8 @@ def connected_components(
                 ),
                 (F.col("nmin") < F.col("label")).alias("improved"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = loop_checkpoint(new_labels, rnd, reliable_every)
         # the superseded round's stored labels have no consumer left
         release_local_checkpoint(prev_ck)
         prev_ck = new_labels
@@ -123,6 +130,7 @@ def connected_components_alternating(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_rounds: int = 30,
+    reliable_every: int = 0,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce
@@ -145,7 +153,9 @@ def connected_components_alternating(
 
     Returns (v, component_id) for every vertex with at least one
     edge, identical to `connected_components` (equality-tested on
-    random and path graphs).
+    random and path graphs). ``reliable_every=N`` makes every Nth
+    round's small-star output a durable checkpoint (bounded replay
+    after executor loss; bit-identical output).
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -157,7 +167,7 @@ def connected_components_alternating(
     def neighborhoods(cur: DataFrame) -> DataFrame:
         return cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
-    def star(cur: DataFrame, large: bool) -> DataFrame:
+    def star(cur: DataFrame, large: bool, ck=None) -> DataFrame:
         nb = neighborhoods(cur)
         mins = nb.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
@@ -173,19 +183,20 @@ def connected_components_alternating(
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
                 .union(joined.select("u", F.col("m").alias("v")))
             )
-        return (
-            linked.filter(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        out = linked.filter(F.col("u") != F.col("v")).distinct()
+        return ck(out) if ck else out.localCheckpoint(eager=True)
 
-    from crane_spark.operators.caching import release_local_checkpoint
+    from crane_spark.operators.caching import (
+        loop_checkpoint,
+        release_local_checkpoint,
+    )
 
     prev_sig = None
     converged = False
-    for _ in range(max_rounds):
+    for rnd in range(1, max_rounds + 1):
         mid = star(e, large=True)
-        nxt = star(mid, large=False)
+        # the small-star output is the round's durable state
+        nxt = star(mid, large=False, ck=lambda d: loop_checkpoint(d, rnd, reliable_every))
         # both inputs of this round are superseded once `nxt` is
         # stored — free them now instead of stacking two copies per
         # round until a driver GC runs (ADVICE r3 pattern)
@@ -242,6 +253,7 @@ def label_propagation(
     vertex_col: str = "v",
     label_col: str = "label",
     n_rounds: int = 5,
+    reliable_every: int = 0,
 ) -> DataFrame:
     """Semi-supervised label propagation: seed vertices carry fixed
     labels; every round, each unlabeled vertex takes the majority
@@ -291,6 +303,8 @@ def label_propagation(
                 F.coalesce("round_assigned", F.lit(rnd)).alias("round_assigned"),
                 F.coalesce("is_seed", F.lit(False)).alias("is_seed"),
             )
-            .localCheckpoint(eager=True)
         )
+        from crane_spark.operators.caching import loop_checkpoint
+
+        labels = loop_checkpoint(labels, rnd, reliable_every)
     return labels.select("v", "label", "round_assigned")

@@ -85,13 +85,20 @@ def pagerank_contributions(
 
 
 def pagerank_iterations(
-    edges: DataFrame, iterations: int = 10, reset: float = 0.15
+    edges: DataFrame,
+    iterations: int = 10,
+    reset: float = 0.15,
+    reliable_every: int = 0,
 ) -> DataFrame:
     """Full iterative PageRank (extension beyond the reference's single
     round). Driver-side loop over DataFrames; each iteration is one
     shuffle on dst. Ranks are checkpointed every few rounds via
     localCheckpoint to truncate lineage — the classic Spark iterative-
-    algorithm pitfall (SURVEY.md §7 risk list).
+    algorithm pitfall (SURVEY.md §7 risk list). ``reliable_every=N``
+    makes every Nth round's checkpoint a durable ``df.checkpoint()``
+    so a long run survives executor loss with bounded replay
+    (operators/caching.py docstring); output is bit-identical either
+    way.
     """
     degrees = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdegree"))
     vertices = (
@@ -122,10 +129,13 @@ def pagerank_iterations(
             )
         )
         if (i + 1) % 4 == 0:
-            ranks = ranks.localCheckpoint(eager=True)
-            if prev_ck is not None:
-                from crane_spark.operators.caching import release_local_checkpoint
+            from crane_spark.operators.caching import (
+                loop_checkpoint,
+                release_local_checkpoint,
+            )
 
+            ranks = loop_checkpoint(ranks, (i + 1) // 4, reliable_every)
+            if prev_ck is not None:
                 release_local_checkpoint(prev_ck)
             prev_ck = ranks
     return ranks
