@@ -627,6 +627,7 @@ def prefix_filter_jaccard_pairs(
             tiebreak="token",
             out="rank",
             one_based=True,
+            checkpoint=True,  # input is a tokenize+distinct aggregate
         )
         return _dense_bitset_pairs(
             ranked_tokens(vocab), id_col, vocab_size, t_num, t_den
@@ -646,6 +647,7 @@ def prefix_filter_jaccard_pairs(
         major="dfreq",
         out="rank",
         one_based=True,
+        checkpoint=True,  # input is a tokenize+count aggregate
     )
     ranked = ranked_tokens(vocab)
     ordered = (

@@ -96,11 +96,27 @@ def _spread_sample(df: DataFrame, id_col: str, m: int, n: int) -> DataFrame:
                 return df.orderBy(id_col).limit(m)
             span = int(hi) - int(lo) + 1
             stride = max(1, -(-span // max(1, m)))
-            if (int(n_rows) // stride) * 2 >= m:
+            est = int(n_rows) // stride
+            if est * 2 >= m:
                 vs = df.filter(
                     F.pmod(F.col(id_col) - F.lit(lo), F.lit(stride)) == 0
                 )
-                return vs.orderBy(id_col).limit(m)
+                # The n/stride expectation assumes a uniform-ish id
+                # layout; a clustered id space can overshoot it and
+                # silently starve the entry set (ADVICE r4/r5). When
+                # the estimate lands within 2x of the density
+                # threshold, spend one count() on the filtered table
+                # and apply the SAME gate to the measured density —
+                # comfortably dense layouts (est >= m) still skip the
+                # extra job.
+                if est < m:
+                    kept = vs.count()
+                    if kept * 2 < m:
+                        pass  # measured-starved: fall through to hash
+                    else:
+                        return vs.orderBy(id_col).limit(m)
+                else:
+                    return vs.orderBy(id_col).limit(m)
     h = F.xxhash64(F.col(id_col))
     stride = max(1, n // max(1, 2 * m))
     return (

@@ -87,12 +87,41 @@ def release_local_checkpoint(df: DataFrame) -> None:
     Raises ``TypeError`` if ``df`` is not a checkpointed frame (its
     analyzed plan is not a bare ``LogicalRDD``) — a silent no-op here
     would hide the exact leak this helper exists to close.
+
+    Depends on pyspark-private JVM accessors (``_jdf``,
+    ``queryExecution().analyzed()``, ``LogicalRDD.rdd()``), verified
+    against the pyspark 3.5/4.x classic surface (ADVICE r5: probe
+    instead of crashing with a bare AttributeError). On a runtime
+    exposing a different surface (Spark Connect frames have no
+    ``_jdf``; a future pyspark may rename the accessors) this raises a
+    documented ``RuntimeError`` — callers may catch it and skip
+    explicit release: the ContextCleaner still frees the copies,
+    merely later.
     """
-    plan = df._jdf.queryExecution().analyzed()
-    name = plan.getClass().getSimpleName()
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        name = plan.getClass().getSimpleName()
+    except Exception as exc:  # noqa: BLE001 — py4j errors vary by version
+        raise RuntimeError(
+            "release_local_checkpoint needs pyspark's private JVM plan "
+            "accessors (DataFrame._jdf.queryExecution().analyzed(); "
+            "pinned-good: pyspark 3.5-4.1 classic sessions). This runtime "
+            "does not expose them (Spark Connect session, or a changed "
+            "pyspark internal surface). Skip explicit release — the "
+            "ContextCleaner frees localCheckpoint copies after GC — or pin "
+            f"a verified pyspark. Underlying error: {exc!r}"
+        ) from exc
     if name != "LogicalRDD":
         raise TypeError(
             f"release_local_checkpoint expects a localCheckpoint()ed "
             f"frame (LogicalRDD plan), got {name}"
         )
-    plan.rdd().unpersist(False)
+    try:
+        plan.rdd().unpersist(False)
+    except Exception as exc:  # noqa: BLE001
+        raise RuntimeError(
+            "release_local_checkpoint resolved the analyzed plan but could "
+            "not reach LogicalRDD.rdd().unpersist (pinned-good: pyspark "
+            "3.5-4.1). See docstring for the safe fallback. Underlying "
+            f"error: {exc!r}"
+        ) from exc

@@ -42,6 +42,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Plan-audit mode (round 6, ADVICE r5): when True, every constructor
+# in this module builds its plan with ZERO Spark jobs at construction
+# time — percentile sketches become fixed literal cuts (cuts only
+# steer load balance, NEVER results), driver-collected offsets become
+# lazy windows over the same bounded aggregate rows, and input
+# checkpoints are skipped. Frames built in this mode remain fully
+# CORRECT if executed (some registry queries run driver-side regime
+# gates at construction); they are merely slower (no materialized
+# input, degenerate bucket balance). The intended user is
+# tools/audit_single_partition.py, which explains the whole registry
+# without paying indexing jobs.
+EXPLAIN_ONLY = False
+
+
+def _sketch_cuts(df: DataFrame, key: str, buckets: int, accuracy: int) -> list:
+    """``buckets - 1`` approximate cut points of ``key`` (deduplicated,
+    ascending). Fixed integer cuts under EXPLAIN_ONLY — same literal
+    count and therefore identical expression shape, no job; results
+    are unaffected because cut placement only moves rows between
+    parallel cells."""
+    if EXPLAIN_ONLY:
+        return list(range(1, buckets))
+    fracs = [i / buckets for i in range(1, buckets)]
+    cuts_row = df.select(
+        F.percentile_approx(key, fracs, accuracy).alias("c")
+    ).first()
+    return sorted(
+        {c for c in ((cuts_row["c"] if cuts_row else None) or []) if c is not None}
+    )
+
 
 def _range_bucket(key: str, cuts: list, descending: bool):
     """Codegen'd range-bucket id for ``key`` against literal ``cuts``
@@ -117,14 +147,28 @@ def exact_rank(
     driver path additionally fails loudly on a count mismatch; see
     :func:`exact_ntile`).
     """
+    if major is None and EXPLAIN_ONLY:
+        # zero-job global path: run the (fully lazy) per-major
+        # machinery over an always-zero major. NON-FOLDABLE expression
+        # on purpose: a literal would fold out of the window partition
+        # spec and re-introduce the SinglePartition marker this module
+        # exists to avoid (the rows under it are still <= buckets
+        # aggregate rows either way).
+        return exact_rank(
+            df.withColumn("_gm0", F.pmod(F.xxhash64(F.col(key)), F.lit(1))),
+            key,
+            tiebreaks,
+            out=out,
+            major="_gm0",
+            descending=descending,
+            buckets=buckets,
+            accuracy=accuracy,
+            n_out=n_out,
+        ).drop("_gm0")
     spark = df.sparkSession
-    if checkpoint:
+    if checkpoint and not EXPLAIN_ONLY:
         df = df.localCheckpoint(eager=True)
-    fracs = [i / buckets for i in range(1, buckets)]
-    cuts_row = df.select(
-        F.percentile_approx(key, fracs, accuracy).alias("c")
-    ).first()
-    cuts = sorted({c for c in ((cuts_row["c"] if cuts_row else None) or []) if c is not None})
+    cuts = _sketch_cuts(df, key, buckets, accuracy)
     d = df.withColumn("_rb", _range_bucket(key, cuts, descending))
     order = [F.col(key).desc() if descending else F.col(key).asc()]
     order += [F.col(t).asc() for t in tiebreaks]
@@ -212,33 +256,45 @@ def exact_prefix_sum(
     cut sketch + final plan; the global path adds a count pass) —
     ``checkpoint=True`` pins non-deterministic inputs.
     """
+    if major is None and EXPLAIN_ONLY:
+        # zero-job global path over an always-zero NON-FOLDABLE major
+        # (see exact_rank) — exact values
+        return exact_prefix_sum(
+            df.withColumn("_gm0", F.pmod(F.xxhash64(F.col(key)), F.lit(1))),
+            measure,
+            key,
+            tiebreaks,
+            out=out,
+            major="_gm0",
+            descending=descending,
+            buckets=buckets,
+            accuracy=accuracy,
+            exclusive=exclusive,
+        ).drop("_gm0")
     spark = df.sparkSession
-    if checkpoint:
+    if checkpoint and not EXPLAIN_ONLY:
         df = df.localCheckpoint(eager=True)
-    fracs = [i / buckets for i in range(1, buckets)]
-    cuts_row = df.select(
-        F.percentile_approx(key, fracs, accuracy).alias("c")
-    ).first()
-    cuts = sorted({c for c in ((cuts_row["c"] if cuts_row else None) or []) if c is not None})
+    cuts = _sketch_cuts(df, key, buckets, accuracy)
     d = df.withColumn("_rb", _range_bucket(key, cuts, descending))
     order = [F.col(key).desc() if descending else F.col(key).asc()]
     order += [F.col(t).asc() for t in tiebreaks]
     end = -1 if exclusive else 0
 
     if major is None:
+        off_t = "double" if dict(df.dtypes)[measure] in ("double", "float") else "long"
+        z = 0.0 if off_t == "double" else 0
         sums = {
             r["_rb"]: r["s"]
             for r in d.groupBy("_rb")
             .agg(F.coalesce(F.sum(measure), F.lit(0)).alias("s"))
             .collect()
         }
-        off, acc = [], 0
+        off, acc = [], z
         for b in sorted(sums):  # <= buckets rows by construction
             off.append((b, acc))
             acc += sums[b]
         if not off:
-            off = [(0, 0)]
-        off_t = "double" if dict(df.dtypes)[measure] in ("double", "float") else "long"
+            off = [(0, z)]
         off_df = spark.createDataFrame(off, f"_rb int, _off {off_t}")
         w = Window.partitionBy("_rb").orderBy(*order).rowsBetween(
             Window.unboundedPreceding, end
@@ -422,6 +478,7 @@ def dense_index(
     buckets: int = 256,
     one_based: bool = False,
     major_cap: int = 2_000_000,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Add a dense integer index column ``out`` (0..n-1, or 1..n with
     ``one_based``) to ``df`` without any single-partition data sort.
@@ -432,21 +489,50 @@ def dense_index(
     ascending-orderable numeric column (its totals are cumsum'd
     driver-side with Python ``sorted``, which must agree with Spark's
     ascending sort).
+
+    The construction reads ``df`` 2-3 times (bucket counts, major
+    totals, the final indexed join). ``checkpoint=True`` materializes
+    it ONCE so those passes read executor storage instead of re-running
+    an expensive upstream per pass — callers whose input is an
+    aggregate (a vocabulary build, an id distinct) should pass it
+    (zipf_slope re-tokenized its corpus three times without it,
+    measured 3.5x on the query); leave the default False when the
+    input is cheap to rescan or already materialized (exact_ntile's
+    lazy-checkpoint discipline, retrofitted here in round 6 so
+    explain-only paths and pre-checkpointed callers stop paying a
+    data-sized copy). Shares :func:`exact_rank`'s determinism
+    requirement across the passes; a bucket or major the count pass
+    never observed fails loudly in the final join.
     """
     spark = df.sparkSession
     hb = F.pmod(F.xxhash64(F.col(tiebreak)), F.lit(buckets))
-    # The input's lineage is typically an expensive aggregate (a
-    # vocabulary build, an id distinct); the construction below reads
-    # it 2-3 times (bucket counts, major totals, the final indexed
-    # join). Checkpoint it ONCE so those passes read executor storage
-    # instead of re-running the upstream scan per pass — without this,
-    # a caller like zipf_slope re-tokenized its whole corpus three
-    # times (measured 3.5x on the query). The copy is the frame being
-    # indexed (vocabulary/id-table-sized, exactly what an iterative
-    # cluster job would stage); it is freed by the ContextCleaner once
-    # the caller's plan is executed and dropped.
-    d = df.withColumn("_hb", hb).localCheckpoint(eager=True)
+    if checkpoint and not EXPLAIN_ONLY:
+        d = df.withColumn("_hb", hb).localCheckpoint(eager=True)
+    else:
+        d = df.withColumn("_hb", hb)
     base = F.lit(1) if one_based else F.lit(0)
+
+    if major is None and EXPLAIN_ONLY:
+        # zero-job path: exclusive bucket-count cumsum as a lazy window
+        # over the <= `buckets` aggregate rows, partitioned by a
+        # constant so no SinglePartition exchange appears. Exact same
+        # index values as the driver-collect path.
+        cnt = d.groupBy("_hb").agg(F.count(F.lit(1)).alias("_bn"))
+        w_off = (
+            Window.partitionBy(F.pmod(F.xxhash64(F.col("_hb")), F.lit(1)))
+            .orderBy("_hb")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        off_lazy = cnt.select(
+            F.col("_hb").alias("_ob"),
+            F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_off"),
+        )
+        w = Window.partitionBy("_hb").orderBy(tiebreak)
+        return (
+            d.join(off_lazy, F.col("_hb") == F.col("_ob"))
+            .withColumn(out, F.col("_off") + F.row_number().over(w) - 1 + base)
+            .drop("_hb", "_ob", "_off")
+        )
 
     if major is None:
         w = Window.partitionBy("_hb").orderBy(tiebreak)
@@ -458,10 +544,22 @@ def dense_index(
         for b in sorted(cnt):  # <= `buckets` rows: bounded by construction
             off.append((b, acc))
             acc += cnt[b]
+        if not off:
+            off = [(0, 0)]
         off_df = spark.createDataFrame(off, "_hb long, _off long")
+        guarded_off = F.when(
+            F.col("_off").isNull(),
+            F.raise_error(
+                F.lit(
+                    "dense_index: a bucket appeared that the count pass did "
+                    "not observe — the input is non-deterministic across "
+                    "scans; pass checkpoint=True or materialize the input"
+                )
+            ).cast("long"),
+        ).otherwise(F.col("_off"))
         return (
-            d.join(F.broadcast(off_df), "_hb")
-            .withColumn(out, F.col("_off") + F.row_number().over(w) - 1 + base)
+            d.join(F.broadcast(off_df), "_hb", "left")
+            .withColumn(out, guarded_off + F.row_number().over(w) - 1 + base)
             .drop("_hb", "_off")
         )
 
@@ -481,8 +579,24 @@ def dense_index(
     # majors are in hand (driver cumsum), an overflowing one falls back
     # to the post-aggregate window (the separate count() job this
     # replaces paid a full pass over `totals` just to learn the size).
-    fetched = totals.limit(major_cap + 1).collect()
-    if len(fetched) <= major_cap:
+    # EXPLAIN_ONLY takes the lazy window regime unconditionally (exact
+    # values, zero construction jobs), partitioned by a constant so no
+    # SinglePartition exchange appears over the aggregate rows.
+    if EXPLAIN_ONLY:
+        w_m = (
+            Window.partitionBy(F.pmod(F.xxhash64(F.col(major)), F.lit(1)))
+            .orderBy(major)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        moff_df = totals.select(
+            major, F.coalesce(F.sum("_t").over(w_m), F.lit(0)).alias("_moff")
+        )
+        fetched = None
+    else:
+        fetched = totals.limit(major_cap + 1).collect()
+    if fetched is None:
+        pass  # moff_df already built above (EXPLAIN_ONLY lazy regime)
+    elif len(fetched) <= major_cap:
         rows = {r[major]: r["_t"] for r in fetched}
         moff, acc = [], 0
         for mv in sorted(rows):
@@ -500,12 +614,22 @@ def dense_index(
         moff_df = totals.select(
             major, F.coalesce(F.sum("_t").over(w_m), F.lit(0)).alias("_moff")
         )
+    guarded_moff = F.when(
+        F.col("_moff").isNull(),
+        F.raise_error(
+            F.lit(
+                "dense_index: a major value appeared that the totals pass "
+                "did not observe — the input is non-deterministic across "
+                "scans; pass checkpoint=True or materialize the input"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("_moff"))
     return (
         d.join(within.select(major, "_hb", "_woff"), [major, "_hb"])
-        .join(moff_df, major)
+        .join(moff_df, major, "left")
         .withColumn(
             out,
-            F.col("_moff") + F.col("_woff") + F.row_number().over(w) - 1 + base,
+            guarded_moff + F.col("_woff") + F.row_number().over(w) - 1 + base,
         )
         .drop("_hb", "_woff", "_moff")
     )

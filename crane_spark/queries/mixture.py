@@ -165,6 +165,7 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         major="_negfreq",
         out="rank",
         one_based=True,
+        checkpoint=True,  # input is the tokenize+freq aggregate
     )
     lnx = F.log(F.col("rank").cast("double"))
     lny = F.log(F.col("freq").cast("double"))

@@ -46,3 +46,18 @@ def test_release_rejects_non_checkpointed_frames(spark):
     df = spark.range(10).selectExpr("id * 2 AS y")
     with pytest.raises(TypeError, match="LogicalRDD"):
         release_local_checkpoint(df)
+
+
+def test_release_raises_documented_error_when_accessors_missing(spark):
+    """ADVICE r5: a runtime without the private JVM accessors (Spark
+    Connect, changed internals) must get the documented RuntimeError,
+    not a bare AttributeError."""
+    import pytest
+
+    from crane_spark.operators.caching import release_local_checkpoint
+
+    class FakeFrame:
+        pass  # no _jdf at all — the Connect shape
+
+    with pytest.raises(RuntimeError, match="ContextCleaner"):
+        release_local_checkpoint(FakeFrame())

@@ -141,3 +141,53 @@ def test_knn_graph_persist_reload_roundtrip(spark, tmp_path):
         )
 
     assert serve(reloaded) == serve(edges)
+
+
+def test_spread_sample_measures_density_when_estimate_is_marginal(spark):
+    """ADVICE r4/r5 density gate: a clustered id space whose n/stride
+    ESTIMATE passes the gate but whose measured residue-0 count is
+    starved must fall back to the hash stride instead of silently
+    shrinking the sample to one node."""
+    import pyspark.sql.functions as F
+
+    from crane_spark.llm.graph_ann import _spread_sample
+
+    # ids: {0} plus odds 1..79 -> n=41, span=80, stride=10, est=4
+    # (passes est*2 >= m for m=8) but only id 0 hits residue 0.
+    ids = [0] + list(range(1, 80, 2))
+    df = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+    out = _spread_sample(df, "vec_id", m=8, n=len(ids))
+    cnt = out.count()
+    assert cnt >= 4, f"starved sample: {cnt} nodes (old bug returned 1)"
+
+
+def test_spread_sample_dense_ids_skip_the_extra_count(spark):
+    """Comfortably dense layouts (est >= m) keep the single-aggregate
+    cost: the value stride is returned without a measuring job and
+    still yields exactly m spread nodes."""
+    from crane_spark.llm.graph_ann import _spread_sample
+
+    df = spark.range(1000).withColumnRenamed("id", "vec_id")
+    sc = spark.sparkContext
+
+    def jobs_during(build):
+        group = f"spread_probe_{build.__name__}"
+        sc.setJobGroup(group, "count construction jobs")
+        build()
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        return n_jobs
+
+    def dense():
+        return _spread_sample(df, "vec_id", m=10, n=1000)
+
+    def marginal():
+        ids = [0] + list(range(1, 80, 2))
+        cdf = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+        return _spread_sample(cdf, "vec_id", m=8, n=len(ids))
+
+    # the marginal estimate pays the extra measuring count(); the
+    # comfortably dense layout must not
+    assert jobs_during(dense) < jobs_during(marginal)
+    rows = sorted(r["vec_id"] for r in dense().collect())
+    assert len(rows) == 10 and rows[0] == 0 and rows[-1] == 900

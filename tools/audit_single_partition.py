@@ -165,6 +165,21 @@ def audit_lowcard_windows(name: str, plan: str) -> str | None:
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_AUDIT_SF_DIR", "/root/testdata/sf0.001")
 
 
+def _enumerate_plans(spark, sf_dir) -> dict[str, str] | None:
+    plans: dict[str, str] = {}
+    for name, spec in REGISTRY.items():
+        try:
+            plans[name] = spec.fn(spark, sf_dir)._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "simple"
+                )
+            )
+        except Exception as exc:  # noqa: BLE001
+            print(f"ERROR {name}: {exc}")
+            return None
+    return plans
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SF_DIR
     if not os.path.isdir(sf_dir):
@@ -172,18 +187,23 @@ def main() -> int:
         return 3
     spark = get_spark("audit_single_partition")
     spark.sparkContext.setLogLevel("ERROR")
+    # Explain-only mode for the indexing constructors: identical plan
+    # SHAPES (same broadcast arms, window specs, when-term counts) with
+    # placeholder literals, so enumerating the registry runs no
+    # percentile sketches, offset collects, or input checkpoints
+    # (ADVICE r5: the audit used to execute real indexing jobs).
+    from crane_spark.operators import indexing
+
+    indexing.EXPLAIN_ONLY = True
     flagged: dict[str, str] = {}
     w_flagged: dict[str, str] = {}
-    for name, spec in REGISTRY.items():
-        try:
-            plan = spec.fn(spark, sf_dir)._jdf.queryExecution().explainString(
-                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                    "simple"
-                )
-            )
-        except Exception as exc:  # noqa: BLE001
-            print(f"ERROR {name}: {exc}")
-            return 2
+    try:
+        plans = _enumerate_plans(spark, sf_dir)
+    finally:
+        indexing.EXPLAIN_ONLY = False
+    if plans is None:
+        return 2
+    for name, plan in plans.items():
         if "Exchange SinglePartition" in plan:
             lines = plan.splitlines()
             ctxs = [
