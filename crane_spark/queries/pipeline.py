@@ -484,3 +484,154 @@ def q_multimodal_asset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mime")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampled oracle twins (round 6, verdict item 4): the graph-ANN and
+# classifier headliners are rows-only (iterative builds have no SQL
+# expression), so the driver's hash harness never value-checks their
+# code paths. These twins run the SAME engine code in a configuration
+# with an exact, tractable SQL definition:
+#  * knn_graph_sampled — graph_search_topk with the entry set = EVERY
+#    node of a deterministic slice: hop 0 then scores all (query,
+#    node) pairs, so the beam search's accumulated top-k IS the exact
+#    brute-force top-k (the hop loop still runs, exercising frontier
+#    expansion, the unseen-only anti-join, and the checkpoint cycle),
+#    and DuckDB states it as the quadratic definition on the slice.
+#  * quality_gate_sampled — logreg serving path (quality_features ->
+#    margin) under FROZEN literal weights from a representative
+#    training run: scoring is one scan with no iteration, so the
+#    whole feature extraction + dot product is SQL-expressible;
+#    training convergence stays pinned in tests/test_classifier.py.
+# ---------------------------------------------------------------------------
+
+KNN_SAMPLED_SQL = f"""
+WITH nodes AS (
+  SELECT vec_id, list_transform(range(1, {EMBED_DIM + 1}),
+           i -> CAST(embedding[i] AS DOUBLE) / {_sql_norm('embedding')}) AS nv
+  FROM embeddings WHERE vec_id % 7 = 0
+),
+qs AS (SELECT vec_id AS query_id, nv AS qv FROM nodes WHERE vec_id < 35),
+scored AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id,
+         round(list_sum(list_transform(range(1, {EMBED_DIM + 1}),
+                        i -> q.qv[i] * n.nv[i])), 4) AS cosine
+  FROM qs q CROSS JOIN nodes n
+  WHERE q.query_id <> n.vec_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn
+FROM (SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored)
+WHERE rn <= 3
+"""
+
+
+@register(
+    "knn_graph_sampled",
+    KNN_SAMPLED_SQL,
+    tags=("llm", "similarity", "ann", "graph", "sampled"),
+)
+def q_knn_graph_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`graph_search_topk` over a deterministic 1/7 vec_id slice with
+    the FULL slice as the entry set — beam search degenerates provably
+    to exact brute-force top-3 (hop 0 scores every pair; later hops
+    add nothing new) while running the real machinery: normalization
+    checkpoint, NN-Descent build, frontier hop, unseen anti-join, and
+    the accumulate/top-k windows. Hash-verified against the quadratic
+    DuckDB definition at every rung where all-pairs over the slice is
+    tractable (~n^2/49 pairs)."""
+    from crane_spark.llm.graph_ann import (
+        graph_search_topk,
+        knn_graph_build,
+        normalized_vectors,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 7 == 0)
+    nv = normalized_vectors(emb)
+    edges = knn_graph_build(emb, k=4, n_iter=1, prenormalized=nv)
+    queries = emb.filter(F.col("vec_id") < 35)
+    return graph_search_topk(
+        queries,
+        emb,
+        edges,
+        k=3,
+        beam=12,
+        hops=1,
+        entry_nodes=emb.select("vec_id"),
+        prenormalized=nv,
+    )
+
+
+# Weights from a representative `train_language_gate` run on the
+# synthetic corpus (frozen so the twin is iteration-free and
+# SQL-expressible; the signs encode the learned direction: longer
+# docs with stopwords up, digit-heavy short docs down).
+FROZEN_GATE_W = [-0.9, 0.4, -0.15, 0.8, -2.0]
+_STOPS = "('the','a','an','and','or','of','to','in','is')"
+
+QUALITY_SAMPLED_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, text, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id % 13 = 0
+),
+m AS (
+  SELECT doc_id, source,
+         CAST(len(toks) AS DOUBLE) AS n,
+         CAST(length(text) AS DOUBLE) AS chars,
+         CAST(len(list_filter(toks, t -> t IN {_STOPS})) AS DOUBLE) AS stop,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS DOUBLE) AS digits
+  FROM d
+),
+f AS (
+  SELECT doc_id, source,
+         (((((0.0 + ({FROZEN_GATE_W[0]}) * 1.0)
+           + ({FROZEN_GATE_W[1]}) * ln(1.0 + n))
+           + ({FROZEN_GATE_W[2]}) * (CASE WHEN n > 0 THEN (chars - n + 1) / n ELSE 0.0 END))
+           + ({FROZEN_GATE_W[3]}) * (CASE WHEN n > 0 THEN stop / n ELSE 0.0 END))
+           + ({FROZEN_GATE_W[4]}) * (CASE WHEN chars > 0 THEN digits / chars ELSE 0.0 END))
+           AS margin
+  FROM m
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE round(margin, 9) > 0) AS BIGINT) AS n_keep,
+       CAST(sum(CAST(round(margin, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sum_margin
+FROM f GROUP BY source
+"""
+
+
+@register(
+    "quality_gate_sampled",
+    QUALITY_SAMPLED_SQL,
+    tags=("llm", "ml", "quality", "sampled"),
+)
+def q_quality_gate_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier SERVING path under frozen weights, decimal-exact
+    and hash-verified: quality_features -> left-to-right w.x margin
+    (identical fold order to `logreg_score`'s F.aggregate) on a 1/13
+    doc slice, margins rounded to the 1e-9 grid before the decimal sum
+    (the engine's standard cross-engine float discipline) and the keep
+    decision taken on the ROUNDED margin so both engines compare the
+    same number."""
+    from crane_spark.llm.classifier import quality_features
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
+    feats = quality_features(docs)
+    w_lit = F.array(*[F.lit(float(v)) for v in FROZEN_GATE_W])
+    margin = F.aggregate(
+        F.zip_with(w_lit, F.col("features"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    m9 = F.round(margin, 9)
+    scored = feats.select("doc_id", m9.alias("m9")).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("m9") > 0).cast("long")).alias("n_keep"),
+        F.sum(F.col("m9").cast("decimal(28,9)")).cast("double").alias("sum_margin"),
+    )
