@@ -44,10 +44,20 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
-    # The streaming surface checkpoints for exactly-once; state store
-    # defaults are fine locally, RocksDB is the cluster choice.
+    # The streaming surface checkpoints for exactly-once. Default is
+    # the JVM-heap HDFSBacked provider (right for local runs and small
+    # state); set SPARK_GRAFT_STATESTORE=rocksdb for the cluster
+    # choice when state outgrows executor heaps — BOTH providers are
+    # exercised by tests/test_rocksdb_statestore.py (kill/resume and
+    # checkpoint-loss replay produce identical results under each, via
+    # the bundled rocksdbjni).
     "spark.sql.streaming.stateStore.providerClass": (
-        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+        "org.apache.spark.sql.execution.streaming.state."
+        + (
+            "RocksDBStateStoreProvider"
+            if os.environ.get("SPARK_GRAFT_STATESTORE", "").lower() == "rocksdb"
+            else "HDFSBackedStateStoreProvider"
+        )
     ),
     "spark.ui.enabled": "false",
     # Local-mode driver IS the executor: long many-query sessions
