@@ -145,13 +145,15 @@ def main() -> int:
         bpe_seconds = round(time.perf_counter() - start, 3)
         # Exact mode at the same depth (r2 verdict #6): the delta-
         # maintained loop — driver-mirrored pair table, one job per
-        # round (string-repr rewrite + delta aggregate, r4) — instead
-        # of per-round full re-counts. The residual gap to greedy is
-        # round COUNT: provable-exact batches run ~1.6 merges/round
-        # in the letter phase (top pairs share symbols), and each
-        # round is already near the single-job scheduling floor, so
-        # exact lands ~4-5x greedy wall-clock at this depth (was ~10x
-        # before the string-repr round).
+        # round (string-repr rewrite + delta aggregate, r4). Round 6
+        # replaced the any-shared-symbol batch ban with the provable
+        # CHAIN ban (only second==first collisions can overlap or
+        # shift counts; same-position sharing is occurrence-disjoint),
+        # which multiplies letter-phase merges/round — measured exact
+        # 19.5 s vs greedy 29.6 s at this depth (r5: 85.7 vs 24.5),
+        # i.e. the exact path now BEATS greedy: greedy still pays a
+        # full pair re-count per round while delta rounds are one
+        # cheap job.
         start = time.perf_counter()
         bpe_exact = B.bpe_train(bpe_corpus, n_merges=1000, exact=True)
         bpe_exact_seconds = round(time.perf_counter() - start, 3)

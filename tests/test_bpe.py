@@ -74,21 +74,31 @@ def test_bpe_local_and_distributed_regimes_agree(spark, sf_dir, monkeypatch):
 
 def test_select_batch_exactness_rules():
     """The batch selector must mirror classic sequential BPE: cut at
-    the first symbol conflict, drop boundary ties, fall back to the
-    argmax alone when truncation empties the batch."""
+    the first CHAIN conflict (second==first collision — the only
+    overlap shape; round 6 relaxed the old any-shared-symbol ban),
+    drop boundary ties, fall back to the argmax alone when truncation
+    empties the batch."""
     from crane_spark.llm.bpe import _select_batch
 
-    # disjoint prefix, conflict at rank 3 with count 5: accept >5
+    # same-FIRST pairs have disjoint occurrence sets -> invariant
+    # counts -> batchable (the round-6 relaxation; the old rule cut
+    # at ('a','x'))
     ranked = [("a", "b", 9), ("c", "d", 7), ("a", "x", 5), ("y", "z", 4)]
-    assert _select_batch(ranked, cap=10, complete=True) == [
-        ("a", "b", 9),
-        ("c", "d", 7),
-    ]
-    # tie at the conflict boundary: ('c','d') ties the conflicting
-    # count -> dropped; batch falls back to the top-1 argmax
+    assert _select_batch(ranked, cap=10, complete=True) == ranked
+    # same-SECOND pairs likewise
+    ranked = [("e", "r", 9), ("a", "r", 7)]
+    assert _select_batch(ranked, cap=10, complete=True) == ranked
+    # chain conflict c==prior second ("a b" then "b x": pattern
+    # "a b x" overlaps): cut at 7, and ('c','d') TIES the cut -> drop
     ranked = [("a", "b", 9), ("c", "d", 7), ("b", "x", 7)]
     assert _select_batch(ranked, cap=10, complete=True) == [("a", "b", 9)]
-    # top pair itself tied with a conflict: fall back to top-1
+    # chain conflict d==prior first ("c a" before "a b": "c a b")
+    ranked = [("a", "b", 9), ("c", "a", 7), ("y", "z", 4)]
+    assert _select_batch(ranked, cap=10, complete=True) == [("a", "b", 9)]
+    # self-pair chains with everything touching its symbol
+    ranked = [("a", "a", 9), ("a", "x", 7)]
+    assert _select_batch(ranked, cap=10, complete=True) == [("a", "a", 9)]
+    # top pair itself tied with a chain conflict: fall back to top-1
     ranked = [("t", "h", 5), ("h", "e", 5)]
     assert _select_batch(ranked, cap=10, complete=True) == [("t", "h", 5)]
     # incomplete listing: unfetched pairs may tie the tail count
