@@ -497,7 +497,21 @@ def q_dup_span_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than OOM, and no dup-set ever needs to fit in one
     executor (the failure mode that forbade the broadcast hint in
     the old shape). The island merge then windows over the pruned
-    hit list as before."""
+    hit list as before.
+
+    Degenerate-key caveat (ADVICE r5, mirroring exact_ntile's): a
+    single DOMINANT gram — boilerplate shared by millions of docs —
+    lands every occurrence in one h-partition that one task must
+    sort; spilling bounds memory but not that task's wall clock, and
+    AQE cannot split window partitions. The skew-safe alternative is
+    the old aggregate + join shape (map-side-combinable min/max per
+    h, join back on h — JOIN skew is AQE-splittable), which costs a
+    second full gram scan and measured 2.3x slower end-to-end
+    (4.13 -> 1.78 s at sf0.1); a corpus known to carry mega-dup
+    boilerplate should strip it upstream (exact-dedup pass) or
+    accept the re-scan. This mirrors ntile's tie semantics: the
+    skew is a property of the data's duplication profile, not an
+    avoidable artifact of the plan."""
     L = _DSR_L
     toks = tokens("text")
     n = F.size(toks)

@@ -332,3 +332,33 @@ def test_equidepth_and_curriculum_ntile_no_single_partition(spark, sf_dir):
         p = _explain(REGISTRY[name].fn(spark, sf_dir))
         assert "Exchange SinglePartition" not in p, name
         assert "hashpartitioning(_rb" in p, name  # the bucketed rank path
+
+
+def test_replanned_lowcard_windows_use_cells_not_bare_majors(spark, sf_dir):
+    """Round 6: the four queries re-planned off low-cardinality-
+    partition data-sized windows must keep every data-row Window
+    partitioned on (major, _rb) cells — never on the bare major
+    (source / c_nationkey), which at scale hands one task a
+    corpus-sized sort. The aggregate-row offset windows (cell-count
+    inputs) are identified by their _bn/_sn/_off operands and exempt."""
+    import re
+
+    for name, major in (
+        ("length_deciles_by_source", "source"),
+        ("window_analytics", "c_nationkey"),
+        ("window_analytics2", "c_nationkey"),
+        ("pack_by_budget", "source"),
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange SinglePartition" not in plan, name
+        for line in plan.splitlines():
+            if "windowspecdefinition" not in line:
+                continue
+            if "_bn" in line or "_sn" in line:
+                continue  # offset/total window over cell-count aggregates
+            for m in re.finditer(
+                r"windowspecdefinition\((.*?), specifiedwindowframe", line
+            ):
+                spec = m.group(1)
+                if major in spec:
+                    assert "_rb" in spec, f"{name}: bare-major window: {spec}"

@@ -22,9 +22,12 @@ ranges):
                    replica*0.01 so no cross-replica exact-dup vectors
   dims             copied unchanged
 
-Usage: python tools/make_sfn.py [out_dir]   (default /tmp/crane_sf1)
-Writes {out}/{table}.parquet mirroring the testdata layout; skips
-work if the output already exists (delete to regenerate).
+Usage: python tools/make_sfn.py [out_dir] [replicas]
+(default /tmp/crane_sf1 with 10 replicas; the round-6 sf10 rung is
+`python tools/make_sfn.py /tmp/crane_sf10 100` — ~60M lineitem rows,
+5M novel-content docs). Writes {out}/{table}.parquet mirroring the
+testdata layout; skips work if the output already exists (delete to
+regenerate).
 """
 
 from __future__ import annotations
@@ -40,10 +43,9 @@ from crane_spark import get_spark
 from crane_spark.tables import TABLE_NAMES, table
 
 SRC = "/root/testdata/sf0.1"
-REPLICAS = 10
 
 
-def build(out_dir: str) -> None:
+def build(out_dir: str, replicas: int = 10) -> None:
     spark = get_spark("make_sfn")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(out_dir, exist_ok=True)
@@ -56,7 +58,7 @@ def build(out_dir: str) -> None:
 
     # shared replica index frame: cross join against 10 rows, then
     # shift keys — one distributed pass per table, no driver loops
-    reps = spark.range(REPLICAS).withColumnRenamed("id", "rep")
+    reps = spark.range(replicas).withColumnRenamed("id", "rep")
 
     for name in ("region", "nation", "customer", "supplier", "part"):
         if not done(name):
@@ -141,4 +143,7 @@ def build(out_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    build(sys.argv[1] if len(sys.argv) > 1 else "/tmp/crane_sf1")
+    build(
+        sys.argv[1] if len(sys.argv) > 1 else "/tmp/crane_sf1",
+        int(sys.argv[2]) if len(sys.argv) > 2 else 10,
+    )

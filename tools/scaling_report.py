@@ -25,6 +25,25 @@ from crane_spark.queries import REGISTRY
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/crane_sf1")
+SF10_DIR = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/crane_sf10")
+
+# sf10 (~60M lineitem / 5M docs, make_sfn.py with 100 replicas) is
+# measured for the queries whose sf0.1 -> sf1 factors ran hottest in
+# round 4/5 (token_counts 7.1x, copurchase_pairs 5.3x, q18 5.0x,
+# q1 3.8x) plus every round-5/6 re-planned query, so the next decade
+# confirms the factors settle at/below the declared shapes instead of
+# compounding.
+SF10_SET = {
+    "q1_pricing_summary",
+    "q18_large_volume",
+    "token_counts",
+    "copurchase_pairs",
+    "dup_span_ranges",
+    "equidepth_histogram",
+    "curriculum_order",
+    "length_deciles_by_source",
+    "pack_by_budget",
+}
 
 # Headline queries spanning the operator families, with the scaling
 # shape each plan should exhibit (see PLANS.md for the plans). Value =
@@ -77,6 +96,29 @@ HEADLINERS: dict[str, tuple[str, bool]] = {
     ),
     "source_overlap_matrix": (
         "per-hash source sets -> pair counts: linear in hashes, pairs source-bounded",
+        True,
+    ),
+    # round-5/6 re-plans: exact_ntile / exact_rank / exact_prefix_sum
+    # replaced data-sized (single-partition or low-cardinality-
+    # partition) windows; their rows were stale or absent before.
+    "equidepth_histogram": (
+        "exact_ntile: sketch + count + B parallel cell ranks, no global sort",
+        True,
+    ),
+    "curriculum_order": (
+        "exact_ntile over checkpointed (doc_id, ttr): linear + cell ranks",
+        True,
+    ),
+    "length_deciles_by_source": (
+        "exact_ntile(major=source): per-source cells, aggregate-row offsets",
+        True,
+    ),
+    "pack_by_budget": (
+        "exact_prefix_sum: per-source cell cumsums, aggregate-row offsets",
+        True,
+    ),
+    "window_analytics": (
+        "exact_rank(major) + rank equi-joins: no per-nation data sort",
         True,
     ),
 }
@@ -242,18 +284,22 @@ ORACLE_SF1_SECTION = """
 
 Correctness holds at the rung where performance is measured:
 `python tools/check_oracle.py /tmp/crane_sf1 <names>` passes
-**208/208** registry queries on the 6M-row lineitem rung (196
-hash-exact vs DuckDB incl. the sampled similarity twins, 12 rows-only
-with unit-test contracts; re-run end of round 4 on the shipped code)
-— every exact-oracle query except `prefix_jaccard_join`
-and `embedding_near_dup`, whose DuckDB oracle definitions are
-deliberately quadratic (all-pairs over 50k docs / in-cell pairs over
-20k vectors) and intractable ORACLE-side at this rung. Those two are
-covered by `prefix_jaccard_sampled` / `embedding_near_dup_sampled`:
-deterministic 1/89 doc and 1/23 vector slices that run the IDENTICAL
-engine code path (same regime gate, same pipeline) against the
-sliced oracle — both hash-verified at sf1 — so the full similarity
-family is oracle-checked at every rung. The sketch queries'
+**210/210** registry queries on the 6M-row lineitem rung (200
+hash-exact vs DuckDB incl. every sampled twin, 10 rows-only with
+unit-test contracts; re-run round 6 on the shipped code, after the
+exact_rank/exact_prefix_sum window re-plans, the chain-rule BPE
+batching, and the two new round-6 twins `knn_graph_sampled` /
+`quality_gate_sampled`) — every exact-oracle query except
+`prefix_jaccard_join` and `embedding_near_dup`, whose DuckDB oracle
+definitions are deliberately quadratic (all-pairs over 50k docs /
+in-cell pairs over 20k vectors) and intractable ORACLE-side at this
+rung. Those two are covered by `prefix_jaccard_sampled` /
+`embedding_near_dup_sampled`: deterministic 1/89 doc and 1/23 vector
+slices that run the IDENTICAL engine code path (same regime gate,
+same pipeline) against the sliced oracle — both hash-verified at sf1
+— so the full similarity family is oracle-checked at every rung,
+and the graph-ANN + classifier families gained their own exact
+twins in round 6. The sketch queries'
 `*_diff` twins (hll_rollup_diff, rolling_7d_hll_diff,
 cms_heavy_hitters_diff) also verify at sf1: their within_bound flags
 hash-compare TRUE, i.e. the sketch error bounds hold at 10x the
@@ -274,11 +320,13 @@ def main() -> int:
     spark = get_spark("crane_spark_scaling")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if not os.path.exists(os.path.join(SF1_DIR, "lineitem.parquet", "_SUCCESS")):
-        from tools.make_sfn import build
+    from tools.make_sfn import build
 
+    if not os.path.exists(os.path.join(SF1_DIR, "lineitem.parquet", "_SUCCESS")):
         build(SF1_DIR)
-    ladder = SF_DIRS + [SF1_DIR]
+    if not os.path.exists(os.path.join(SF10_DIR, "lineitem.parquet", "_SUCCESS")):
+        build(SF10_DIR, replicas=100)
+    ladder = SF_DIRS + [SF1_DIR, SF10_DIR]
 
     def run(name: str, sf_dir: str) -> None:
         REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -293,6 +341,9 @@ def main() -> int:
             if sf_dir == SF1_DIR and not at_sf1:
                 row.append(None)
                 continue
+            if sf_dir == SF10_DIR and name not in SF10_SET:
+                row.append(None)
+                continue
             best = min(timed(run, name, sf_dir) for _ in range(2))
             row.append(best)
         results[name] = row
@@ -302,24 +353,28 @@ def main() -> int:
         "",
         "Generated by `python tools/scaling_report.py` on local[%s]: best-of-two"
         % spark.sparkContext.defaultParallelism,
-        "wall-clock per query at sf0.001 / sf0.01 / sf0.1 / sf1 (10x data per",
-        "step; lineitem ~6k / ~60k / ~600k / ~6M rows; sf1 synthesized by",
-        "tools/make_sfn.py). `x10-N` are the runtime growth factors for each",
-        "10x data step — data-bound linear plans show factors well under 10",
-        "at the small rungs because fixed per-query overhead (~0.1-0.3 s of",
-        "planning + task dispatch) dominates there; the sf0.1 -> sf1 step is",
-        "where the data path takes over, and no query may grow FASTER than",
-        "its declared shape.",
+        "wall-clock per query at sf0.001 / sf0.01 / sf0.1 / sf1 / sf10 (10x",
+        "data per step; lineitem ~6k / ~60k / ~600k / ~6M / ~60M rows; sf1 and",
+        "sf10 synthesized by tools/make_sfn.py). `x10-N` are the runtime",
+        "growth factors for each 10x data step — data-bound linear plans show",
+        "factors well under 10 at the small rungs because fixed per-query",
+        "overhead (~0.1-0.3 s of planning + task dispatch) dominates there;",
+        "sf0.1 -> sf1 -> sf10 is where the data path takes over, and no query",
+        "may grow FASTER than its declared shape. The sf10 column covers the",
+        "hottest-factor queries of the previous rounds plus every re-planned",
+        "window query (SF10_SET in the tool).",
         "",
-        "| query | shape | sf0.001 s | sf0.01 s | sf0.1 s | sf1 s | x10-1 | x10-2 | x10-3 |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| query | shape | sf0.001 s | sf0.01 s | sf0.1 s | sf1 s | sf10 s | x10-1 | x10-2 | x10-3 | x10-4 |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
-    for name, (a, b, c, d) in results.items():
+    for name, (a, b, c, d, e) in results.items():
         d_s = f"{d:.2f}" if d is not None else "—"
+        e_s = f"{e:.2f}" if e is not None else "—"
         g3 = f"{d / c:.1f}" if d is not None else "—"
+        g4 = f"{e / d:.1f}" if e is not None and d is not None else "—"
         lines.append(
             f"| {name} | {HEADLINERS[name][0]} | {a:.2f} | {b:.2f} | {c:.2f} "
-            f"| {d_s} | {b / a:.1f} | {c / b:.1f} | {g3} |"
+            f"| {d_s} | {e_s} | {b / a:.1f} | {c / b:.1f} | {g3} | {g4} |"
         )
     lines += [
         "",
