@@ -73,6 +73,11 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a session, so the answer is cached.
 _FAN_OUT_CACHE: dict[tuple[str, ...], int] = {}
 
+# Trusted byte-range splits per parquet file: splits finer than the
+# row-group layout read zero rows, and row groups are invisible to the
+# planner — see fan_out's docstring.
+_SPLITS_PER_FILE_CAP = 8
+
 
 def fan_out(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
     """Ensure a DataFrame has enough partitions to use the cluster.
@@ -84,6 +89,18 @@ def fan_out(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
     otherwise return the frame untouched (at production scale file
     splits already provide parallelism and the extra shuffle would be
     pure cost).
+
+    The planner's split count cannot be trusted past the FILE level:
+    byte-range splits of a parquet file only parallelize down to
+    row-group boundaries, and a file written by one task can carry one
+    giant row group — the planner then reports N splits of which N-1
+    read zero rows, and the whole scan serializes into one task
+    (observed round 6: a 226 MB single-row-group documents file read
+    137 s through a "19-split" scan). So the trusted parallelism is
+    capped at ``_SPLITS_PER_FILE_CAP`` per input file (a well-written
+    file has ~128 MB row groups, so large files genuinely split; a
+    suspiciously-few-files input below the threshold pays one cheap
+    repartition rather than risking a serialized heavy scan).
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
@@ -93,6 +110,7 @@ def fan_out(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
     else:
         n_parts = df.rdd.getNumPartitions()
         if files:
+            n_parts = min(n_parts, len(files) * _SPLITS_PER_FILE_CAP)
             _FAN_OUT_CACHE[files] = n_parts
     if n_parts < max(1, int(target * min_ratio)):
         return df.repartition(target)

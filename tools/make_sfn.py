@@ -22,6 +22,14 @@ ranges):
                    replica*0.01 so no cross-replica exact-dup vectors
   dims             copied unchanged
 
+Replicated tables are REPARTITIONED to defaultParallelism before the
+write: a crossJoin against a broadcast preserves the (often
+single-split) input partitioning, and a single write task produces
+ONE file with ONE giant row group — which parquet cannot split, so
+every downstream scan of the rung serializes into one task no matter
+what the planner's byte-split count says (round 6: dup_span_ranges
+read 137 s at sf10 purely from this; the engine was fine).
+
 Usage: python tools/make_sfn.py [out_dir] [replicas]
 (default /tmp/crane_sf1 with 10 replicas; the round-6 sf10 rung is
 `python tools/make_sfn.py /tmp/crane_sf10 100` — ~60M lineitem rows,
@@ -74,6 +82,7 @@ def build(out_dir: str, replicas: int = 10) -> None:
             .crossJoin(F.broadcast(reps))
             .withColumn("o_orderkey", F.col("o_orderkey") + F.col("rep") * okey_off)
             .drop("rep")
+            .repartition(spark.sparkContext.defaultParallelism)
             .write.mode("overwrite")
             .parquet(dst("orders"))
         )
@@ -83,6 +92,7 @@ def build(out_dir: str, replicas: int = 10) -> None:
             .crossJoin(F.broadcast(reps))
             .withColumn("l_orderkey", F.col("l_orderkey") + F.col("rep") * okey_off)
             .drop("rep")
+            .repartition(spark.sparkContext.defaultParallelism)
             .write.mode("overwrite")
             .parquet(dst("lineitem"))
         )
@@ -93,6 +103,7 @@ def build(out_dir: str, replicas: int = 10) -> None:
             ev.crossJoin(F.broadcast(reps))
             .withColumn("event_id", F.col("event_id") + F.col("rep") * eoff)
             .drop("rep")
+            .repartition(spark.sparkContext.defaultParallelism)
             .write.mode("overwrite")
             .parquet(dst("events"))
         )
@@ -116,6 +127,7 @@ def build(out_dir: str, replicas: int = 10) -> None:
             .withColumn("text", salted)
             .withColumn("n_chars", F.length("text").cast("long"))
             .drop("rep")
+            .repartition(spark.sparkContext.defaultParallelism)
             .write.mode("overwrite")
             .parquet(dst("documents"))
         )
@@ -133,6 +145,7 @@ def build(out_dir: str, replicas: int = 10) -> None:
             .withColumn("vec_id", F.col("vec_id") + F.col("rep") * voff)
             .withColumn("embedding", shifted.cast("array<float>"))
             .drop("rep")
+            .repartition(spark.sparkContext.defaultParallelism)
             .write.mode("overwrite")
             .parquet(dst("embeddings"))
         )
