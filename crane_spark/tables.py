@@ -73,10 +73,48 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a session, so the answer is cached.
 _FAN_OUT_CACHE: dict[tuple[str, ...], int] = {}
 
-# Trusted byte-range splits per parquet file: splits finer than the
-# row-group layout read zero rows, and row groups are invisible to the
-# planner — see fan_out's docstring.
+# Fallback trusted byte-range splits per parquet file when the footer
+# is unreadable from the driver (remote filesystem): splits finer than
+# the row-group layout read zero rows — see fan_out's docstring.
 _SPLITS_PER_FILE_CAP = 8
+
+# Footer metadata reads per distinct file set: one ~8 KB read per file,
+# once per session (cached). Beyond the sample, extrapolate — a dataset
+# with >64 files has enough file-level splits that the exact row-group
+# total no longer changes the repartition decision.
+_RG_SAMPLE_CAP = 64
+
+
+def _trusted_parquet_splits(files: tuple[str, ...], n_parts: int) -> int:
+    """Trusted parallelism of a parquet scan: min(planner splits, total
+    row groups). Byte-range splits of a parquet file realign on
+    row-group boundaries at read time, and row groups are invisible to
+    the planner — a file written by one task can carry one giant row
+    group, making the planner report N splits of which N-1 read zero
+    rows while the whole scan serializes into one task (observed round
+    6: a 226 MB single-row-group documents file read 137 s through a
+    "19-split" scan). Footers are read with pyarrow (driver-side, ~8 KB
+    each, sampled up to ``_RG_SAMPLE_CAP`` and extrapolated), so the
+    answer is exact for local few-file inputs — the only regime where
+    the decision is close. Files whose footer can't be reached (remote
+    scheme, unreadable) fall back to ``_SPLITS_PER_FILE_CAP`` per file.
+    """
+    local: list[str] = []
+    for f in files:
+        p = f[len("file:") :] if f.startswith("file:") else f
+        if not os.path.isfile(p):
+            return min(n_parts, len(files) * _SPLITS_PER_FILE_CAP)
+        local.append(p)
+    try:
+        import pyarrow.parquet as pq
+
+        sample = local[:_RG_SAMPLE_CAP]
+        rgs = sum(pq.ParquetFile(p).metadata.num_row_groups for p in sample)
+        if len(local) > len(sample):
+            rgs = rgs * len(local) // len(sample)
+        return min(n_parts, max(1, rgs))
+    except Exception:
+        return min(n_parts, len(files) * _SPLITS_PER_FILE_CAP)
 
 
 def fan_out(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
@@ -84,23 +122,18 @@ def fan_out(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
 
     Single (or few-file, single-row-group) parquet inputs scan as one
     task, which serializes any compute-heavy downstream operator on one
-    core. If the current partition count is below ``min_ratio x
+    core. If the TRUSTED partition count is below ``min_ratio x
     defaultParallelism``, round-robin repartition to defaultParallelism;
     otherwise return the frame untouched (at production scale file
     splits already provide parallelism and the extra shuffle would be
     pure cost).
 
-    The planner's split count cannot be trusted past the FILE level:
-    byte-range splits of a parquet file only parallelize down to
-    row-group boundaries, and a file written by one task can carry one
-    giant row group — the planner then reports N splits of which N-1
-    read zero rows, and the whole scan serializes into one task
-    (observed round 6: a 226 MB single-row-group documents file read
-    137 s through a "19-split" scan). So the trusted parallelism is
-    capped at ``_SPLITS_PER_FILE_CAP`` per input file (a well-written
-    file has ~128 MB row groups, so large files genuinely split; a
-    suspiciously-few-files input below the threshold pays one cheap
-    repartition rather than risking a serialized heavy scan).
+    The planner's split count is trusted as-is for line-splittable
+    formats (text/CSV/JSON realign byte ranges on record boundaries at
+    read time). For parquet inputs it is reconciled against the actual
+    row-group layout via ``_trusted_parquet_splits`` — the planner
+    over-reports splits of single-row-group files, and acting on that
+    over-report serializes heavy scans into one task.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
@@ -110,7 +143,8 @@ def fan_out(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
     else:
         n_parts = df.rdd.getNumPartitions()
         if files:
-            n_parts = min(n_parts, len(files) * _SPLITS_PER_FILE_CAP)
+            if any(f.endswith((".parquet", ".orc")) for f in files):
+                n_parts = _trusted_parquet_splits(files, n_parts)
             _FAN_OUT_CACHE[files] = n_parts
     if n_parts < max(1, int(target * min_ratio)):
         return df.repartition(target)
