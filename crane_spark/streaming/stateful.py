@@ -34,15 +34,38 @@ RUNNING_STATE = T.StructType(
     ]
 )
 
+# Output schema when idle-TTL eviction is enabled: the eviction row
+# re-emits the final totals flagged is_final=True so a last-value
+# upsert sink can mark the key closed before its state disappears.
+RUNNING_OUTPUT_TTL = T.StructType(
+    RUNNING_OUTPUT.fields + [T.StructField("is_final", T.BooleanType())]
+)
+
 
 def running_totals(
-    stream: DataFrame, key_col: str, value_col: str
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    idle_ttl_sec: int | None = None,
 ) -> DataFrame:
     """Per-key running (count, sum) maintained in the state store —
     each micro-batch emits the updated totals for the keys it touched.
 
     Use ``outputMode('update')``. Totals are exact for integer-valued
     doubles; for money-grade exactness at scale, store cents as longs.
+
+    ``idle_ttl_sec`` opts into idle-state eviction (processing-time
+    timeout). Without it, state grows with the DISTINCT-KEY count
+    forever — fine for bounded key spaces (status codes, regions),
+    fatal at the 100 TB design point for unbounded ones (doc ids,
+    session ids), where years of dead keys pin the state store. With
+    it, a key idle for ``idle_ttl_sec`` emits its totals once more
+    with ``is_final=True`` (output schema gains that column) and its
+    state is REMOVED; a key that reappears later restarts from zero.
+    That trade (bounded state for per-key finality) is the standard
+    pattern for grow-forever key spaces; timeouts fire on the next
+    processed micro-batch, and both the totals and the pending timeout
+    survive query restarts via the checkpoint.
     """
 
     def update(
@@ -50,24 +73,42 @@ def running_totals(
         batches: Iterator[pd.DataFrame],
         state,
     ) -> Iterator[pd.DataFrame]:
-        count, total = state.get if state.exists else (0, 0.0)  # .get is a property
+        if idle_ttl_sec is not None and state.hasTimedOut:
+            count, total = state.get  # .get is a property
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "running_count": [count],
+                    "running_sum": [total],
+                    "is_final": [True],
+                }
+            )
+            return
+        count, total = state.get if state.exists else (0, 0.0)
         for pdf in batches:
             count += len(pdf)
             total += float(pdf[value_col].sum())
         state.update((count, total))
-        yield pd.DataFrame(
-            {"key": [key[0]], "running_count": [count], "running_sum": [total]}
-        )
+        row = {"key": [key[0]], "running_count": [count], "running_sum": [total]}
+        if idle_ttl_sec is not None:
+            state.setTimeoutDuration(idle_ttl_sec * 1000)
+            row["is_final"] = [False]
+        yield pd.DataFrame(row)
 
     return (
         stream.selectExpr(f"CAST({key_col} AS STRING) AS key", f"{value_col}")
         .groupBy("key")
         .applyInPandasWithState(
             update,
-            outputStructType=RUNNING_OUTPUT,
+            outputStructType=(
+                RUNNING_OUTPUT if idle_ttl_sec is None else RUNNING_OUTPUT_TTL
+            ),
             stateStructType=RUNNING_STATE,
             outputMode="update",
-            timeoutConf="NoTimeout",
+            timeoutConf=(
+                "NoTimeout" if idle_ttl_sec is None else "ProcessingTimeTimeout"
+            ),
         )
     )
 

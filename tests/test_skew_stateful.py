@@ -87,6 +87,84 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert latest["c"] == (1, 9.0)
 
 
+def test_running_totals_idle_ttl_evicts_and_restarts(spark, tmp_path):
+    """Opt-in idle-state eviction: a key idle past idle_ttl_sec is
+    emitted once more with is_final=True and its state removed; a
+    later arrival restarts from zero. This is the bounded-state mode
+    for grow-forever key spaces (doc ids, session ids) — without it
+    the state store accretes every key ever seen."""
+    import time
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def write(rows):
+        spark.createDataFrame(rows, "k string, v double").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def read_rows():
+        try:
+            return spark.read.parquet(out).collect()
+        except Exception:
+            return []
+
+    def run(expect):
+        # A query with pending processing-time timers keeps scheduling
+        # no-data batches, so availableNow need not self-terminate —
+        # poll the sink for the expected condition and stop explicitly.
+        stream = spark.readStream.schema("k string, v double").parquet(src)
+        q = (
+            running_totals(stream, "k", "v", idle_ttl_sec=1)
+            .writeStream.foreachBatch(
+                lambda b, i: b.withColumn("batch", F.lit(i))
+                .write.mode("append")
+                .parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = time.time() + 90
+        while time.time() < deadline and not expect(read_rows()):
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(60)
+        assert expect(read_rows()), "expected output never appeared"
+
+    def finals(rows):
+        return {
+            (r["key"], r["running_count"], r["running_sum"])
+            for r in rows
+            if r["is_final"]
+        }
+
+    def latest_open(rows):
+        latest = {}
+        for r in sorted(rows, key=lambda r: r["batch"]):
+            if not r["is_final"]:
+                latest[r["key"]] = (r["running_count"], r["running_sum"])
+        return latest
+
+    write([("a", 1.0), ("a", 2.0)])
+    run(lambda rows: latest_open(rows).get("a") == (2, 3.0))
+    time.sleep(2.5)  # let the idle TTL lapse in real time
+    write([("b", 5.0)])
+    # restart: a's pending timer fires -> final row + state removed
+    run(lambda rows: ("a", 2, 3.0) in finals(rows) and "b" in latest_open(rows))
+
+    write([("a", 10.0)])
+    # evicted key reappears: totals restart from zero, not from (2, 3.0)
+    run(lambda rows: latest_open(rows).get("a") == (1, 10.0))
+    rows = read_rows()
+    assert ("a", 2, 3.0) in finals(rows)
+    assert latest_open(rows)["b"] == (1, 5.0)
+    # exactly one final row for a's first life
+    assert sum(1 for r in rows if r["is_final"] and r["key"] == "a") == 1
+
+
 def test_foreach_batch_upsert(spark, tmp_path):
     src = str(tmp_path / "src")
     sink = str(tmp_path / "sink")
