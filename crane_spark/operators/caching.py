@@ -29,7 +29,8 @@ routes through :func:`loop_checkpoint`'s REAL ``df.checkpoint()``,
 which writes the round's rows to the SparkContext checkpoint directory
 (HDFS/object store on a cluster — set ``sc.setCheckpointDir`` to a
 durable path; :func:`ensure_checkpoint_dir` falls back to a local temp
-dir so the cadence is exercisable everywhere). Recovery story: after
+dir on ``local[*]`` masters only and raises on clusters, where a
+driver-local dir would be unreadable by executors). Recovery story: after
 an executor loss, rounds since the last reliable checkpoint recompute
 from its files instead of dying — bounded replay, exactly the
 Structured Streaming state-store discipline applied to batch loops.
@@ -47,19 +48,40 @@ from pyspark.sql import DataFrame
 
 
 def ensure_checkpoint_dir(spark) -> str:
-    """Return the session's RDD checkpoint directory, setting a local
-    temp fallback when unset. On a cluster, set a durable
-    (HDFS/object-store) dir up front — the fallback is driver-local
-    and only as durable as the driver's disk."""
+    """Return the session's RDD checkpoint directory. When unset, a
+    temp-dir fallback is applied ONLY on ``local[*]`` masters (where
+    executor==driver, so a driver-local dir is exactly as durable as
+    the storage the feature protects). On any other master an unset
+    dir raises: a driver-local path there would be invisible to the
+    executors that must read the checkpoint files back — silently
+    converting ``reliable_every`` into fake durability. Set
+    ``sc.setCheckpointDir`` to an HDFS/object-store path up front on
+    clusters."""
     sc = spark.sparkContext
     cur = sc.getCheckpointDir()
     if cur:
         return cur
+    if not _local_fallback_allowed(sc.master):
+        raise RuntimeError(
+            "reliable_every needs a durable checkpoint directory on a "
+            f"cluster (master={sc.master!r}): call "
+            "sc.setCheckpointDir('<hdfs/object-store path>') before the "
+            "loop. A driver-local fallback would not be readable by "
+            "executors and defeats the durability the flag promises."
+        )
     import tempfile
 
     path = tempfile.mkdtemp(prefix="crane_reliable_ckpt_")
     sc.setCheckpointDir(path)
     return path
+
+
+def _local_fallback_allowed(master: str | None) -> bool:
+    """True only for in-process masters (``local``, ``local[8]``,
+    ``local[*]``, ``local-cluster[...]`` is NOT one — its executors
+    are separate processes with their own working dirs)."""
+    m = master or ""
+    return m == "local" or (m.startswith("local[") and m.endswith("]"))
 
 
 def loop_checkpoint(

@@ -195,8 +195,11 @@ def exact_rank(
 
     # Per-major path: offsets and totals are windows over the cell
     # COUNT aggregate (<= |majors| x buckets rows), then a null-safe
-    # join back on (major, cell). Everything lives in ONE final job —
-    # no driver collect, no cross-job count to disagree.
+    # join back on (major, cell). Everything lives in ONE final job
+    # and no driver collect — but the source is still scanned twice
+    # (aggregate branch + data branch), so a non-deterministic input
+    # can desynchronize them; the left join + raise_error guard below
+    # fails loudly instead of silently dropping/mis-ranking rows.
     cnt = d.groupBy(major, "_rb").agg(F.count(F.lit(1)).alias("_bn"))
     w_off = (
         Window.partitionBy(major)
@@ -210,12 +213,24 @@ def exact_rank(
         F.sum("_bn").over(Window.partitionBy(major)).alias("_sn"),
     )
     w = Window.partitionBy(major, "_rb").orderBy(*order)
+    guarded_off = F.when(
+        F.col("_off").isNull(),
+        F.raise_error(
+            F.lit(
+                "exact_rank: a (major, bucket) cell appeared that the "
+                "aggregate branch did not observe — the input is "
+                "non-deterministic across scans; pass checkpoint=True or "
+                "materialize the input"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("_off"))
     res = (
         d.join(
             stats,
             F.col(major).eqNullSafe(F.col("_mj")) & (F.col("_rb") == F.col("_sb")),
+            "left",
         )
-        .withColumn(out, F.col("_off") + F.row_number().over(w))
+        .withColumn(out, guarded_off + F.row_number().over(w))
     )
     if n_out is not None and n_out != "_sn":
         res = res.withColumn(n_out, F.col("_sn").cast("long"))
@@ -281,14 +296,21 @@ def exact_prefix_sum(
     end = -1 if exclusive else 0
 
     if major is None:
-        off_t = "double" if dict(df.dtypes)[measure] in ("double", "float") else "long"
-        z = 0.0 if off_t == "double" else 0
-        sums = {
-            r["_rb"]: r["s"]
-            for r in d.groupBy("_rb")
-            .agg(F.coalesce(F.sum(measure), F.lit(0)).alias("s"))
-            .collect()
-        }
+        # Offset type tracks the SUM's result type (long for integral
+        # measures, double for float/double, widened decimal(p+10,s)
+        # for decimals — collecting those yields Python Decimal, so
+        # the zero seed must match or createDataFrame rejects it).
+        agg = d.groupBy("_rb").agg(F.coalesce(F.sum(measure), F.lit(0)).alias("s"))
+        off_t = agg.schema["s"].dataType.simpleString()
+        if off_t.startswith("decimal"):
+            from decimal import Decimal
+
+            z = Decimal(0)
+        elif off_t in ("double", "float"):
+            z = 0.0
+        else:
+            z = 0
+        sums = {r["_rb"]: r["s"] for r in agg.collect()}
         off, acc = [], z
         for b in sorted(sums):  # <= buckets rows by construction
             off.append((b, acc))
@@ -307,7 +329,7 @@ def exact_prefix_sum(
                     "not observe — the input is non-deterministic across "
                     "scans; pass checkpoint=True or materialize the input"
                 )
-            ).cast("long"),
+            ).cast(off_t),
         ).otherwise(F.col("_off"))
         return (
             d.join(F.broadcast(off_df), "_rb", "left")
@@ -333,22 +355,39 @@ def exact_prefix_sum(
     w = Window.partitionBy(major, "_rb").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, end
     )
+    guarded_off = F.when(
+        F.col("_off").isNull(),
+        F.raise_error(
+            F.lit(
+                "exact_prefix_sum: a (major, bucket) cell appeared that the "
+                "aggregate branch did not observe — the input is "
+                "non-deterministic across scans; pass checkpoint=True or "
+                "materialize the input"
+            )
+        ).cast(stats.schema["_off"].dataType.simpleString()),
+    ).otherwise(F.col("_off"))
     return (
         d.join(
             stats,
             F.col(major).eqNullSafe(F.col("_mj")) & (F.col("_rb") == F.col("_sb")),
+            "left",
         )
-        .withColumn(out, F.col("_off") + F.coalesce(F.sum(measure).over(w), F.lit(0)))
+        .withColumn(out, guarded_off + F.coalesce(F.sum(measure).over(w), F.lit(0)))
         .drop("_rb", "_sb", "_mj", "_off")
     )
 
 
-def _global_bucket_offsets(spark, d: DataFrame):
+def _global_bucket_offsets(
+    spark, d: DataFrame, bucket_col: str = "_rb", key_type: str = "int"
+):
     """Collect per-bucket counts (<= ``buckets`` rows by construction)
-    and return (total n, broadcastable offsets frame)."""
+    and return (total n, broadcastable offsets frame). Shared by the
+    range-bucketed operators (``_rb int``) and :func:`dense_index`
+    (``_hb long``); the empty-input guard keeps the offsets frame
+    non-empty so downstream left joins stay well-typed."""
     cnt = {
-        r["_rb"]: r["n"]
-        for r in d.groupBy("_rb").agg(F.count(F.lit(1)).alias("n")).collect()
+        r[bucket_col]: r["n"]
+        for r in d.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("n")).collect()
     }
     n = sum(cnt.values())
     off, acc = [], 0
@@ -357,7 +396,7 @@ def _global_bucket_offsets(spark, d: DataFrame):
         acc += cnt[b]
     if not off:
         off = [(0, 0)]
-    return n, spark.createDataFrame(off, "_rb int, _off long")
+    return n, spark.createDataFrame(off, f"{bucket_col} {key_type}, _off long")
 
 
 def _ansi_tile(rank, n, k: int):
@@ -536,17 +575,8 @@ def dense_index(
 
     if major is None:
         w = Window.partitionBy("_hb").orderBy(tiebreak)
-        cnt = {
-            r["_hb"]: r["n"]
-            for r in d.groupBy("_hb").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
-        off, acc = [], 0
-        for b in sorted(cnt):  # <= `buckets` rows: bounded by construction
-            off.append((b, acc))
-            acc += cnt[b]
-        if not off:
-            off = [(0, 0)]
-        off_df = spark.createDataFrame(off, "_hb long, _off long")
+        # <= `buckets` rows collected: bounded by construction
+        _, off_df = _global_bucket_offsets(spark, d, "_hb", "long")
         guarded_off = F.when(
             F.col("_off").isNull(),
             F.raise_error(

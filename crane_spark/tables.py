@@ -85,19 +85,33 @@ _SPLITS_PER_FILE_CAP = 8
 _RG_SAMPLE_CAP = 64
 
 
-def _trusted_parquet_splits(files: tuple[str, ...], n_parts: int) -> int:
-    """Trusted parallelism of a parquet scan: min(planner splits, total
-    row groups). Byte-range splits of a parquet file realign on
-    row-group boundaries at read time, and row groups are invisible to
-    the planner — a file written by one task can carry one giant row
-    group, making the planner report N splits of which N-1 read zero
-    rows while the whole scan serializes into one task (observed round
-    6: a 226 MB single-row-group documents file read 137 s through a
-    "19-split" scan). Footers are read with pyarrow (driver-side, ~8 KB
-    each, sampled up to ``_RG_SAMPLE_CAP`` and extrapolated), so the
-    answer is exact for local few-file inputs — the only regime where
-    the decision is close. Files whose footer can't be reached (remote
-    scheme, unreadable) fall back to ``_SPLITS_PER_FILE_CAP`` per file.
+def _file_chunks(path: str) -> int:
+    """Independently-readable chunks in one columnar file: parquet row
+    groups or ORC stripes (both are the realignment unit for byte-range
+    splits of their format)."""
+    if path.endswith(".orc"):
+        from pyarrow import orc
+
+        return orc.ORCFile(path).nstripes
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_row_groups
+
+
+def _trusted_columnar_splits(files: tuple[str, ...], n_parts: int) -> int:
+    """Trusted parallelism of a parquet/ORC scan: min(planner splits,
+    total row groups / stripes). Byte-range splits of a columnar file
+    realign on row-group (stripe) boundaries at read time, and those
+    are invisible to the planner — a file written by one task can carry
+    one giant row group, making the planner report N splits of which
+    N-1 read zero rows while the whole scan serializes into one task
+    (observed round 6: a 226 MB single-row-group documents file read
+    137 s through a "19-split" scan). Footers are read with pyarrow
+    (driver-side, ~8 KB each, sampled up to ``_RG_SAMPLE_CAP`` and
+    extrapolated), so the answer is exact for local few-file inputs —
+    the only regime where the decision is close. Files whose footer
+    can't be reached (remote scheme, unreadable) fall back to
+    ``_SPLITS_PER_FILE_CAP`` per file.
     """
     local: list[str] = []
     for f in files:
@@ -106,10 +120,8 @@ def _trusted_parquet_splits(files: tuple[str, ...], n_parts: int) -> int:
             return min(n_parts, len(files) * _SPLITS_PER_FILE_CAP)
         local.append(p)
     try:
-        import pyarrow.parquet as pq
-
         sample = local[:_RG_SAMPLE_CAP]
-        rgs = sum(pq.ParquetFile(p).metadata.num_row_groups for p in sample)
+        rgs = sum(_file_chunks(p) for p in sample)
         if len(local) > len(sample):
             rgs = rgs * len(local) // len(sample)
         return min(n_parts, max(1, rgs))
@@ -130,10 +142,10 @@ def fan_out(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
 
     The planner's split count is trusted as-is for line-splittable
     formats (text/CSV/JSON realign byte ranges on record boundaries at
-    read time). For parquet inputs it is reconciled against the actual
-    row-group layout via ``_trusted_parquet_splits`` — the planner
-    over-reports splits of single-row-group files, and acting on that
-    over-report serializes heavy scans into one task.
+    read time). For parquet/ORC inputs it is reconciled against the
+    actual row-group/stripe layout via ``_trusted_columnar_splits`` —
+    the planner over-reports splits of single-row-group files, and
+    acting on that over-report serializes heavy scans into one task.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
@@ -144,7 +156,7 @@ def fan_out(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
         n_parts = df.rdd.getNumPartitions()
         if files:
             if any(f.endswith((".parquet", ".orc")) for f in files):
-                n_parts = _trusted_parquet_splits(files, n_parts)
+                n_parts = _trusted_columnar_splits(files, n_parts)
             _FAN_OUT_CACHE[files] = n_parts
     if n_parts < max(1, int(target * min_ratio)):
         return df.repartition(target)

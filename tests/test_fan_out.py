@@ -95,3 +95,35 @@ def test_decision_is_cached_per_file_set(spark, tmp_path, tiny_splits):
     key = tuple(sorted(df.inputFiles()))
     assert key in _FAN_OUT_CACHE
     assert _FAN_OUT_CACHE[key] == 1  # one row group -> one trusted split
+
+
+def test_orc_stripes_are_probed_not_capped(spark, tmp_path, tiny_splits):
+    """ORC files must be probed for their actual stripe layout (stripes
+    are ORC's split-realignment unit, like parquet row groups) —
+    regression: routing .orc through the parquet footer reader threw,
+    landing every ORC input in the conservative per-file cap and paying
+    spurious repartitions on well-striped files."""
+    from pyarrow import orc as pa_orc
+
+    from crane_spark.tables import _file_chunks
+
+    path = str(tmp_path / "data.orc")
+    pad = F.concat(
+        *[
+            F.sha2(F.concat(F.col("id").cast("string"), F.lit(i)), 256)
+            for i in range(_PAYLOAD // 64)
+        ]
+    )
+    spark.range(_N_ROWS).repartition(1).select("id", pad.alias("pad")).write.mode(
+        "overwrite"
+    ).orc(path)
+    part = os.path.join(
+        path, [f for f in os.listdir(path) if f.endswith(".orc")][0]
+    )
+    nstripes = pa_orc.ORCFile(part).nstripes
+    assert _file_chunks(part) == nstripes
+    df = spark.read.orc(path)
+    n_planner = df.rdd.getNumPartitions()
+    fan_out(df)
+    key = tuple(sorted(df.inputFiles()))
+    assert _FAN_OUT_CACHE[key] == min(n_planner, nstripes)

@@ -368,3 +368,75 @@ def test_explain_only_mode_runs_zero_jobs_and_keeps_values_exact(spark):
     assert vals(fdm, ["tb"], "_ix") == vals(
         dense_index(df.select("m", "tb"), tiebreak="tb", major="m"), ["tb"], "_ix"
     )
+
+
+def test_exact_prefix_sum_global_decimal_and_float_measures(spark):
+    """The global (major=None) path drives its offsets frame from the
+    SUM's result type: decimal measures collect as Python Decimal and
+    must seed/type the cumulative offsets accordingly (regression: the
+    old long-typed frame raised TypeError at construction), and float
+    measures widen to double."""
+    from decimal import Decimal
+
+    from pyspark.sql import Window
+
+    from crane_spark.operators.indexing import exact_prefix_sum
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).cast("decimal(12,2)").alias("amount"),
+        (F.col("id") % 13).cast("float").alias("fx"),
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    ref = {
+        r["k"]: r["_s"]
+        for r in df.withColumn(
+            "_s", F.coalesce(F.sum("amount").over(w), F.lit(0))
+        ).collect()
+    }
+    got = {
+        r["k"]: r["ps"]
+        for r in exact_prefix_sum(
+            df, measure="amount", key="k", tiebreaks=[], out="ps"
+        ).collect()
+    }
+    assert got == ref
+    assert isinstance(next(iter(got.values())), Decimal)
+    # float measure: widened to double, bit-exact within-bucket sums +
+    # double offsets match the plain window on this integral data
+    ref_f = {
+        r["k"]: r["_s"]
+        for r in df.withColumn(
+            "_s", F.coalesce(F.sum("fx").over(w), F.lit(0))
+        ).collect()
+    }
+    got_f = {
+        r["k"]: r["ps"]
+        for r in exact_prefix_sum(
+            df, measure="fx", key="k", tiebreaks=[], out="ps"
+        ).collect()
+    }
+    assert got_f == ref_f
+
+
+def test_exact_rank_and_prefix_sum_per_major_join_fails_loudly(spark):
+    """The per-major paths scan the source twice (aggregate + data
+    branches); their cell join must be LEFT with a raise_error guard so
+    a cell the aggregate branch missed fails loudly instead of silently
+    dropping rows (the global path has had this guard from round 5)."""
+    from crane_spark.operators.indexing import exact_prefix_sum, exact_rank
+
+    df = spark.range(300).select(
+        (F.col("id") % 3).alias("m"),
+        (F.col("id") * 7 % 113).alias("v"),
+        F.col("id").alias("tb"),
+    )
+    rk = exact_rank(df, key="v", tiebreaks=["tb"], out="rk", major="m")
+    ps = exact_prefix_sum(df, measure="v", key="v", tiebreaks=["tb"], out="ps", major="m")
+    for out in (rk, ps):
+        plan = _plan(out)
+        assert "LeftOuter" in plan, plan
+        assert "raise_error" in plan.lower(), plan
+    # and the guard stays silent on well-behaved input
+    assert rk.count() == 300
+    assert ps.count() == 300

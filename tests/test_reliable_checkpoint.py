@@ -144,3 +144,40 @@ def test_knn_build_and_logreg_bit_identical_with_reliable(spark):
     w0, l0 = logreg_train(data, n_iter=5)
     w1, l1 = logreg_train(data, n_iter=5, reliable=True)
     assert w0 == w1 and l0 == l1
+
+
+def test_checkpoint_dir_fallback_is_local_only():
+    """The temp-dir fallback is sound ONLY when executors share the
+    driver's filesystem; on a cluster master an unset checkpoint dir
+    must raise instead of silently writing driver-local files the
+    executors can never read back (fake durability)."""
+    import pytest
+
+    from crane_spark.operators.caching import (
+        _local_fallback_allowed,
+        ensure_checkpoint_dir,
+    )
+
+    for m in ("local", "local[4]", "local[*]", "local[2,3]"):
+        assert _local_fallback_allowed(m), m
+    for m in (
+        "spark://host:7077",
+        "yarn",
+        "k8s://https://host:6443",
+        "local-cluster[2,1,1024]",  # separate executor processes
+        "",
+        None,
+    ):
+        assert not _local_fallback_allowed(m), m
+
+    class FakeSC:
+        master = "spark://host:7077"
+
+        def getCheckpointDir(self):
+            return None
+
+    class FakeSpark:
+        sparkContext = FakeSC()
+
+    with pytest.raises(RuntimeError, match="setCheckpointDir"):
+        ensure_checkpoint_dir(FakeSpark())

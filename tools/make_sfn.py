@@ -33,7 +33,7 @@ read 137 s at sf10 purely from this; the engine was fine).
 Usage: python tools/make_sfn.py [out_dir] [replicas]
 (default /tmp/crane_sf1 with 10 replicas; the round-6 sf10 rung is
 `python tools/make_sfn.py /tmp/crane_sf10 100` — ~60M lineitem rows,
-5M novel-content docs). Writes {out}/{table}.parquet mirroring the
+500k novel-content docs). Writes {out}/{table}.parquet mirroring the
 testdata layout; skips work if the output already exists (delete to
 regenerate).
 """

@@ -27,7 +27,7 @@ SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/crane_sf1")
 SF10_DIR = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/crane_sf10")
 
-# sf10 (~60M lineitem / 5M docs, make_sfn.py with 100 replicas) is
+# sf10 (~60M lineitem / 500k docs, make_sfn.py with 100 replicas) is
 # measured for the queries whose sf0.1 -> sf1 factors ran hottest in
 # round 4/5 (token_counts 7.1x, copurchase_pairs 5.3x, q18 5.0x,
 # q1 3.8x) plus every round-5/6 re-planned query, so the next decade
@@ -43,6 +43,8 @@ SF10_SET = {
     "curriculum_order",
     "length_deciles_by_source",
     "pack_by_budget",
+    "window_analytics",
+    "window_analytics2",
 }
 
 # Headline queries spanning the operator families, with the scaling
@@ -119,6 +121,10 @@ HEADLINERS: dict[str, tuple[str, bool]] = {
     ),
     "window_analytics": (
         "exact_rank(major) + rank equi-joins: no per-nation data sort",
+        True,
+    ),
+    "window_analytics2": (
+        "exact_rank(major) + 25-row broadcast aggregate: no per-nation data sort",
         True,
     ),
 }
