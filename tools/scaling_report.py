@@ -246,7 +246,11 @@ def llm_corpus_scaling(spark) -> list[str]:
         "|---|---|---|---|---|",
     ]
     rates = []
-    for label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", SF1_DIR)):
+    for label, sf_dir in (
+        ("sf0.1", "/root/testdata/sf0.1"),
+        ("sf1", SF1_DIR),
+        ("sf10", SF10_DIR),
+    ):
         docs = table(spark, sf_dir, "documents").select("doc_id", "text")
         n = docs.count()
         tmp = tempfile.mkdtemp(prefix="neardup_soak_")
@@ -270,7 +274,8 @@ def llm_corpus_scaling(spark) -> list[str]:
             shutil.rmtree(tmp, ignore_errors=True)
     out += [
         "",
-        f"Throughput ratio sf1/sf0.1: {rates[1] / rates[0]:.2f}x — the "
+        f"Throughput ratio sf1/sf0.1: {rates[1] / rates[0]:.2f}x, "
+        f"sf10/sf1: {rates[2] / rates[1]:.2f}x — the "
         "per-doc cost is flat-to-improving as the corpus grows 10x "
         "(bigger micro-batches amortize per-batch fixed cost; state "
         "probes stay banded), which is the property that lets the same "
