@@ -28,5 +28,6 @@ from crane_spark.queries import sql4  # noqa: F401
 from crane_spark.queries import analytics  # noqa: F401
 from crane_spark.queries import analytics2  # noqa: F401
 from crane_spark.queries import sketch_diff  # noqa: F401
+from crane_spark.queries import layout  # noqa: F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "queries", "oracle_sql"]
