@@ -295,12 +295,13 @@ ORACLE_SF1_SECTION = """
 
 Correctness holds at the rung where performance is measured:
 `python tools/check_oracle.py /tmp/crane_sf1 <names>` passes
-**210/210** registry queries on the 6M-row lineitem rung (200
-hash-exact vs DuckDB incl. every sampled twin, 10 rows-only with
-unit-test contracts; re-run round 6 on the shipped code, after the
-exact_rank/exact_prefix_sum window re-plans, the chain-rule BPE
-batching, and the two new round-6 twins `knn_graph_sampled` /
-`quality_gate_sampled`) — every exact-oracle query except
+**211/211** registry queries on the 6M-row lineitem rung (199
+hash-exact vs DuckDB incl. every sampled twin, 12 rows-only with
+unit-test contracts; re-run round 6 on the final shipped code —
+after the exact_rank/exact_prefix_sum window re-plans, the
+chain-rule BPE batching, the cross-scan determinism guards, the two
+round-6 twins `knn_graph_sampled` / `quality_gate_sampled`, and the
+new `zorder_locality` layout query) — every exact-oracle query except
 `prefix_jaccard_join` and `embedding_near_dup`, whose DuckDB oracle
 definitions are deliberately quadratic (all-pairs over 50k docs /
 in-cell pairs over 20k vectors) and intractable ORACLE-side at this
