@@ -34,6 +34,10 @@ driver-local dir would be unreadable by executors). Recovery story: after
 an executor loss, rounds since the last reliable checkpoint recompute
 from its files instead of dying — bounded replay, exactly the
 Structured Streaming state-store discipline applied to batch loops.
+Proven under REAL executor loss, not simulation: tests/
+test_executor_loss.py kill -9s every executor of a local-cluster
+session and shows the reliable frame recompute exactly while the
+localCheckpoint copy fails.
 Both checkpoint flavors materialize identical rows, so outputs are
 bit-identical with the flag on or off (tested); the only trade is
 round latency every Nth round. Reliable checkpoint files are removed
