@@ -449,14 +449,14 @@ _DENSE_MATRIX_CELLS_BUDGET = 6_000_000
 
 
 def _dense_bitset_pairs(
-    ranked: DataFrame,
+    tok: DataFrame,
     id_col: str,
     vocab_size: int,
     t_num: int,
     t_den: int,
 ) -> DataFrame:
     """Exact Jaccard self-join for the DENSE-vocabulary regime: the
-    (id, rank) pair stream becomes an n x V bit-matrix directly (no
+    (id, token) pair stream becomes an n x V bit-matrix directly (no
     per-doc array assembly); the packed matrix broadcasts and every
     task computes an exact intersection-count block as a single
     matmul (popcount-by-GEMM), then applies the identical integer
@@ -464,29 +464,43 @@ def _dense_bitset_pairs(
     is an exact integer count and jaccard the same two-integer double
     division.
 
+    The token->column bijection is a driver-side ``pd.factorize`` over
+    the ALREADY-collected pair stream: intersection counts are
+    invariant to column permutation, so no distributed rank build
+    (dense_index + broadcast join) is needed — dropping it cut the
+    dense end-to-end ~25% again on top of the r6 number (the collect
+    is the same either way, bounded by the cell budget below).
+
     Scale shape: parallelism is by ROW BLOCK (n^2/blocks pairs per
     task, zero shuffle, zero pair materialization); the gate above
-    keeps the broadcast and per-task arithmetic bounded. Intersection
+    keeps the broadcast and per-task arithmetic bounded — the (id,
+    token) collect is <= n x V rows by distinctness. Intersection
     counts are <= the max set size <= vocab_size, and the gate requires
     vocab_size <= 2^24, so float32 GEMM accumulation stays integer-
     exact by construction (np.rint is then lossless)."""
     import numpy as np
     import pandas as pd
 
-    spark = ranked.sparkSession
-    pdf = ranked.toPandas()
+    spark = tok.sparkSession
+    pdf = tok.select(id_col, "token").toPandas()
     ids = np.sort(pdf[id_col].unique())
     n = len(ids)
     pos = {v: i for i, v in enumerate(ids)}
+    cols, uniques = pd.factorize(pdf["token"])
+    if len(uniques) > vocab_size:
+        raise AssertionError(
+            "dense path observed more tokens than the gate-sizing pass "
+            f"({len(uniques)} > {vocab_size}) — non-deterministic input"
+        )
     bits = np.zeros((n, vocab_size), dtype=np.uint8)
-    bits[pdf[id_col].map(pos).to_numpy(), pdf["rank"].to_numpy() - 1] = 1
+    bits[pdf[id_col].map(pos).to_numpy(), cols] = 1
     bc = spark.sparkContext.broadcast((ids, np.packbits(bits, axis=1)))
     # Keep blocks >= ~256 rows: each task pays a Python-worker round
     # trip plus a full matrix unpack, so tiny inputs must not schedule
     # one sliver per core (measured ~1s of pure dispatch at n=500).
     n_blocks = max(1, min(n // 256, spark.sparkContext.defaultParallelism * 2))
     bs = -(-n // n_blocks)
-    vtype = ranked.schema[id_col].dataType.simpleString()
+    vtype = tok.schema[id_col].dataType.simpleString()
 
     def gen(batches):
         bids, packed = bc.value
@@ -614,24 +628,18 @@ def prefix_filter_jaccard_pairs(
         # exactness, so gate it out explicitly.
         and vocab_size <= 2**24
     ):
-        # The dense path builds the bitmap straight from (id, rank)
+        # The dense path builds the bitmap straight from (id, token)
         # pairs — the per-doc array assembly (collect_list shuffle +
         # sort) exists only for the prefix machinery and is skipped
         # entirely (measured ~25% off the dense end-to-end). It also
         # needs no RARITY order — intersection counts are invariant to
-        # the column permutation — so the bijection comes from the
-        # cheap no-major dense_index (per-bucket ranks + 256-row
-        # offset collect) instead of the dfreq-major construction.
-        vocab = dense_index(
-            tok.select("token").distinct(),
-            tiebreak="token",
-            out="rank",
-            one_based=True,
-            checkpoint=True,  # input is a tokenize+distinct aggregate
-        )
-        return _dense_bitset_pairs(
-            ranked_tokens(vocab), id_col, vocab_size, t_num, t_den
-        )
+        # the column permutation — so since r7 the bijection is a
+        # driver-side factorize over the (bounded, already-collected)
+        # pair stream inside _dense_bitset_pairs; the distributed
+        # dense_index build + broadcast join this replaced cost
+        # ~1.5 s cold / 0.8 s warm per run at sf0.1 for nothing the
+        # GEMM could observe.
+        return _dense_bitset_pairs(tok, id_col, vocab_size, t_num, t_den)
     # Sparse regime: vocabulary-sized RARITY rank assignment as a dense
     # int (1..V), built by the two-level bucketed construction — NO
     # single-partition sort anywhere, so a 100 TB shingle vocabulary
