@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from crane_spark.functions.text import exploded_word_grams
 from crane_spark.llm.sampling import HASH_SPACE, hash_bucket
+from crane_spark.operators.caching import loop_checkpoint
 from crane_spark.queries.corpus import N_SHARDS
 from crane_spark.sources import versioned as V
 from crane_spark.tables import table
@@ -48,10 +49,21 @@ def build_training_corpus(
     len_hi: int = 520,
     gram_n: int = 8,
     n_shards: int = N_SHARDS,
+    reliable_every: int = 0,
 ) -> dict[str, int]:
     """Run the funnel over ``{sf_dir}/documents.parquet`` (doc_id < 20
     standing in for the eval suite), publish the sharded corpus and the
-    stage report as versioned snapshots, and return {stage: n_docs}."""
+    stage report as versioned snapshots, and return {stage: n_docs}.
+
+    ``reliable_every`` forwards the durability cadence of
+    :func:`crane_spark.operators.caching.loop_checkpoint` to the
+    funnel's materialized stages (stage index = round number): with
+    ``reliable_every=1`` every stage pins its rows to the
+    SparkContext checkpoint directory, so an executor loss mid-build
+    replays at most one stage instead of the whole funnel. Default 0
+    keeps the executor-storage-only ``localCheckpoint`` — the right
+    choice on ``local[*]`` where executor==driver. Outputs are
+    bit-identical either way (tested)."""
     docs = table(spark, sf_dir, "documents")
     bench = (
         exploded_word_grams(docs.filter(F.col("doc_id") < 20), gram_n, [], out="g")
@@ -65,11 +77,13 @@ def build_training_corpus(
     counts["1_length"] = length_ok.count()
 
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    deduped = (
+    deduped = loop_checkpoint(
         length_ok.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    ).localCheckpoint(eager=True)
+        .drop("_rn"),
+        1,
+        reliable_every,
+    )
     counts["2_exact_dedup"] = deduped.count()
 
     contaminated = (
@@ -79,9 +93,11 @@ def build_training_corpus(
         .select("doc_id")
         .distinct()
     )
-    clean = deduped.join(
-        F.broadcast(contaminated), "doc_id", "left_anti"
-    ).localCheckpoint(eager=True)
+    clean = loop_checkpoint(
+        deduped.join(F.broadcast(contaminated), "doc_id", "left_anti"),
+        2,
+        reliable_every,
+    )
     counts["3_decontaminated"] = clean.count()
 
     lang_counts = clean.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
@@ -120,6 +136,7 @@ def stream_training_corpus(
     len_hi: int = 520,
     gram_n: int = 8,
     n_shards: int = N_SHARDS,
+    reliable_every: int = 0,
 ):
     """INCREMENTAL twin of `build_training_corpus`: the same funnel
     applied per micro-batch over a documents stream, so the daily
@@ -158,6 +175,13 @@ def stream_training_corpus(
     it with operators/bloom.py to skip the probe for novel-heavy
     batches); the gram set is eval-suite-sized and broadcasts; all
     other stages are per-batch local.
+
+    ``reliable_every`` forwards :func:`loop_checkpoint`'s durability
+    cadence to the three per-batch materialized stages (stage index =
+    round number within each batch): durable checkpoint files instead
+    of executor-storage-only copies, bounding mid-batch executor-loss
+    replay the same way the batch funnel does. The exactly-once sink
+    construction is unchanged either way.
     """
     import os
 
@@ -179,7 +203,9 @@ def stream_training_corpus(
             .distinct()
         )
 
-        b = batch.dropDuplicates(["doc_id"]).localCheckpoint(eager=True)
+        b = loop_checkpoint(
+            batch.dropDuplicates(["doc_id"]), 1, reliable_every
+        )
         counts = {"0_raw": b.count()}
 
         length_ok = b.filter(F.col("n_chars").between(len_lo, len_hi))
@@ -214,7 +240,7 @@ def stream_training_corpus(
                 )
             known = known.select("_h")
             deduped = deduped.join(known, "_h", "left_anti")
-        deduped = deduped.localCheckpoint(eager=True)
+        deduped = loop_checkpoint(deduped, 2, reliable_every)
         counts["2_exact_dedup"] = deduped.count()
 
         contaminated = (
@@ -224,9 +250,11 @@ def stream_training_corpus(
             .select("doc_id")
             .distinct()
         )
-        clean = deduped.join(
-            F.broadcast(contaminated), "doc_id", "left_anti"
-        ).localCheckpoint(eager=True)
+        clean = loop_checkpoint(
+            deduped.join(F.broadcast(contaminated), "doc_id", "left_anti"),
+            3,
+            reliable_every,
+        )
         counts["3_decontaminated"] = clean.count()
 
         # cumulative language counts = prior batches' ledger + this one

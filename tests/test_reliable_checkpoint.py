@@ -181,3 +181,70 @@ def test_checkpoint_dir_fallback_is_local_only():
 
     with pytest.raises(RuntimeError, match="setCheckpointDir"):
         ensure_checkpoint_dir(FakeSpark())
+
+
+def test_build_training_corpus_reliable_cadence(spark, sf_dir, tmp_path):
+    """r6 verdict item 3: the production entry point forwards
+    `reliable_every` to every materialized funnel stage. With
+    reliable_every=1 each stage writes durable checkpoint files, and
+    the published corpus + stage counts are bit-identical to the
+    default (localCheckpoint-only) run."""
+    from crane_spark.llm.run_pipeline import build_training_corpus
+    from crane_spark.sources import versioned as V
+
+    base = build_training_corpus(spark, sf_dir, str(tmp_path / "a"))
+
+    ckdir = ensure_checkpoint_dir(spark).removeprefix("file:")
+    before = sum(len(fs) for _, _, fs in os.walk(ckdir))
+    rel = build_training_corpus(
+        spark, sf_dir, str(tmp_path / "b"), reliable_every=1
+    )
+    after = sum(len(fs) for _, _, fs in os.walk(ckdir))
+    # two loop_checkpoint stages (dedup, decontaminate), both on-round
+    assert after >= before + 2, "each funnel stage must write durable files"
+
+    assert {k: v for k, v in base.items() if not k.startswith("_")} == {
+        k: v for k, v in rel.items() if not k.startswith("_")
+    }
+    a = V.get(spark, str(tmp_path / "a"), "corpus")
+    b = V.get(spark, str(tmp_path / "b"), "corpus")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_stream_training_corpus_reliable_cadence(spark, sf_dir, tmp_path):
+    """Streaming twin: `reliable_every` reaches the per-batch stages
+    (3 loop_checkpoint calls per micro-batch) and the drained corpus
+    matches the batch funnel exactly, as without the flag."""
+    from crane_spark.llm.run_pipeline import (
+        build_training_corpus,
+        read_stream_corpus,
+        stream_training_corpus,
+    )
+    from crane_spark.tables import table
+
+    batch_counts = build_training_corpus(spark, sf_dir, str(tmp_path / "batch"))
+
+    docs = table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") < 20)
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") >= 20).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    ckdir = ensure_checkpoint_dir(spark).removeprefix("file:")
+    before = sum(len(fs) for _, _, fs in os.walk(ckdir))
+    q = stream_training_corpus(
+        stream,
+        eval_docs,
+        str(tmp_path / "s"),
+        str(tmp_path / "ck"),
+        reliable_every=1,
+    )
+    q.awaitTermination()
+    after = sum(len(fs) for _, _, fs in os.walk(ckdir))
+    assert after >= before + 3, "each per-batch stage must write durable files"
+
+    corpus, report = read_stream_corpus(spark, str(tmp_path / "s"))
+    stream_counts = {r["stage"]: r["n_docs"] for r in report.collect()}
+    assert stream_counts == {
+        k: v for k, v in batch_counts.items() if not k.startswith("_")
+    }
+    assert corpus.count() == batch_counts["4_mixed"]
