@@ -447,6 +447,107 @@ def drop_duplicate_spans(
 _DENSE_PAIR_OPS_BUDGET = 200_000_000_000
 _DENSE_MATRIX_CELLS_BUDGET = 6_000_000
 
+# Sparse-regime verify: broadcast the per-doc rank sets (values +
+# offsets, ~4 B per shingle entry) when the whole table fits this many
+# int32 entries (~256 MB + id/offset overhead). Above it, fall back to
+# the shuffle verify join. r7: the sf10 rung measured the verify join
+# at 94% of the query (282 s of 300): 172M candidate pairs each
+# dragged BOTH ~400 B rank arrays through two shuffles (~138 GB) to
+# confirm 25.6k true pairs; map-side verification ships bare id pairs
+# (~2.7 GB) instead.
+_VERIFY_BROADCAST_ENTRIES_BUDGET = 64_000_000
+
+
+def _broadcast_verify_pairs(
+    cand_ids: DataFrame,
+    ordered: DataFrame,
+    id_col: str,
+    vocab_size: int,
+    t_num: int,
+    t_den: int,
+) -> DataFrame:
+    """EXACT candidate verification without shuffling rank arrays:
+    collect `ordered` (id -> sorted rank array) into one compact
+    (ids, offsets, values) broadcast, repartition the BARE candidate
+    id pairs by doc_a, and verify each pair map-side — per doc_a a
+    boolean membership mask over the rank space, per batch a fully
+    vectorized ragged gather of all doc_b arrays and one
+    `np.add.reduceat` for the intersection counts. All-integer inter/
+    union with the same single IEEE division as the join path, so the
+    output is bit-identical to it (tested both ways).
+
+    Scale shape: the verify join's cost is candidates x array bytes
+    ACROSS THE NETWORK twice; this path's is candidates x 16 bytes
+    plus one broadcast of the rank table (sum(m) entries — gated by
+    `_VERIFY_BROADCAST_ENTRIES_BUDGET`; corpus-scale inputs exceed it
+    and keep the join). CPU is one vectorized mask lookup per shingle
+    occurrence per candidate — C speed, no per-pair Python."""
+    import numpy as np
+    import pandas as pd
+
+    spark = ordered.sparkSession
+    pdf = ordered.toPandas()
+    order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+    ids = pdf[id_col].to_numpy()[order]
+    arrs = pdf["arr"].to_numpy()[order]
+    n_docs = len(ids)
+    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n_docs)
+    values = (
+        np.concatenate(arrs).astype(np.int64)
+        if n_docs
+        else np.array([], dtype=np.int64)
+    )
+    offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    bc = spark.sparkContext.broadcast((ids, offs, values))
+    vtype = ordered.schema[id_col].dataType.simpleString()
+    mask_size = vocab_size + 2  # one_based ranks
+
+    def verify(batches):
+        ids_, offs_, vals_ = bc.value
+        mask = np.zeros(mask_size, dtype=bool)
+        for cpdf in batches:
+            if len(cpdf) == 0:
+                continue
+            outs = []
+            for a_val, grp in cpdf.groupby("doc_a", sort=False):
+                ia = int(np.searchsorted(ids_, a_val))
+                arr_a = vals_[offs_[ia] : offs_[ia + 1]]
+                ma = int(offs_[ia + 1] - offs_[ia])
+                mask[arr_a] = True
+                b_ids = grp["doc_b"].to_numpy()
+                idxs = np.searchsorted(ids_, b_ids)
+                starts = offs_[idxs]
+                ls = offs_[idxs + 1] - starts
+                csum = np.concatenate(([0], np.cumsum(ls)[:-1]))
+                total = int(ls.sum())
+                pos = (
+                    np.arange(total)
+                    - np.repeat(csum, ls)
+                    + np.repeat(starts, ls)
+                )
+                inter = np.add.reduceat(mask[vals_[pos]], csum).astype(np.int64)
+                mask[arr_a] = False
+                union = ma + ls - inter
+                keep = t_den * inter >= t_num * union
+                if keep.any():
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "doc_a": np.repeat(a_val, int(keep.sum())),
+                                "doc_b": b_ids[keep],
+                                "n_common": inter[keep],
+                                "jaccard": inter[keep] / union[keep],
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return cand_ids.repartition("doc_a").mapInPandas(
+        verify, f"doc_a {vtype}, doc_b {vtype}, n_common bigint, jaccard double"
+    )
+
 
 def _dense_bitset_pairs(
     tok: DataFrame,
@@ -683,6 +784,16 @@ def prefix_filter_jaccard_pairs(
     ubound = F.lit(1) + F.least(
         F.col("ma") - F.col("pa"), F.col("mb") - F.col("pb")
     )
+    # Candidate reduction is a bare 2-id distinct ON PURPOSE. PPJoin's
+    # aggregated positional filter (groupBy (doc_a, doc_b) carrying
+    # cnt/max_pa/max_pb/ma/mb, filter cnt + min(remaining) >= alpha)
+    # was measured at the sf10 rung in r7: it halves candidates
+    # (172M -> 85M, lossless) but the aggregation state makes the
+    # candidate shuffle rows ~2.5x wider, and end-to-end time came out
+    # FLAT (206.9 s vs 206.5 s) — the broadcast verify is cheap enough
+    # that candidate count no longer dominates; shuffle BYTES do. The
+    # per-occurrence ubound filter below is nearly free (prunes before
+    # the exchange) and stays.
     cand_ids = (
         a.join(b, ["rank"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -694,6 +805,19 @@ def prefix_filter_jaccard_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # Verification regime (r7, measured at the sf10 rung): candidates
+    # can outnumber true pairs by ~7000x on dense-vocabulary corpora,
+    # and the shuffle verify join pays candidates x array-bytes across
+    # the network TWICE (94% of the sf10 runtime). When the rank table
+    # fits the broadcast budget, verify map-side over bare id pairs
+    # instead; beyond it (true corpus scale) the join remains — its
+    # cost there is proportional to candidates, which rarity-ordered
+    # prefixes DO prune on genuinely sparse corpus-scale vocabularies.
+    n_entries = ordered.agg(F.sum(F.size("arr"))).first()[0] or 0
+    if n_entries <= _VERIFY_BROADCAST_ENTRIES_BUDGET:
+        return _broadcast_verify_pairs(
+            cand_ids, ordered, id_col, vocab_size, t_num, t_den
+        )
     cand = cand_ids.join(
         ordered.select(F.col(id_col).alias("doc_a"), F.col("arr").alias("sh_a")),
         "doc_a",
@@ -711,4 +835,156 @@ def prefix_filter_jaccard_pairs(
             inter.cast("long").alias("n_common"),
             (inter.cast("double") / union).alias("jaccard"),
         )
+    )
+
+
+# --------------------------------------------------------------------
+# Maximal duplicated-span ranges (suffix-array-style dedup)
+# --------------------------------------------------------------------
+
+
+def _sliding_grams(
+    docs: DataFrame, text_col: str, id_col: str, L: int
+) -> DataFrame:
+    """(id, p, h): md5 of every SLIDING L-token gram with its 0-based
+    start position. Docs shorter than L produce no rows (`sequence`
+    DESCENDS when end < start — it never returns empty — so the
+    degenerate case is filtered before the sequence is built)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    pos = F.when(n >= L, F.sequence(F.lit(0), n - L)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(pos).alias("p0"), toks.alias("toks"))
+        .select(
+            id_col,
+            F.col("p0").cast("long").alias("p"),
+            F.md5(F.array_join(F.slice("toks", F.col("p0") + 1, L), " ")).alias("h"),
+        )
+    )
+
+
+def dominant_gram_share(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    L: int = 8,
+    sample_mod: int = 64,
+) -> float:
+    """Cheap dominance probe for `dup_span_ranges`'s regime choice:
+    the share of the sliding-gram stream held by its single most
+    frequent gram, measured on a deterministic 1/``sample_mod`` doc
+    slice. A mega-duplicated boilerplate gram appears in a constant
+    fraction of documents, so its share is invariant under uniform
+    doc sampling (up to sampling noise); the probe costs one sampled
+    gram scan into a map-side-combinable count — no windows, no
+    joins, skew-immune by construction (counts never buffer rows).
+    Returns 0.0 for an empty sampled gram stream."""
+    sample = docs.filter(F.pmod(F.hash(F.col(id_col)), F.lit(sample_mod)) == 0)
+    counts = _sliding_grams(sample, text_col, id_col, L).groupBy("h").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    row = counts.agg(F.max("c").alias("top"), F.sum("c").alias("tot")).first()
+    if row["tot"] is None or row["tot"] == 0:
+        return 0.0
+    return float(row["top"]) / float(row["tot"])
+
+
+def dup_span_ranges(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    L: int = 8,
+    skew_safe: bool | None = False,
+    salt_buckets: int = 32,
+    dominant_share_threshold: float = 0.01,
+    probe_sample_mod: int = 64,
+) -> DataFrame:
+    """MAXIMAL duplicated-span detection at arbitrary alignment — the
+    relational form of suffix-array training-data dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better") at
+    resolution ``L`` tokens: every sliding L-gram shared by >= 2
+    documents is an anchor; overlapping/adjacent anchor hits inside a
+    document merge into maximal [span_start, span_end) token ranges by
+    a gaps-and-islands pass.
+
+    Two regimes over the duplicated-gram test, identical output
+    (both compute `min(doc_id) != max(doc_id)` per gram hash):
+
+    * ``skew_safe=False`` (default): ONE gram scan; the test is a
+      window over the h-partition. Fastest on ordinary duplication
+      profiles (measured 2.3x end-to-end at sf0.1), but a single
+      DOMINANT gram — boilerplate shared by millions of docs — lands
+      every occurrence in one window partition that one task must
+      sort; spilling bounds memory but not that task's wall clock,
+      and AQE cannot split window partitions.
+    * ``skew_safe=True``: the salted two-level min/max. Level 1
+      aggregates (h, salt=hash(id) % salt_buckets) so no reducer key
+      ever receives more than 1/salt_buckets of a dominant gram's
+      occurrences REGARDLESS of partial-aggregation effectiveness;
+      level 2 folds the <= salt_buckets partial rows per h into the
+      dup verdict; survivors semi-join back against a second gram
+      scan (join skew is AQE-splittable, unlike window skew). Costs
+      that second scan — the price of removing the single-task
+      bottleneck.
+    * ``skew_safe=None``: auto — run :func:`dominant_gram_share` and
+      pick the salted shape when the top gram holds more than
+      ``dominant_share_threshold`` of the sampled gram stream (1%
+      of a 100 TB gram stream in one window partition is already a
+      multi-TB single task; the threshold is deliberately low
+      because the probe underestimates under sampling noise).
+      ``probe_sample_mod`` sizes the probe's doc sample — lower it
+      toward 1 on SMALL corpora, where a 1/64 slice holds too few
+      grams for the share to mean anything (the default assumes the
+      corpus scale the knob exists for).
+    """
+    from pyspark.sql import Window
+
+    if skew_safe is None:
+        skew_safe = (
+            dominant_gram_share(docs, text_col, id_col, L, probe_sample_mod)
+            > dominant_share_threshold
+        )
+    grams = _sliding_grams(docs, text_col, id_col, L)
+    if skew_safe:
+        partial = grams.groupBy(
+            "h", F.pmod(F.hash(F.col(id_col)), F.lit(salt_buckets)).alias("_s")
+        ).agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
+        dup = (
+            partial.groupBy("h")
+            .agg((F.min("_mn") != F.max("_mx")).alias("_dup"))
+            .filter(F.col("_dup"))
+            .select("h")
+        )
+        hits = grams.join(dup, "h", "left_semi").select(id_col, "p")
+    else:
+        wh = Window.partitionBy("h")
+        hits = (
+            grams.select(
+                id_col,
+                "p",
+                (F.min(id_col).over(wh) != F.max(id_col).over(wh)).alias("_dup"),
+            )
+            .filter(F.col("_dup"))
+            .drop("_dup")
+        )
+    w = Window.partitionBy(id_col).orderBy("p")
+    prev_end = F.max(F.col("p") + L).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.select(
+        id_col,
+        "p",
+        F.when(prev_end.isNull() | (F.col("p") > prev_end), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("brk"),
+    )
+    islands = flagged.select(
+        id_col, "p", F.sum("brk").over(w).cast("long").alias("island")
+    )
+    return islands.groupBy(id_col, "island").agg(
+        F.min("p").alias("span_start"),
+        (F.max("p") + L).alias("span_end"),
+        F.count(F.lit(1)).alias("n_grams"),
     )

@@ -53,6 +53,17 @@ from pyspark.sql import functions as F
 # input, degenerate bucket balance). The intended user is
 # tools/audit_single_partition.py, which explains the whole registry
 # without paying indexing jobs.
+#
+# CONTRACT (ADVICE r6): this is a process-wide mutable flag consulted
+# at PLAN-BUILD time, not thread-safe, and while set it silently drops
+# checkpoint=True — so a frame whose caller requested checkpointing
+# loses the pinned-materialization guarantee against non-deterministic
+# sources (the raise_error cross-scan guards detect ADDED buckets, not
+# REMOVED rows). Frames built under EXPLAIN_ONLY are for .explain()
+# only: set the flag, build, explain, restore, DISCARD the frames —
+# exactly what audit_single_partition.py does — and never execute a
+# discarded frame later against a source that may have moved. Builders
+# that need audit-plus-execute must rebuild after restoring the flag.
 EXPLAIN_ONLY = False
 
 
@@ -270,6 +281,17 @@ def exact_prefix_sum(
     Shares :func:`exact_rank`'s determinism requirement (two scans:
     cut sketch + final plan; the global path adds a count pass) —
     ``checkpoint=True`` pins non-deterministic inputs.
+
+    Exactness caveat (ADVICE r6): for INTEGRAL and DECIMAL measures
+    the result is bit-identical to the SQL window form (integer /
+    decimal addition is associative). For fractional FLOAT/DOUBLE
+    measures it matches only up to FP addition order: per-bucket
+    totals come from a groupBy aggregate (arbitrary combine order)
+    while the window form adds row-by-row in sort order, so offsets
+    can differ in the last ulps — the same 1e-9-grid discipline as
+    every cross-engine double comparison in this repo. Callers
+    needing bit-exact fractional running totals should scale to
+    integer units first (functions/aggregates.units).
     """
     if major is None and EXPLAIN_ONLY:
         # zero-job global path over an always-zero NON-FOLDABLE major
@@ -399,20 +421,30 @@ def _global_bucket_offsets(
     return n, spark.createDataFrame(off, f"{bucket_col} {key_type}, _off long")
 
 
+def _idiv(x, d):
+    """Integral floor division of non-negative LONG operands via
+    Spark's ``div`` (IntegralDivide) — stays in integer space for the
+    full long range. ``floor(x / d)`` routes through DOUBLE and is
+    exact only while the quotient's operands stay inside double's
+    2^52 contiguous-integer range (ADVICE r6), which a 100 TB rank
+    space can genuinely exceed."""
+    return F.call_function("div", x.cast("long"), d.cast("long"))
+
+
 def _ansi_tile(rank, n, k: int):
     """ANSI ntile bucket from exact rank + partition count, as column
     arithmetic: with q, r = divmod(n, k) the first r tiles take q+1
-    rows. All operands non-negative longs, so floor == div."""
-    q = F.floor(n / k)
+    rows. All-integer: `div` on longs, no double round-trip."""
+    q = _idiv(n, F.lit(k))
     r = n - q * k
     head = r * (q + 1)
     return (
         F.when(q == 0, rank)  # fewer rows than tiles: tile == rank
         .when(
             rank <= head,
-            F.floor((rank - 1) / (q + 1)) + 1,
+            _idiv(rank - 1, q + 1) + 1,
         )
-        .otherwise(r + F.floor((rank - 1 - head) / q) + 1)
+        .otherwise(r + _idiv(rank - 1 - head, q) + 1)
     )
 
 

@@ -44,8 +44,20 @@ def morton_expr(bucket_cols: list[str], bits: int, div: str = "div") -> str:
     Dimension 0 takes the most significant bit of each interleaved
     group. Pure div/mod/multiply arithmetic — evaluates identically in
     Spark SQL (``div``) and DuckDB (``//``), which is what lets the
-    locality query hash-match its oracle bit for bit."""
+    locality query hash-match its oracle bit for bit.
+
+    ``bits * len(bucket_cols)`` must fit a signed BIGINT: the largest
+    bit weight is ``2**(bits*k - 1)``, so anything past 62 interleaved
+    bits would silently wrap (ADVICE r6) — raises ``ValueError``
+    instead. 62 bits is plenty: 8 dimensions x 7 bits (128 buckets
+    each) or 4 x 15."""
     k = len(bucket_cols)
+    if bits * k > 62:
+        raise ValueError(
+            f"morton key needs {bits * k} bits ({k} cols x {bits}) but a "
+            "BIGINT holds 62 usable — lower bits or drop dimensions "
+            "(k-th-root selectivity decays fast past ~4 dims anyway)"
+        )
     terms = []
     for i in range(bits):
         for j, c in enumerate(bucket_cols):
@@ -77,7 +89,11 @@ def zorder_key(
     are computed in ONE aggregate job over ``df`` (pass them to keep
     construction lazy, e.g. from table statistics). Integral columns
     use exact integer bucketing; fractional columns bucket through
-    double arithmetic with a top-bucket cap."""
+    double arithmetic with a top-bucket cap. NULL dimension values
+    land in bucket 0 (NULLS-FIRST placement) instead of propagating
+    to a NULL key that would sort the row unplaced (ADVICE r6);
+    ``bits * len(cols)`` > 62 raises in :func:`morton_expr` before
+    any weight can exceed BIGINT."""
     if len(cols) < 2:
         raise ValueError("zorder needs >= 2 columns (sort the one column instead)")
     if extents is None:
@@ -110,7 +126,7 @@ def zorder_key(
                     F.floor((F.col(c) - F.lit(float(mn))) * b / F.lit(span)),
                 )
         bc = f"_zb_{c}"
-        d = d.withColumn(bc, expr.cast("long"))
+        d = d.withColumn(bc, F.coalesce(expr.cast("long"), F.lit(0)))
         bcols.append(bc)
     d = d.withColumn(out, F.expr(morton_expr(bcols, bits)))
     return d.drop(*bcols)

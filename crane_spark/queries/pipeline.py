@@ -420,6 +420,124 @@ def q_hashed_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb.filter(F.col("vec_id") < 20), emb, k=1)
 
 
+# r7 (verdict #5): the hash-exact anchor for the hashed-ANN family.
+# Signed feature-hash weights are INTEGERS, so per-pair dot products
+# and squared norms are exact longs; the only floating step is ONE
+# round(dot / sqrt(na2 * nb2), 4) per pair — cast, sqrt, divide are
+# all IEEE correctly-rounded single operations on identical integer
+# inputs, so the double is bit-identical in Spark and DuckDB (no
+# accumulation-order residual at all, unlike the BLAS float path).
+HASHED_NEARDUP_EXACT_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE doc_id < 200
+), cells AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(token), 1, 4) AS BIGINT) % 64 AS bucket,
+         CASE WHEN CAST('0x' || substring(md5('s:' || token), 1, 2) AS BIGINT) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM tok WHERE token <> ''
+), w AS (
+  SELECT doc_id, bucket, SUM(s) AS w FROM cells GROUP BY doc_id, bucket
+), nrm AS (
+  SELECT doc_id, SUM(w * w) AS n2 FROM w GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id, SUM(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.bucket = b.bucket
+  WHERE a.doc_id < 10 AND b.doc_id <> a.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 4) AS cosine
+  FROM dots
+  JOIN nrm na ON na.doc_id = query_id
+  JOIN nrm nb ON nb.doc_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rn FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
+@register(
+    "hashed_neardup_exact",
+    HASHED_NEARDUP_EXACT_SQL,
+    tags=("llm", "embedding", "hashing", "ann", "sampled"),
+)
+def q_hashed_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-embedding cosine top-3 in EXACT integer arithmetic — the
+    oracle anchor `hashed_embedding_neardup` could not have (float
+    vector assembly): weights stay integer (cosine is normalization-
+    invariant, so skipping the float L2 step changes nothing), dot
+    products and norms are exact longs via a bucket-key join (the
+    inverted-index form of the same cosine the float path computes),
+    and the single rounded division per pair is bit-stable across
+    engines. Ten query docs against the 200-doc slice, top-3 each.
+    test_llm pins that the REAL float path (hashed_embeddings +
+    brute_force_topk) returns the same top-1 neighbors on this slice,
+    tying the verified math to the shipping machinery."""
+    from crane_spark.functions.text import tokens as _tokens
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = docs.select(
+        "doc_id", F.explode(_tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("token"), 1, 4), 16, 10).cast("long"), F.lit(64)
+    )
+    sign = F.when(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("s:"), F.col("token"))), 1, 2), 16, 10
+            ).cast("long"),
+            F.lit(2),
+        )
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    w = (
+        tok.select("doc_id", bucket.alias("bucket"), sign.alias("s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").alias("w"))
+    )
+    nrm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a = w.select(
+        F.col("doc_id").alias("query_id"), "bucket", F.col("w").alias("wa")
+    ).filter(F.col("query_id") < 10)
+    b = w.select(
+        F.col("doc_id").alias("neighbor_id"), "bucket", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("query_id"), F.col("n2").alias("na2"))
+    nb = nrm.select(F.col("doc_id").alias("neighbor_id"), F.col("n2").alias("nb2"))
+    scored = (
+        dots.join(F.broadcast(na), "query_id")
+        .join(nb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt((F.col("na2") * F.col("nb2")).cast("double")),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    )
+    return scored.withColumn("rn", rn.cast("long")).filter(F.col("rn") <= 3)
+
+
 @register("multimodal_asset_report", None, tags=("llm", "multimodal", "codec"))
 def q_multimodal_asset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multimodal decode inside the query surface: synthesize a

@@ -8,9 +8,11 @@ fields-grouped bolt). Row-at-a-time @udf is deliberately absent from
 the registry: it is never the right tool on the hot path.
 
 Where the pandas arithmetic is exact (integer sums), the query keeps a
-full DuckDB oracle; the float-matmul top-k keeps a rows-only contract
-(BLAS summation order differs from sequential) and is unit-tested for
-rank-equality against the JVM implementation instead.
+full DuckDB oracle; the float-matmul top-k ranks on 4-decimal ROUNDED
+cosines with an id tiebreak, which collapses the BLAS-vs-sequential
+summation ULPs and lets it share `embedding_topk`'s verified oracle
+(r7); raw rank-equality against the JVM implementation stays
+unit-tested besides.
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crane_spark.queries.core import register
+from crane_spark.queries.llm import TOPK_SQL as PANDAS_TOPK_SQL
 from crane_spark.tables import table
 
 PANDAS_STATS_SQL = """
@@ -60,15 +63,24 @@ def q_pandas_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pandas_topk_cosine", None, tags=("llm", "udf", "pandas", "similarity"))
+@register("pandas_topk_cosine", PANDAS_TOPK_SQL, tags=("llm", "udf", "pandas", "similarity"))
 def q_pandas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas ANN: the query block is shipped to every partition
     as a NumPy matrix; each Arrow batch of candidates computes a
     (batch x queries) cosine matmul and emits scored pairs, ranked by a
     window afterward. This is the scatter-gather pattern for 100 TB
-    similarity search when the query set is small. Rows-only contract:
-    BLAS accumulation order makes the last float ulp engine-specific
-    (rank-equality vs the JVM implementation is unit-tested)."""
+    similarity search when the query set is small.
+
+    Oracle-checked since r7 (verdict #5): BLAS accumulation order
+    makes the last float ULP engine-specific, but the ranking (and the
+    emitted cosine) runs on the 4-decimal ROUNDED value with a
+    neighbor_id tiebreak — exactly `embedding_topk`'s already-verified
+    discipline — so the hash matches unless a cosine sits within an
+    ulp of a 0.00005 rounding boundary (same accepted residual as
+    every rounded-double query here; np.round's half-even vs round()'s
+    half-away differs only AT the boundary, which the 1e-9-ish cosine
+    grid never produces). The oracle is `embedding_topk`'s all-pairs
+    definition verbatim."""
     import numpy as np
 
     emb = table(spark, sf_dir, "embeddings")
@@ -108,17 +120,45 @@ def q_pandas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-APPROX_SQL = None  # approx sketches are engine-specific: rows-only
+# r7 (verdict #5): converted from rows-only to the DIFFERENTIAL shape
+# the sketch_diff family proved — the entry still runs the HLL++
+# sketch (the operator under test), but its OUTPUT is the exact
+# distinct count plus a within_bound flag, both of which hash against
+# DuckDB. The flag is deterministic per dataset (fixed hash seeds) and
+# the bound (2.5 sigma at rsd=0.02) holds at every rung the sweep
+# runs, so the driver's hash comparison itself now asserts the sketch
+# tracked the exact answer.
+APPROX_SQL = """
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS exact_customers,
+       count(*) AS n_orders,
+       TRUE AS within_bound
+FROM orders GROUP BY o_orderstatus
+"""
+
+APPROX_DISTINCT_REL_BOUND = 0.05  # 2.5 x rsd
 
 
-@register("approx_distinct_customers", APPROX_SQL, tags=("agg", "approx"))
+@register("approx_distinct_customers", APPROX_SQL, tags=("agg", "approx", "differential"))
 def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct (engine-specific sketch ->
-    rows-only contract; the exact twin is `distinct_counts`)."""
+    """HyperLogLog++ approximate distinct, oracle-checked in the
+    differential shape (r7): one aggregate computes the sketch AND the
+    exact distinct per status; the hash verifies the exact value and
+    pins `within_bound` (|approx - exact| <= 5% of exact, 2.5x the
+    requested rsd) to TRUE. The pure-sketch serving shape (no exact
+    twin in the plan) is what a 100 TB dashboard runs; this entry is
+    its qualification harness, like the hll_rollup_diff family."""
     orders = table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.count_distinct("o_custkey").alias("exact_customers"),
         F.count(F.lit(1)).alias("n_orders"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", rsd=0.02)
+                - F.count_distinct("o_custkey")
+            )
+            <= F.lit(APPROX_DISTINCT_REL_BOUND) * F.count_distinct("o_custkey")
+        ).alias("within_bound"),
     )
 
 

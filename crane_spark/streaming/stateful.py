@@ -131,13 +131,27 @@ def _has_tws_runtime() -> bool:
 
 
 def running_totals_tws(
-    stream: DataFrame, key_col: str, value_col: str
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    idle_ttl_sec: int | None = None,
 ) -> DataFrame:
     """`running_totals` on the Spark 4 arbitrary-state API
     (transformWithStateInPandas + ValueState): same semantics, but the
     processor can hold multiple named state variables (value/list/map),
     register timers, and evolve state schema — the long-term home for
     custom stateful operators.
+
+    ``idle_ttl_sec`` opts into bounded state on grow-forever key
+    spaces, mirroring `running_totals`'s knob but via the API's NATIVE
+    state TTL (``getValueState(..., ttlDurationMs=...)``): the store
+    itself expires entries not updated within the TTL — no timer
+    bookkeeping in the processor, and expiry happens store-side even
+    for keys whose partitions see no new input (the
+    processing-time-timeout pattern only fires timers when a batch
+    runs). An expired key that reappears restarts from zero, the same
+    semantics as `running_totals(idle_ttl_sec=...)` minus the final
+    eviction row (the native TTL drops state silently).
 
     Requires the RocksDB state store provider
     (``spark.sql.streaming.stateStore.providerClass`` =
@@ -155,7 +169,13 @@ def running_totals_tws(
 
     class RunningTotals(StatefulProcessor):
         def init(self, handle) -> None:
-            self._totals = handle.getValueState("totals", RUNNING_STATE)
+            self._totals = handle.getValueState(
+                "totals",
+                RUNNING_STATE,
+                ttlDurationMs=(
+                    idle_ttl_sec * 1000 if idle_ttl_sec is not None else None
+                ),
+            )
 
         def handleInputRows(self, key, rows, timer_values):
             count, total = (
@@ -179,7 +199,9 @@ def running_totals_tws(
             statefulProcessor=RunningTotals(),
             outputStructType=RUNNING_OUTPUT,
             outputMode="Update",
-            timeMode="None",
+            # state TTL is processing-time-based: the API requires the
+            # matching time mode whenever a TTL is configured
+            timeMode="None" if idle_ttl_sec is None else "ProcessingTime",
         )
     )
 

@@ -440,3 +440,21 @@ def test_exact_rank_and_prefix_sum_per_major_join_fails_loudly(spark):
     # and the guard stays silent on well-behaved input
     assert rk.count() == 300
     assert ps.count() == 300
+
+
+def test_idiv_exact_beyond_double_range(spark):
+    """ADVICE r6: tile arithmetic must stay exact past double's 2^52
+    contiguous-integer range. `_idiv` (IntegralDivide) divides
+    9_007_199_254_740_993 (2^53 + 1, not representable as a double)
+    exactly, where floor(x/d) would round through the double grid."""
+    import pyspark.sql.functions as F
+
+    from crane_spark.operators.indexing import _idiv
+
+    x = 2**53 + 3  # rounds to 2^53 + 4 on the double grid
+    row = spark.range(1).select(
+        _idiv(F.lit(x), F.lit(2)).alias("i"),
+        F.floor(F.lit(x) / F.lit(2)).alias("f"),
+    ).first()
+    assert row["i"] == x // 2 == 2**52 + 1  # exact integral division
+    assert row["f"] == 2**52 + 2  # the double path provably rounds up

@@ -135,3 +135,37 @@ def test_zorder_write_degenerate_constant_dimension(spark, tmp_path):
     out = str(tmp_path / "zconst")
     write_zordered(df, out, ["a", "b"], n_files=4)
     assert spark.read.parquet(out).count() == 2_000
+
+
+def test_morton_bit_budget_guard_and_null_buckets(spark):
+    """ADVICE r6: bit weights must never exceed BIGINT — bits*k > 62
+    raises up front; and NULL dimension values bucket to 0 (NULLS
+    FIRST placement) instead of nulling the whole Z key."""
+    import pytest
+
+    from crane_spark.operators.layout import morton_expr, zorder_key
+
+    with pytest.raises(ValueError, match="62"):
+        morton_expr([f"c{i}" for i in range(8)], bits=8)
+    # 62 exactly is fine
+    morton_expr(["a", "b"], bits=31)
+
+    df = spark.createDataFrame(
+        [(None, 5), (0, None), (None, None), (3, 7)], "x int, y int"
+    )
+    keyed = zorder_key(df, ["x", "y"], bits=2, extents={"x": (0, 3), "y": (0, 7)})
+    rows = {(r["x"], r["y"]): r["_z"] for r in keyed.collect()}
+    assert None not in rows.values()
+    assert rows[(None, None)] == 0  # both dims -> bucket 0
+    assert rows[(3, 7)] == 15  # full-scale corner unchanged
+
+
+def test_zorder_key_default_bits_guard(spark):
+    """Default bits=8 with >7 dims must fail loudly, not wrap."""
+    import pytest
+
+    from crane_spark.operators.layout import zorder_key
+
+    df = spark.range(4).selectExpr(*[f"id as c{i}" for i in range(8)])
+    with pytest.raises(ValueError, match="62"):
+        zorder_key(df, [f"c{i}" for i in range(8)], bits=8)

@@ -589,3 +589,59 @@ def test_hashed_embeddings_feed_ivf_and_graph_ann(spark, sf_dir):
     edges = knn_graph_build(emb, k=4, n_iter=1)
     g = graph_search_topk(queries, emb, edges, k=2, beam=8, hops=2).collect()
     assert all(r["neighbor_id"] in ids and r["neighbor_id"] != r["query_id"] for r in g)
+
+
+def test_hashed_neardup_exact_matches_float_machinery(spark, sf_dir):
+    """The r7 oracle anchor (`hashed_neardup_exact`, integer-exact
+    inverted-index cosine) must rank the same top-1 neighbor per query
+    as the SHIPPING float path (hashed_embeddings -> brute_force_topk)
+    on the same slice — the tie between the verified math and the real
+    machinery."""
+    import pyspark.sql.functions as F
+
+    from crane_spark.llm.similarity import brute_force_topk, hashed_embeddings
+    from crane_spark.queries import REGISTRY
+    from crane_spark.tables import table
+
+    exact_top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in REGISTRY["hashed_neardup_exact"].fn(spark, sf_dir).collect()
+        if r["rn"] == 1
+    }
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    emb = hashed_embeddings(docs, dim=64).localCheckpoint(eager=True)
+    float_top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk(
+            emb.filter(F.col("vec_id") < 10), emb, k=1
+        ).collect()
+    }
+    assert exact_top1 == float_top1 and len(exact_top1) == 10
+
+
+def test_prefix_jaccard_verify_regimes_identical(spark, sf_dir, monkeypatch):
+    """r7: the broadcast map-side verification must emit EXACTLY the
+    shuffle verify join's pairs (ids, counts, and the jaccard double —
+    same single IEEE division either way), in the sparse candidate
+    regime where verification runs."""
+    import pyspark.sql.functions as F
+
+    import crane_spark.llm.dedup as D
+    from crane_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    # force the SPARSE candidate path (dense GEMM has no verify stage)
+    monkeypatch.setattr(D, "_DENSE_PAIR_OPS_BUDGET", 0)
+
+    def run():
+        return {
+            (r["doc_a"], r["doc_b"], r["n_common"], r["jaccard"])
+            for r in D.prefix_filter_jaccard_pairs(
+                docs, shingle_n=2, t_num=2, t_den=3
+            ).collect()
+        }
+
+    broadcast_verify = run()  # test-scale inputs fit the entries budget
+    monkeypatch.setattr(D, "_VERIFY_BROADCAST_ENTRIES_BUDGET", 0)
+    join_verify = run()
+    assert broadcast_verify == join_verify and len(broadcast_verify) > 0

@@ -362,3 +362,22 @@ def test_replanned_lowcard_windows_use_cells_not_bare_majors(spark, sf_dir):
                 spec = m.group(1)
                 if major in spec:
                     assert "_rb" in spec, f"{name}: bare-major window: {spec}"
+
+
+def test_dup_span_ranges_skewsafe_salted_shape(spark, sf_dir):
+    """Plan guard for the r7 skew-safe regime: TWO gram scans (the
+    accepted price), a left-semi probe join instead of any h-window,
+    and the level-1 aggregate keyed on (h, _s salt) so a dominant
+    gram splits across salt_buckets reducer keys. The only windows
+    left are the per-doc island merges."""
+    plan = _plan(spark, sf_dir, "dup_span_ranges_skewsafe")
+    assert plan.count("- Generate (") == 2  # two sliding-gram explodes
+    assert "LeftSemi" in plan
+    assert "hashpartitioning(h" in plan and "_s" in plan
+    # the h-keyed WINDOW (the skew hazard) must be gone: only the
+    # per-doc island-merge windows remain
+    assert "windowspecdefinition(h#" not in plan
+    assert "windowspecdefinition(doc_id#" in plan
+    # and the default regime keeps its h-window (the cheap plan)
+    base = _plan(spark, sf_dir, "dup_span_ranges")
+    assert "windowspecdefinition(h#" in base and "LeftSemi" not in base

@@ -234,6 +234,9 @@ def test_transform_with_state_running_totals(spark, tmp_path):
     if not _has_tws_runtime():
         with pytest.raises(NotImplementedError):
             running_totals_tws(stream, "k", "v")
+        # the r7 idle-TTL knob goes through the same gate
+        with pytest.raises(NotImplementedError):
+            running_totals_tws(stream, "k", "v", idle_ttl_sec=60)
         return
     out = running_totals_tws(stream, "k", "v")
     q = (

@@ -108,17 +108,21 @@ def test_python_udtf(spark):
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
+    """r7 differential shape: exact_customers must equal the exact
+    twin and every within_bound flag (HLL++ vs exact, 2.5 sigma) must
+    hold."""
     exact = {
         r["o_orderstatus"]: r["n_customers"]
         for r in REGISTRY["distinct_counts"].fn(spark, sf_dir).collect()
     }
-    approx = {
-        r["o_orderstatus"]: r["approx_customers"]
+    diff = {
+        r["o_orderstatus"]: (r["exact_customers"], r["within_bound"])
         for r in REGISTRY["approx_distinct_customers"].fn(spark, sf_dir).collect()
     }
-    assert set(exact) == set(approx)
+    assert set(exact) == set(diff)
     for status, n in exact.items():
-        assert abs(approx[status] - n) <= max(3, 0.1 * n), status
+        got, ok = diff[status]
+        assert got == n and ok is True, status
 
 
 def test_observation_metrics_ride_the_job(spark, sf_dir):
