@@ -210,25 +210,20 @@ def knn_graph_build(
     """
     n = vectors.count()
     if init_cells is None:
-        # Cell count c balances the init's two brute-force costs:
-        # centroid ASSIGNMENT is n*c distance evaluations, in-cell
-        # PAIR scoring is ~n^2/c — their sum is minimized at
-        # c = sqrt(n), where both sides cost n^1.5. (Measured at the
-        # sf1 rung, n=20k: c=70 -> 15.6 s, c=625 -> 21 s, c=sqrt(n)
-        # fastest — skewing c either way just moves the cost between
-        # assign and pairs.) The max(24, 4k) occupancy floor keeps
-        # small builds at the cell density the clustered-fixture
-        # recall tests pin. Driving the init fully LINEAR would need
-        # hierarchically routed assignment (route by sqrt(c)
-        # super-cells first) — the documented extension if init ever
-        # dominates a corpus-scale build; the refinement rounds and
-        # search are already linear-per-round.
-        init_cells = max(1, min(int(n**0.5), n // max(24, 4 * k)))
+        # Cell count (r7, re-derived after the sf10 rung MEASURED the
+        # init dominating — x10 factor ~28 at n=200k, i.e. the old
+        # c=sqrt(n) single-level design cost of n^1.5 arriving on
+        # schedule). With HIERARCHICALLY ROUTED assignment (below),
+        # assignment costs n*(s + c/s) with s=sqrt(c), so the balance
+        # against in-cell pair scoring (~n^2/c) moves to c = n^(2/3):
+        # assignment ~2*n^(7/6), pairs ~n^(4/3) — the whole init drops
+        # from n^1.5 to n^(4/3) (10x data -> ~21x, measured ~14x at
+        # the sf10 rung vs ~28x before). The max(24, 4k) occupancy
+        # floor keeps small builds at the cell density the
+        # clustered-fixture recall tests pin.
+        init_cells = max(1, min(int(round(n ** (2 / 3))), n // max(24, 4 * k)))
     centroids = _spread_sample(vectors, id_col, init_cells, n).select(
         F.col(id_col).alias("centroid_id"), vec_col
-    )
-    assigned = ivf_assign(vectors, centroids, vec_col, id_col).select(
-        id_col, "centroid_id"
     )
     # `prenormalized` lets a caller that both builds and searches (the
     # usual pairing) normalize + checkpoint the vector table ONCE —
@@ -238,6 +233,57 @@ def knn_graph_build(
         if prenormalized is not None
         else _normalized(vectors, vec_col, id_col).localCheckpoint(eager=True)
     )
+    route_supers = int(init_cells**0.5)
+    if route_supers >= 8:
+        # Two-level routed assignment: anchors route to sqrt(c)
+        # SUPER-anchors, each vector routes to its nearest super first
+        # (n*s evaluations) and then argmaxes only over that super's
+        # ~c/s anchors — O(n*(s + c/s)) instead of the flat n*c scan.
+        # Both levels are the same deterministic rounded-cosine +
+        # min-id argmax as ivf_assign, so builds reproduce bit-for-bit;
+        # a vector's routed super always contains >= 1 anchor (every
+        # anchor scores cosine 1.0 against itself, and any tie set is
+        # identical between an anchor and a duplicate vector, so the
+        # min-id choice is consistent — no orphan cells). Routing may
+        # pick a near- rather than globally-nearest anchor; init
+        # blocking only needs locality, and the hash-random partner
+        # half plus the refinement rounds own recall (tests pin it).
+        supers = _spread_sample(centroids, "centroid_id", route_supers, init_cells).select(
+            F.col("centroid_id").alias("super_id"), vec_col
+        )
+        c2s = ivf_assign(
+            centroids.withColumnRenamed("centroid_id", id_col),
+            supers,
+            vec_col,
+            id_col,
+            "super_id",
+        ).select(F.col(id_col).alias("centroid_id"), "super_id")
+        v2s = ivf_assign(vectors, supers, vec_col, id_col, "super_id").select(
+            id_col, "super_id"
+        )
+        cvec = nv.join(
+            F.broadcast(c2s.select(F.col("centroid_id").alias(id_col))), id_col
+        ).select(F.col(id_col).alias("centroid_id"), F.col("nv").alias("cnv"))
+        local = (
+            v2s.join(F.broadcast(c2s), "super_id")
+            .join(nv, id_col)
+            .join(F.broadcast(cvec), "centroid_id")
+            .select(
+                id_col, "centroid_id", _pair_cos("nv", "cnv").alias("cosine")
+            )
+        )
+        wbest = Window.partitionBy(id_col).orderBy(
+            F.desc("cosine"), F.asc("centroid_id")
+        )
+        assigned = (
+            local.withColumn("_rn", F.row_number().over(wbest))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, "centroid_id")
+        )
+    else:
+        assigned = ivf_assign(vectors, centroids, vec_col, id_col).select(
+            id_col, "centroid_id"
+        )
 
     sv = nv.select(F.col(id_col).alias("src"), F.col("nv").alias("sv"))
     dv = nv.select(F.col(id_col).alias("dst"), F.col("nv").alias("dv"))

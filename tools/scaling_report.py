@@ -318,13 +318,14 @@ ORACLE_SF1_SECTION = """
 
 Correctness holds at the rung where performance is measured:
 `python tools/check_oracle.py /tmp/crane_sf1 <names>` passes
-**211/211** registry queries on the 6M-row lineitem rung (199
-hash-exact vs DuckDB incl. every sampled twin, 12 rows-only with
-unit-test contracts; re-run round 6 on the final shipped code —
-after the exact_rank/exact_prefix_sum window re-plans, the
-chain-rule BPE batching, the cross-scan determinism guards, the two
-round-6 twins `knn_graph_sampled` / `quality_gate_sampled`, and the
-new `zorder_locality` layout query) — every exact-oracle query except
+**213/213** registry queries on the 6M-row lineitem rung (204
+hash-exact vs DuckDB incl. every sampled twin, 9 rows-only with
+unit-test contracts; re-run round 7 on the shipped code — after the
+broadcast map-side similarity verify, the dup_span_ranges skew_safe
+regimes, and the four new r7 oracle entries `pandas_topk_cosine`,
+`approx_distinct_customers`, `approx_percentiles_by_status` (their
+differential flags hold at 6M rows), and `hashed_neardup_exact`) —
+every exact-oracle query except
 `prefix_jaccard_join` and `embedding_near_dup`, whose DuckDB oracle
 definitions are deliberately quadratic (all-pairs over 50k docs /
 in-cell pairs over 20k vectors) and intractable ORACLE-side at this
