@@ -44,6 +44,11 @@ from crane_spark.tables import fan_out
 # score = rounded cosine of pre-normalized vectors, id tiebreaks —
 # identical determinism contract to llm.similarity.
 
+# Flat-init eval count above which the hierarchically routed init
+# pays for its extra stages (measured crossover between n=20k flat-
+# faster and n=200k routed-3.4x-faster; see knn_graph_build).
+_ROUTED_INIT_EVAL_THRESHOLD = 30_000_000
+
 
 def _normalized(vectors: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     v = fan_out(vectors).select(F.col(id_col), to_double_vec(vec_col).alias("dv"))
@@ -209,19 +214,26 @@ def knn_graph_build(
     while vectors fit, bucketed-join co-location beyond that.
     """
     n = vectors.count()
+    # Init regime gate (r7, both sides MEASURED at the ladder rungs).
+    # The flat init costs ~2*n^1.5 cosine evaluations (assignment n*c
+    # + in-cell pairs n^2/c, balanced at c=sqrt(n)); the sf10 rung
+    # caught that cost arriving (x10 factor ~28, 340-415 s at n=200k).
+    # HIERARCHICALLY ROUTED assignment (below) moves the balance to
+    # c=n^(2/3): assignment ~2*n^(7/6), pairs ~n^(4/3) — measured
+    # 109 s at n=200k (3.4x). But routing adds ~6 fixed stages
+    # (two ivf_assigns + a local argmax join), ~15-20 s of overhead
+    # that dwarfs the evals it saves on SMALL tables: at n=20k the
+    # routed build measured 33.4 s vs 14.4 s flat, at n=2k 21.6 s vs
+    # 6.5 s. Gate on the flat path's eval count: route only once
+    # 2*n^1.5 clears the measured crossover (~30M evals, n ~ 100k).
+    routed = 2 * n**1.5 > _ROUTED_INIT_EVAL_THRESHOLD
     if init_cells is None:
-        # Cell count (r7, re-derived after the sf10 rung MEASURED the
-        # init dominating — x10 factor ~28 at n=200k, i.e. the old
-        # c=sqrt(n) single-level design cost of n^1.5 arriving on
-        # schedule). With HIERARCHICALLY ROUTED assignment (below),
-        # assignment costs n*(s + c/s) with s=sqrt(c), so the balance
-        # against in-cell pair scoring (~n^2/c) moves to c = n^(2/3):
-        # assignment ~2*n^(7/6), pairs ~n^(4/3) — the whole init drops
-        # from n^1.5 to n^(4/3) (10x data -> ~21x, measured ~14x at
-        # the sf10 rung vs ~28x before). The max(24, 4k) occupancy
-        # floor keeps small builds at the cell density the
+        # c balances each regime's assignment term against in-cell
+        # pairs: sqrt(n) flat, n^(2/3) routed. The max(24, 4k)
+        # occupancy floor keeps small builds at the cell density the
         # clustered-fixture recall tests pin.
-        init_cells = max(1, min(int(round(n ** (2 / 3))), n // max(24, 4 * k)))
+        ideal = round(n ** (2 / 3)) if routed else int(n**0.5)
+        init_cells = max(1, min(int(ideal), n // max(24, 4 * k)))
     centroids = _spread_sample(vectors, id_col, init_cells, n).select(
         F.col(id_col).alias("centroid_id"), vec_col
     )
@@ -234,7 +246,7 @@ def knn_graph_build(
         else _normalized(vectors, vec_col, id_col).localCheckpoint(eager=True)
     )
     route_supers = int(init_cells**0.5)
-    if route_supers >= 8:
+    if routed and route_supers >= 8:
         # Two-level routed assignment: anchors route to sqrt(c)
         # SUPER-anchors, each vector routes to its nearest super first
         # (n*s evaluations) and then argmaxes only over that super's
