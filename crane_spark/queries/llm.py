@@ -1596,7 +1596,8 @@ def q_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjoint batches), and report the tokenization outcome — how many
     symbols each word compresses to, weighted by corpus frequency.
     Rows-only (iterative training has no SQL oracle; training/apply
-    correctness is pinned canonically in tests/test_bpe.py)."""
+    correctness is pinned canonically in tests/test_bpe.py, and the
+    apply machinery itself is hash-anchored by `bpe_apply_fixed`)."""
     from crane_spark.llm.bpe import apply_merges, bpe_train, word_freqs
 
     docs = table(spark, sf_dir, "documents")
@@ -1611,4 +1612,75 @@ def q_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("freq").alias("n_occurrences"),
         )
         .orderBy("n_syms")
+    )
+
+
+# Hash-checked twin for the BPE APPLY machinery: a FIXED literal merge
+# list replayed by the engine's batched apply vs DuckDB replaying the
+# same list as nested replace() calls over \x01sym\x02-delimited
+# symbol strings. A single left-to-right non-overlapping replace of
+# '\x01a\x02\x01b\x02' -> '\x01ab\x02' IS the classic skip-merge pass
+# for one pair (same argument the exact trainer's string fast path
+# rests on, llm/bpe.py), so the nested chain IS sequential replay —
+# which the engine's conflict-aware batching must equal. The list is
+# chosen to force batch flushes (chained merges like t+a -> ta+b ->
+# tab+l share symbols) and includes never-matching pairs (no-ops must
+# be no-ops in both engines).
+_BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"), ("table", "</w>"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"), ("scan", "</w>"),
+    ("a", "</w>"), ("e", "</w>"), ("r", "o"), ("ro", "w"), ("row", "</w>"),
+    ("s", "t"), ("o", "r"), ("or", "t"),
+]
+
+
+def _bpe_fixed_sql() -> str:
+    def sym(s: str) -> str:
+        return "chr(1) || '" + s + "' || chr(2)"
+
+    expr = (
+        "list_aggregate(list_transform(range(1, len(word) + 1), "
+        "i -> chr(1) || word[i] || chr(2)), 'string_agg', '') "
+        "|| chr(1) || '</w>' || chr(2)"
+    )
+    for a, b in _BPE_FIXED_MERGES:
+        expr = f"replace({expr}, {sym(a)} || {sym(b)}, {sym(a + b)})"
+    return f"""
+WITH w AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE len(word) > 0 GROUP BY word
+),
+applied AS (SELECT word, freq, {expr} AS s FROM w)
+SELECT word, freq,
+  CAST(len(s) - len(replace(s, chr(1), '')) AS BIGINT) AS n_syms,
+  trim(replace(s, chr(2) || chr(1), ' '), chr(1) || chr(2)) AS syms_str
+FROM applied
+"""
+
+
+@register(
+    "bpe_apply_fixed",
+    _bpe_fixed_sql(),
+    tags=("llm", "text", "tokenizer", "sampled"),
+)
+def q_bpe_apply_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`apply_merges` under a fixed literal merge table, per-word
+    symbol sequences value-hashed against DuckDB's sequential-replay
+    definition (see _BPE_FIXED_MERGES above for why the two are
+    provably the same function). This anchors the inference half of
+    the BPE family in the driver's hash harness — batching, the
+    struct-keyed merge map, and the skip-merge aggregate all sit on
+    this path; training convergence stays pinned in tests/test_bpe.py
+    and by `bpe_tokenize_stats`'s regime-equality tests."""
+    from crane_spark.llm.bpe import apply_merges
+
+    docs = table(spark, sf_dir, "documents")
+    merges = [(a, b, 0) for a, b in _BPE_FIXED_MERGES]
+    seqs = apply_merges(docs, merges)
+    return seqs.select(
+        "word",
+        "freq",
+        F.size("syms").cast("long").alias("n_syms"),
+        F.concat_ws(" ", "syms").alias("syms_str"),
     )

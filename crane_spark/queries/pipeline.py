@@ -549,8 +549,9 @@ def q_multimodal_asset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     extract_features, fake=False) and report per-mime asset counts,
     byte totals, and decoded feature means. Exercises the actual
     PNG/PGM/WAV parsers under the driver harness, not just pytest;
-    rows-only (binary synthesis + codec features have no SQL oracle —
-    codec exactness is pinned by test_codecs' independent fixtures)."""
+    rows-only (the float feature means have no SQL oracle), but the
+    decode path itself is hash-anchored by `multimodal_decode_stats`
+    below and codec exactness is pinned by test_codecs' fixtures."""
     import numpy as np
     import pandas as pd
 
@@ -601,6 +602,119 @@ def q_multimodal_asset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.element_at("feature", 5)), 4).alias("mean_feat"),
         )
         .orderBy("mime")
+    )
+
+
+# Hash-checked twin for the codec family: every decoded value is an
+# integer function of the document's text bytes, so DuckDB can state
+# the whole synthesize -> encode -> DECODE roundtrip arithmetically.
+# PNG/PGM pixel grids are the text bytes cycled (np.resize) onto the
+# side x side(x3) grid: value_sum = full_cycles * sum(bytes) +
+# prefix_sum(remainder). WAV samples quantize byte b to
+# round((b-128)*32767/128): the only half-way points (b=64/192 ->
+# +/-16383.5) round to the EVEN +/-16384 under both numpy's
+# half-to-even and SQL's half-away rules, so the two engines can
+# never disagree on any byte value; all other arithmetic is exact in
+# float64 (int*int then /128, a power of two). ASCII corpus => code
+# points == bytes (unicode(text[i]) oracle-side).
+MULTIMODAL_DECODE_SQL = """
+WITH t AS (
+  SELECT doc_id, text, least(len(text), 1024) AS L
+  FROM documents WHERE doc_id < 64 AND len(text) >= 1
+),
+b AS (
+  SELECT doc_id, L,
+         CAST(list_sum(list_transform(range(1, CAST(L AS INT) + 1),
+              i -> unicode(text[i]))) AS BIGINT) AS total,
+         list_transform(range(1, CAST(L AS INT) + 1), i -> unicode(text[i])) AS codes
+  FROM t
+),
+shaped AS (
+  SELECT doc_id, L, total, codes,
+    CASE WHEN doc_id % 3 = 0 THEN greatest(2, CAST(floor(sqrt(L // 3)) AS BIGINT))
+         WHEN doc_id % 3 = 1 THEN greatest(2, CAST(floor(sqrt(L)) AS BIGINT))
+         ELSE NULL END AS side
+  FROM b
+),
+sized AS (
+  SELECT doc_id, L, total, codes,
+    CASE WHEN doc_id % 3 = 0 THEN side * side * 3
+         WHEN doc_id % 3 = 1 THEN side * side
+         ELSE L END AS n_values
+  FROM shaped
+)
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+       WHEN doc_id % 3 = 1 THEN 'image/x-pgm'
+       ELSE 'audio/wav' END AS mime,
+  CAST(n_values AS BIGINT) AS n_values,
+  CAST(CASE WHEN doc_id % 3 = 2
+    THEN list_sum(list_transform(codes,
+           c -> CAST(round((c - 128) * 32767.0 / 128.0) AS BIGINT)))
+    ELSE (n_values // L) * total
+         + coalesce(list_sum(codes[1:CAST(n_values % L AS INT)]), 0)
+  END AS BIGINT) AS value_sum
+FROM sized
+"""
+
+
+@register(
+    "multimodal_decode_stats",
+    MULTIMODAL_DECODE_SQL,
+    tags=("llm", "multimodal", "codec", "sampled"),
+)
+def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked oracle twin for `multimodal_asset_report`: the
+    same per-doc container synthesis, but the report is the DECODED
+    integer content — (mime, n_values, value_sum) where value_sum is
+    the exact sum of decoded pixel values (PNG through the real
+    zlib+CRC parser, PGM through the PNM parser) or of the 16-bit PCM
+    samples recovered from the WAV parser. Every value is integer
+    arithmetic on the document's text bytes, so a single bit lost
+    anywhere in encode -> container bytes -> decode shifts the sum and
+    the driver's value hash catches it. The mapInPandas shape is the
+    production pattern: Arrow batches in, per-asset native codec work,
+    integer columns out."""
+    import numpy as np
+    import pandas as pd
+
+    from crane_spark.llm import codecs
+
+    docs = table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 64) & (F.length("text") >= 1)
+    )
+
+    def synth_decode(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                data = np.frombuffer(text.encode()[:1024], dtype=np.uint8)
+                m = int(did) % 3
+                if m == 0:
+                    side = max(2, int((len(data) // 3) ** 0.5))
+                    px = np.resize(data, (side, side, 3))
+                    dec = codecs.decode_png(codecs.encode_png(px))
+                    vals = dec.pixels.astype(np.int64)
+                    rows.append((int(did), "image/png", int(vals.size), int(vals.sum())))
+                elif m == 1:
+                    side = max(2, int(len(data) ** 0.5))
+                    px = np.resize(data, (side, side))
+                    dec = codecs.decode_pgm(codecs.encode_pgm(px))
+                    vals = dec.pixels.astype(np.int64)
+                    rows.append((int(did), "image/x-pgm", int(vals.size), int(vals.sum())))
+                else:
+                    samples = (data.astype(np.float64) - 128.0) / 128.0
+                    dec = codecs.decode_wav(codecs.encode_wav(samples, 8000))
+                    # decode normalizes by /32768; multiplying back is
+                    # exact in float64, recovering the int16 PCM values.
+                    pcm = np.rint(dec.samples * 32768.0).astype(np.int64)
+                    rows.append((int(did), "audio/wav", int(dec.n_frames), int(pcm.sum())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "mime", "n_values", "value_sum"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        synth_decode, "doc_id long, mime string, n_values bigint, value_sum bigint"
     )
 
 
