@@ -21,6 +21,10 @@ def spark():
             "spark.sql.shuffle.partitions": "8",
             "spark.default.parallelism": "8",
             "spark.sql.warehouse.dir": "/tmp/crane_spark_test_warehouse",
+            # the status REST API is the metrics source for the
+            # shuffle-byte guards (tests/test_shuffle_bytes.py)
+            "spark.ui.enabled": "true",
+            "spark.ui.showConsoleProgress": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
