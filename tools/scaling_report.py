@@ -80,7 +80,7 @@ HEADLINERS: dict[str, tuple[str, bool]] = {
     "rolling_7d_active_users": ("bounded explode + distinct: linear in user-days", True),
     "dedup_clusters": ("LSH -> verify -> components: linear + pair-local", True),
     "prefix_jaccard_join": (
-        "exact similarity join, regime-gated (see crossover table below)",
+        "exact similarity join, regime-gated; x10-3 spans the dense->sparse switch (crossover table)",
         True,
     ),
     "copurchase_pairs": (
@@ -243,6 +243,21 @@ def similarity_regime_table(spark) -> list[str]:
         "crosses the cell budget at sf0.1 and takes the sparse path, which",
         "measures faster there. Corpus-scale inputs always exceed the budgets",
         "and take the indexed sparse path.",
+        "",
+        "**Gate validated one decade up (r7, forced both regimes at sf1)**:",
+        "the novel-content sf1 corpus grows the 2-gram vocabulary 10x with",
+        "the data (931 -> 9310), so the registered query at sf1 is n=50000,",
+        "V=9310 — pair-ops 2.3e13, two decades past the dense budget. Forced",
+        "dense measured **511.4 s** (46 TFLOP of GEMM plus a 1.9 GB per-task",
+        "unpacked matrix) vs forced sparse **43.4 s cold / 22.5 s warm**, with",
+        "bit-identical 2560-row outputs: the gate picks the 12-24x winner.",
+        "This also decomposes the headline x10-3 factor in the ladder table:",
+        "1.75 s (sf0.1, DENSE regime) -> 22.5 s (sf1, SPARSE regime) = 12.9",
+        "spans the regime switch; within-regime sparse growth is 6.07 ->",
+        "22.5 = 3.7x per decade (and 5.3x at sf10) against a true-pair count",
+        "that grows exactly 10x per decade (25 / 256 / 2560 pairs at",
+        "sf0.01/0.1/1) — subquadratic candidate growth on a corpus whose",
+        "all-pairs space grows 100x per decade.",
     ]
     return out
 
