@@ -167,6 +167,25 @@ def shuffle_section(spark) -> list[str]:
         "Linear-shuffle queries (joins, pair generation) track the data",
         "volume, which partitions away by executor count. Factors on a",
         "< 50 KB base are suppressed (dispatch-noise, not data).",
+        "",
+        "Two measured artifacts worth naming (both plan-probed):",
+        "* q1's sf0.01/sf0.1 bytes are the `fan_out` bootstrap repartition —",
+        "  the driver-written single-row-group parquet gets one RoundRobin",
+        "  exchange to reach 32-way parallelism; the multi-row-group sf1/sf10",
+        "  files scan in place and q1 drops to pure partial-agg rows (37 KB",
+        "  at sf1). At 100 TB every table has row groups; the bootstrap",
+        "  exchange is a toy-rung artifact, not a scale cost.",
+        "* q18's sf0.1 -> sf1 step (~36x) is a map-side-combine CLUSTERING",
+        "  effect, not plan growth: the testdata parquet is orderkey-",
+        "  clustered so per-order lineitem partials collapse before the",
+        "  exchange; make_sfn's round-robin-written sf1 destroys that",
+        "  clustering and partials stop combining. Same plan at both rungs,",
+        "  both joins BHJ (probed) — physical layout is the lever (see the",
+        "  Z-order section in TUNING.md). The sf1 -> sf10 step (16.2) adds",
+        "  the justified size-based flip: the HAVING-result side outgrows the",
+        "  broadcast threshold and one join becomes SortMergeJoin (probed) —",
+        "  an unbounded set must stop broadcasting somewhere, and the extra",
+        "  bytes are that side's shuffle, linear from here on.",
     ]
     return lines
 
