@@ -492,10 +492,14 @@ def _broadcast_verify_pairs(
     arrs = pdf["arr"].to_numpy()[order]
     n_docs = len(ids)
     lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n_docs)
+    # int32 on purpose: ranks are < 2^31 by the vocab_size guard in
+    # prefix_filter_jaccard_pairs, and the ENTRIES budget is sized for
+    # 4-byte entries — int64 here would double the broadcast (and each
+    # Python worker's unpickled copy) right at the gate boundary.
     values = (
-        np.concatenate(arrs).astype(np.int64)
+        np.concatenate(arrs).astype(np.int32)
         if n_docs
-        else np.array([], dtype=np.int64)
+        else np.array([], dtype=np.int32)
     )
     offs = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])

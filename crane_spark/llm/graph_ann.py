@@ -166,6 +166,66 @@ def _topk_edges(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _routed_assign(
+    nv: DataFrame,
+    vectors: DataFrame,
+    centroids: DataFrame,
+    supers: DataFrame,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Two-level routed cell assignment: anchors (`centroids`) route
+    to their nearest super, vectors route super-first and then argmax
+    over that super's local anchors. Returns (id, centroid_id) with
+    EVERY input vector present.
+
+    No-orphan invariant, pinned STRUCTURALLY: an anchor that IS a
+    super routes to itself. Without this, two distinct supers whose
+    cosine rounds to 1.0 at ROUND_DIGITS tie in ivf_assign and the
+    min-id choice routes the larger-id super's anchor AWAY, leaving
+    that super with zero anchors — any vector whose own
+    (differently-tied) argmax routes to it would then be silently
+    DROPPED by the inner join below, losing its blocked init edges
+    (regression-tested in tests/test_graph_ann.py). Self-routing
+    guarantees every super cell holds at least its own anchor, so the
+    join is lossless for all of v2s's range (supers ⊆ centroids)."""
+    c2s = ivf_assign(
+        centroids.withColumnRenamed("centroid_id", id_col),
+        supers,
+        vec_col,
+        id_col,
+        "super_id",
+    ).select(F.col(id_col).alias("centroid_id"), "super_id")
+    self_ids = supers.select(
+        F.col("super_id").alias("centroid_id"),
+        F.col("super_id").alias("_self"),
+    )
+    c2s = c2s.join(F.broadcast(self_ids), "centroid_id", "left").select(
+        "centroid_id",
+        F.coalesce("_self", "super_id").alias("super_id"),
+    )
+    v2s = ivf_assign(vectors, supers, vec_col, id_col, "super_id").select(
+        id_col, "super_id"
+    )
+    cvec = nv.join(
+        F.broadcast(c2s.select(F.col("centroid_id").alias(id_col))), id_col
+    ).select(F.col(id_col).alias("centroid_id"), F.col("nv").alias("cnv"))
+    local = (
+        v2s.join(F.broadcast(c2s), "super_id")
+        .join(nv, id_col)
+        .join(F.broadcast(cvec), "centroid_id")
+        .select(id_col, "centroid_id", _pair_cos("nv", "cnv").alias("cosine"))
+    )
+    wbest = Window.partitionBy(id_col).orderBy(
+        F.desc("cosine"), F.asc("centroid_id")
+    )
+    return (
+        local.withColumn("_rn", F.row_number().over(wbest))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "centroid_id")
+    )
+
+
 def normalized_vectors(
     vectors: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
@@ -252,46 +312,15 @@ def knn_graph_build(
         # (n*s evaluations) and then argmaxes only over that super's
         # ~c/s anchors — O(n*(s + c/s)) instead of the flat n*c scan.
         # Both levels are the same deterministic rounded-cosine +
-        # min-id argmax as ivf_assign, so builds reproduce bit-for-bit;
-        # a vector's routed super always contains >= 1 anchor (every
-        # anchor scores cosine 1.0 against itself, and any tie set is
-        # identical between an anchor and a duplicate vector, so the
-        # min-id choice is consistent — no orphan cells). Routing may
-        # pick a near- rather than globally-nearest anchor; init
-        # blocking only needs locality, and the hash-random partner
-        # half plus the refinement rounds own recall (tests pin it).
+        # min-id argmax as ivf_assign, so builds reproduce bit-for-bit.
+        # Routing may pick a near- rather than globally-nearest anchor;
+        # init blocking only needs locality, and the hash-random
+        # partner half plus the refinement rounds own recall (tests
+        # pin it).
         supers = _spread_sample(centroids, "centroid_id", route_supers, init_cells).select(
             F.col("centroid_id").alias("super_id"), vec_col
         )
-        c2s = ivf_assign(
-            centroids.withColumnRenamed("centroid_id", id_col),
-            supers,
-            vec_col,
-            id_col,
-            "super_id",
-        ).select(F.col(id_col).alias("centroid_id"), "super_id")
-        v2s = ivf_assign(vectors, supers, vec_col, id_col, "super_id").select(
-            id_col, "super_id"
-        )
-        cvec = nv.join(
-            F.broadcast(c2s.select(F.col("centroid_id").alias(id_col))), id_col
-        ).select(F.col(id_col).alias("centroid_id"), F.col("nv").alias("cnv"))
-        local = (
-            v2s.join(F.broadcast(c2s), "super_id")
-            .join(nv, id_col)
-            .join(F.broadcast(cvec), "centroid_id")
-            .select(
-                id_col, "centroid_id", _pair_cos("nv", "cnv").alias("cosine")
-            )
-        )
-        wbest = Window.partitionBy(id_col).orderBy(
-            F.desc("cosine"), F.asc("centroid_id")
-        )
-        assigned = (
-            local.withColumn("_rn", F.row_number().over(wbest))
-            .filter(F.col("_rn") == 1)
-            .select(id_col, "centroid_id")
-        )
+        assigned = _routed_assign(nv, vectors, centroids, supers, vec_col, id_col)
     else:
         assigned = ivf_assign(vectors, centroids, vec_col, id_col).select(
             id_col, "centroid_id"

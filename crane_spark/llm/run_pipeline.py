@@ -306,10 +306,20 @@ def stream_training_corpus(
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(report_dir, sub))
         # every sink above has executed — free this batch's staged
         # copies now; a long soak otherwise stacks three checkpoints
-        # per micro-batch until a driver GC cycle (ADVICE r3 pattern)
-        from crane_spark.operators.caching import release_local_checkpoint
+        # per micro-batch until a driver GC cycle (ADVICE r3 pattern).
+        # With reliable_every on, ALSO delete the durable files: Spark
+        # never cleans reliable checkpoints by default, so a
+        # long-running stream taking three per micro-batch would grow
+        # the checkpoint volume without bound (the recovery point is
+        # dead once the batch's idempotent sinks committed — the
+        # stream's own checkpoint replays the whole batch on crash).
+        from crane_spark.operators.caching import (
+            release_local_checkpoint,
+            release_reliable_checkpoint,
+        )
 
         for staged in (clean, deduped, b):
+            release_reliable_checkpoint(staged)
             release_local_checkpoint(staged)
 
     return (

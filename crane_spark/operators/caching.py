@@ -151,3 +151,54 @@ def release_local_checkpoint(df: DataFrame) -> None:
             "3.5-4.1). See docstring for the safe fallback. Underlying "
             f"error: {exc!r}"
         ) from exc
+
+
+def release_reliable_checkpoint(df: DataFrame) -> None:
+    """Delete the DURABLE files behind an eager ``df.checkpoint()``
+    frame — the reliable twin of :func:`release_local_checkpoint`, for
+    loops/streams that no longer need a round's recovery point once
+    every consumer has committed. The frame MUST NOT be used
+    afterwards (lineage was truncated; the files were its only
+    substance).
+
+    Why it exists: Spark deletes reliable checkpoint files only when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` AND the
+    RDD is GC'd — by default they accumulate forever. A LONG-RUNNING
+    stream whose every micro-batch takes durable checkpoints
+    (``stream_training_corpus(reliable_every=...)``) would otherwise
+    grow the checkpoint volume without bound and die on ENOSPC days
+    in; the batch loops cap at files-per-run and tolerate the default,
+    but the stream must clean per batch.
+
+    No-op (returns) when the frame has no checkpoint file — i.e. a
+    ``localCheckpoint`` frame, so callers can release every
+    loop_checkpoint frame through ONE call pair without tracking which
+    rounds were durable. Raises like release_local_checkpoint when the
+    JVM surface is unavailable.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        name = plan.getClass().getSimpleName()
+    except Exception as exc:  # noqa: BLE001 — py4j errors vary by version
+        raise RuntimeError(
+            "release_reliable_checkpoint needs pyspark's private JVM plan "
+            "accessors (pinned-good: pyspark 3.5-4.1 classic sessions). "
+            "Skip explicit release and set "
+            "spark.cleaner.referenceTracking.cleanCheckpoints=true so the "
+            "ContextCleaner deletes the files after GC instead. "
+            f"Underlying error: {exc!r}"
+        ) from exc
+    if name != "LogicalRDD":
+        raise TypeError(
+            f"release_reliable_checkpoint expects a checkpoint()ed frame "
+            f"(LogicalRDD plan), got {name}"
+        )
+    rdd = plan.rdd()
+    opt = rdd.getCheckpointFile()
+    if not opt.isDefined():
+        return  # localCheckpoint frame: no durable files to delete
+    spark = df.sparkSession
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(opt.get())
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(path, True)

@@ -191,3 +191,45 @@ def test_spread_sample_dense_ids_skip_the_extra_count(spark):
     assert jobs_during(dense) < jobs_during(marginal)
     rows = sorted(r["vec_id"] for r in dense().collect())
     assert len(rows) == 10 and rows[0] == 0 and rows[-1] == 900
+
+
+def test_routed_assign_no_orphan_super_drops_vectors(spark):
+    """Regression: two distinct supers whose cosine rounds to 1.0 at
+    ROUND_DIGITS tie in ivf_assign, so WITHOUT structural self-routing
+    the larger-id super's anchor routes away (min-id tiebreak) and its
+    cell empties — a vector whose own argmax routes to that super was
+    then silently dropped by the inner join, losing its blocked init
+    edges. _routed_assign must return EVERY input vector exactly once
+    and route the tied-super vector into the self-routed cell."""
+    import math
+
+    from crane_spark.llm.graph_ann import _normalized, _routed_assign
+
+    theta = 0.009  # cos ~ 0.9999595 -> rounds to 1.0 at 4 decimals
+    assert round(math.cos(theta), 4) == 1.0
+    phi = 0.8  # round(cos(phi-theta),4)=0.7032 > round(cos(phi),4)=0.6967
+
+    def v(a):
+        return [math.cos(a), math.sin(a)]
+
+    rows = [
+        (1, v(0.0)),  # super + anchor
+        (2, v(theta)),  # super + anchor: ties with super 1 at rounded 1.0
+        (3, v(-0.5)),  # plain anchor that routes to super 1 too
+        (10, v(phi)),  # routes to super 2 — ORPHANED without self-routing
+        (11, v(-0.6)),  # routes to super 1, lands on anchor 3
+    ]
+    vectors = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = vectors.filter(F.col("vec_id") <= 3).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    supers = vectors.filter(F.col("vec_id") <= 2).select(
+        F.col("vec_id").alias("super_id"), "embedding"
+    )
+    nv = _normalized(vectors, "embedding", "vec_id")
+    assigned = _routed_assign(nv, vectors, centroids, supers, "embedding", "vec_id")
+    got = {r["vec_id"]: r["centroid_id"] for r in assigned.collect()}
+    # every vector present exactly once — the old inner join dropped 10
+    assert sorted(got) == [1, 2, 3, 10, 11]
+    # the tied super self-routes, so vector 10 lands in super 2's cell
+    assert got[10] == 2

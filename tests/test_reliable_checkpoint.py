@@ -211,10 +211,15 @@ def test_build_training_corpus_reliable_cadence(spark, sf_dir, tmp_path):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
-def test_stream_training_corpus_reliable_cadence(spark, sf_dir, tmp_path):
+def test_stream_training_corpus_reliable_cadence(spark, sf_dir, tmp_path, monkeypatch):
     """Streaming twin: `reliable_every` reaches the per-batch stages
-    (3 loop_checkpoint calls per micro-batch) and the drained corpus
-    matches the batch funnel exactly, as without the flag."""
+    (3 loop_checkpoint calls per micro-batch, each writing REAL
+    durable files), the drained corpus matches the batch funnel
+    exactly, and — because a batch's recovery point is dead once its
+    idempotent sinks committed — every durable file is DELETED by
+    batch end, so a long-running stream's checkpoint volume stays
+    bounded instead of growing three snapshots per micro-batch."""
+    import crane_spark.operators.caching as C
     from crane_spark.llm.run_pipeline import (
         build_training_corpus,
         read_stream_corpus,
@@ -231,6 +236,18 @@ def test_stream_training_corpus_reliable_cadence(spark, sf_dir, tmp_path):
     stream = spark.readStream.schema(docs.schema).parquet(src)
     ckdir = ensure_checkpoint_dir(spark).removeprefix("file:")
     before = sum(len(fs) for _, _, fs in os.walk(ckdir))
+
+    real = C.release_reliable_checkpoint
+    released = []
+
+    def spy(df):
+        f = df._jdf.queryExecution().analyzed().rdd().getCheckpointFile()
+        if f.isDefined():
+            p = f.get().removeprefix("file:")
+            released.append((p, os.path.exists(p)))
+        real(df)
+
+    monkeypatch.setattr(C, "release_reliable_checkpoint", spy)
     q = stream_training_corpus(
         stream,
         eval_docs,
@@ -239,8 +256,13 @@ def test_stream_training_corpus_reliable_cadence(spark, sf_dir, tmp_path):
         reliable_every=1,
     )
     q.awaitTermination()
+    # all three per-batch stages took a DURABLE checkpoint (files were
+    # on disk at release time) and every file is gone afterwards
+    assert len(released) == 3
+    assert all(existed for _, existed in released)
+    assert not any(os.path.exists(p) for p, _ in released)
     after = sum(len(fs) for _, _, fs in os.walk(ckdir))
-    assert after >= before + 3, "each per-batch stage must write durable files"
+    assert after <= before, "durable batch snapshots must not accumulate"
 
     corpus, report = read_stream_corpus(spark, str(tmp_path / "s"))
     stream_counts = {r["stage"]: r["n_docs"] for r in report.collect()}
@@ -248,3 +270,27 @@ def test_stream_training_corpus_reliable_cadence(spark, sf_dir, tmp_path):
         k: v for k, v in batch_counts.items() if not k.startswith("_")
     }
     assert corpus.count() == batch_counts["4_mixed"]
+
+
+def test_release_reliable_checkpoint_deletes_files_and_skips_local(spark):
+    """The durable release deletes exactly the frame's rdd-N directory
+    and is a safe no-op on localCheckpoint frames (so loop callers can
+    release every flavor through one call pair)."""
+    from crane_spark.operators.caching import (
+        loop_checkpoint,
+        release_reliable_checkpoint,
+    )
+
+    df = spark.range(100)
+    durable = loop_checkpoint(df, round_no=1, reliable_every=1)
+    f = durable._jdf.queryExecution().analyzed().rdd().getCheckpointFile()
+    assert f.isDefined()
+    path = f.get().removeprefix("file:")
+    assert os.path.exists(path)
+    assert durable.count() == 100  # consume before release
+    release_reliable_checkpoint(durable)
+    assert not os.path.exists(path)
+
+    local = loop_checkpoint(spark.range(10), round_no=1, reliable_every=0)
+    assert local.count() == 10
+    release_reliable_checkpoint(local)  # no durable files: no-op

@@ -17,14 +17,18 @@ minutes; the full ladder lives in SCALE.md's shuffle section.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from crane_spark.queries import REGISTRY
 
 from tools.shuffle_report import _group_shuffle_bytes
 
-SF_SMALL = "/root/testdata/sf0.001"
-SF_MED = "/root/testdata/sf0.01"
+# derive both rungs from the same override conftest honors, so these
+# guards stay portable to checkouts with relocated test data
+SF_SMALL = os.environ.get("CRANE_TEST_SF_DIR", "/root/testdata/sf0.001")
+SF_MED = os.path.join(os.path.dirname(SF_SMALL.rstrip("/")), "sf0.01")
 
 
 def _shuffle_bytes(spark, name: str, sf_dir: str) -> int:
