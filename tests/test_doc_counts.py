@@ -43,3 +43,25 @@ def test_readme_counts_match_registry():
     assert (int(m.group(1)), int(m.group(2))) == (n, n_oracle), (
         "README.md registry counts are stale — update the queries/ line"
     )
+
+
+def test_sf1_oracle_run_counts_reconcile_with_registry():
+    """SCALE.md's 'Oracle-verified at sf1' section records an actual
+    sweep run; its stated total must account for every CURRENT
+    registry query (total + the quadratic-oracle exclusions ==
+    registry size, and the exact/rows-only split must match the live
+    oracle map). A registry change that skips re-running the rung (or
+    at least updating SF1_ORACLE_RUN) fails here in the same commit."""
+    import sys
+
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from scaling_report import _SF1_QUADRATIC_EXCLUSIONS, SF1_ORACLE_RUN
+
+    n_total, n_oracle = _counts()
+    for name in _SF1_QUADRATIC_EXCLUSIONS:
+        assert name in REGISTRY
+    assert SF1_ORACLE_RUN["total"] + len(_SF1_QUADRATIC_EXCLUSIONS) == n_total
+    assert (
+        SF1_ORACLE_RUN["exact"] + len(_SF1_QUADRATIC_EXCLUSIONS) == n_oracle
+    )
+    assert SF1_ORACLE_RUN["rows_only"] == n_total - n_oracle

@@ -325,21 +325,30 @@ def llm_corpus_scaling(spark) -> list[str]:
     return out
 
 
-# Maintained alongside the ladder: the sf1 ORACLE story. Updated by
-# hand when the full-sweep is re-run (tools/check_oracle.py against
-# SF1_DIR); regeneration of SCALE.md must not lose it.
-ORACLE_SF1_SECTION = """
+# Maintained alongside the ladder: the sf1 ORACLE story. The counts
+# are a record of an actual full-sweep run (tools/check_oracle.py
+# against SF1_DIR) — update SF1_ORACLE_RUN when re-running the rung;
+# tests/test_doc_counts.py asserts they reconcile with the LIVE
+# registry (total + the 2 quadratic-oracle exclusions == registry
+# size), so registry growth cannot silently stale this section again.
+SF1_ORACLE_RUN = {"total": 215, "exact": 206, "rows_only": 9, "round": 7}
+_SF1_QUADRATIC_EXCLUSIONS = ("prefix_jaccard_join", "embedding_near_dup")
+
+ORACLE_SF1_SECTION = f"""
 ## Oracle-verified at sf1
 
 Correctness holds at the rung where performance is measured:
 `python tools/check_oracle.py /tmp/crane_sf1 <names>` passes
-**213/213** registry queries on the 6M-row lineitem rung (204
-hash-exact vs DuckDB incl. every sampled twin, 9 rows-only with
-unit-test contracts; re-run round 7 on the shipped code — after the
-broadcast map-side similarity verify, the dup_span_ranges skew_safe
-regimes, and the four new r7 oracle entries `pandas_topk_cosine`,
-`approx_distinct_customers`, `approx_percentiles_by_status` (their
-differential flags hold at 6M rows), and `hashed_neardup_exact`) —
+**{SF1_ORACLE_RUN["total"]}/{SF1_ORACLE_RUN["total"]}** registry
+queries on the 6M-row lineitem rung ({SF1_ORACLE_RUN["exact"]}
+hash-exact vs DuckDB incl. every sampled twin,
+{SF1_ORACLE_RUN["rows_only"]} rows-only with unit-test contracts;
+re-run round {SF1_ORACLE_RUN["round"]} on the shipped code — after
+the broadcast map-side similarity verify, the dup_span_ranges
+skew_safe regimes, the routed-init no-orphan fix, and the six new r7
+oracle entries `pandas_topk_cosine`, `approx_distinct_customers`,
+`approx_percentiles_by_status`, `hashed_neardup_exact`,
+`multimodal_decode_stats`, and `bpe_apply_fixed`) —
 every exact-oracle query except
 `prefix_jaccard_join` and `embedding_near_dup`, whose DuckDB oracle
 definitions are deliberately quadratic (all-pairs over 50k docs /
