@@ -124,6 +124,18 @@ def build_training_corpus(
     report_v = V.put(report, out_root, "report")
     counts["_corpus_version"] = corpus_v
     counts["_report_version"] = report_v
+    # both snapshots are published: free the staged copies (and, under
+    # reliable_every, their durable files) — a service that rebuilds
+    # corpora repeatedly in one session must not accumulate snapshots
+    # per call (same lifecycle the streaming twin applies per batch)
+    from crane_spark.operators.caching import (
+        release_local_checkpoint,
+        release_reliable_checkpoint,
+    )
+
+    for staged in (clean, deduped):
+        release_reliable_checkpoint(staged)
+        release_local_checkpoint(staged)
     return counts
 
 

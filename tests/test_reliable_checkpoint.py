@@ -183,12 +183,16 @@ def test_checkpoint_dir_fallback_is_local_only():
         ensure_checkpoint_dir(FakeSpark())
 
 
-def test_build_training_corpus_reliable_cadence(spark, sf_dir, tmp_path):
+def test_build_training_corpus_reliable_cadence(spark, sf_dir, tmp_path, monkeypatch):
     """r6 verdict item 3: the production entry point forwards
     `reliable_every` to every materialized funnel stage. With
-    reliable_every=1 each stage writes durable checkpoint files, and
-    the published corpus + stage counts are bit-identical to the
-    default (localCheckpoint-only) run."""
+    reliable_every=1 each stage writes REAL durable checkpoint files
+    (observed at release time), frees them once both snapshots are
+    published (a service rebuilding corpora in one session must not
+    accumulate snapshots per call), and the published corpus + stage
+    counts are bit-identical to the default (localCheckpoint-only)
+    run."""
+    import crane_spark.operators.caching as C
     from crane_spark.llm.run_pipeline import build_training_corpus
     from crane_spark.sources import versioned as V
 
@@ -196,12 +200,27 @@ def test_build_training_corpus_reliable_cadence(spark, sf_dir, tmp_path):
 
     ckdir = ensure_checkpoint_dir(spark).removeprefix("file:")
     before = sum(len(fs) for _, _, fs in os.walk(ckdir))
+    real = C.release_reliable_checkpoint
+    released = []
+
+    def spy(df):
+        f = df._jdf.queryExecution().analyzed().rdd().getCheckpointFile()
+        if f.isDefined():
+            p = f.get().removeprefix("file:")
+            released.append((p, os.path.exists(p)))
+        real(df)
+
+    monkeypatch.setattr(C, "release_reliable_checkpoint", spy)
     rel = build_training_corpus(
         spark, sf_dir, str(tmp_path / "b"), reliable_every=1
     )
     after = sum(len(fs) for _, _, fs in os.walk(ckdir))
-    # two loop_checkpoint stages (dedup, decontaminate), both on-round
-    assert after >= before + 2, "each funnel stage must write durable files"
+    # two loop_checkpoint stages (dedup, decontaminate), both on-round:
+    # durable files existed while the funnel ran, gone once published
+    assert len(released) == 2
+    assert all(existed for _, existed in released)
+    assert not any(os.path.exists(p) for p, _ in released)
+    assert after <= before, "published runs must not accumulate snapshots"
 
     assert {k: v for k, v in base.items() if not k.startswith("_")} == {
         k: v for k, v in rel.items() if not k.startswith("_")
