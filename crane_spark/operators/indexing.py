@@ -113,6 +113,19 @@ def _range_bucket(key: str, cuts: list, descending: bool):
     )
 
 
+def _reserve(df: DataFrame, *names: str) -> None:
+    """Fail LOUDLY when the input already carries one of this module's
+    internal temp column names: withColumn would silently overwrite the
+    user's column and the final drop() would delete it — a quiet data
+    loss. Callers rename such columns before calling."""
+    clash = [n for n in names if n in df.columns]
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {clash}, which this operator "
+            "uses internally — rename them before calling"
+        )
+
+
 def exact_rank(
     df: DataFrame,
     key: str,
@@ -158,6 +171,11 @@ def exact_rank(
     driver path additionally fails loudly on a count mismatch; see
     :func:`exact_ntile`).
     """
+    # "_gm0" is reserved only on the outer call: the global-path wrap
+    # below re-enters with major="_gm0" legitimately present
+    _reserve(df, "_rb", "_off", "_mj", "_sb", "_sn", "_bn")
+    if major != "_gm0":
+        _reserve(df, "_gm0")
     if major is None and EXPLAIN_ONLY:
         # zero-job global path: run the (fully lazy) per-major
         # machinery over an always-zero major. NON-FOLDABLE expression
@@ -293,6 +311,9 @@ def exact_prefix_sum(
     needing bit-exact fractional running totals should scale to
     integer units first (functions/aggregates.units).
     """
+    _reserve(df, "_rb", "_off", "_mj", "_sb", "_bn")
+    if major != "_gm0":
+        _reserve(df, "_gm0")
     if major is None and EXPLAIN_ONLY:
         # zero-job global path over an always-zero NON-FOLDABLE major
         # (see exact_rank) — exact values
@@ -513,6 +534,7 @@ def exact_ntile(
     """
     if k < 1:
         raise ValueError(f"ntile k must be >= 1, got {k}")
+    _reserve(df, "_rank", "_n")
     ranked = exact_rank(
         df,
         key,
@@ -572,10 +594,18 @@ def dense_index(
     lazy-checkpoint discipline, retrofitted here in round 6 so
     explain-only paths and pre-checkpointed callers stop paying a
     data-sized copy). Shares :func:`exact_rank`'s determinism
-    requirement across the passes; a bucket or major the count pass
-    never observed fails loudly in the final join.
+    requirement across the passes; a bucket, (major, bucket) cell, or
+    major the count pass never observed fails loudly in the final
+    joins (left joins + raise_error null traps — never a silent row
+    drop). NULL ``major`` values are supported: null-safe join
+    equality and a None-aware driver sort place the NULL group first,
+    matching Spark's ASC NULLS FIRST.
     """
     spark = df.sparkSession
+    _reserve(
+        df, "_hb", "_ob", "_off", "_bn", "_n", "_t", "_mj", "_whb", "_woff",
+        "_mm", "_moff",
+    )
     hb = F.pmod(F.xxhash64(F.col(tiebreak)), F.lit(buckets))
     if checkpoint and not EXPLAIN_ONLY:
         d = df.withColumn("_hb", hb).localCheckpoint(eager=True)
@@ -651,7 +681,8 @@ def dense_index(
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         moff_df = totals.select(
-            major, F.coalesce(F.sum("_t").over(w_m), F.lit(0)).alias("_moff")
+            F.col(major).alias("_mm"),
+            F.coalesce(F.sum("_t").over(w_m), F.lit(0)).alias("_moff"),
         )
         fetched = None
     else:
@@ -661,20 +692,24 @@ def dense_index(
     elif len(fetched) <= major_cap:
         rows = {r[major]: r["_t"] for r in fetched}
         moff, acc = [], 0
-        for mv in sorted(rows):
+        # None-aware sort key matching Spark's ASC NULLS FIRST, so a
+        # NULL major group gets the first offset instead of a driver
+        # TypeError (None < int is unorderable in Python)
+        for mv in sorted(rows, key=lambda v: (v is not None, v)):
             moff.append((mv, acc))
             acc += rows[mv]
         moff_df = F.broadcast(
             spark.createDataFrame(
                 moff,
-                f"{major} {df.schema[major].dataType.simpleString()}, _moff long",
+                f"_mm {df.schema[major].dataType.simpleString()}, _moff long",
             )
         )
     else:  # post-aggregate fallback: D rows, never data-sized; size is
         # data-dependent, so no forced broadcast — AQE decides.
         w_m = Window.orderBy(major).rowsBetween(Window.unboundedPreceding, -1)
         moff_df = totals.select(
-            major, F.coalesce(F.sum("_t").over(w_m), F.lit(0)).alias("_moff")
+            F.col(major).alias("_mm"),
+            F.coalesce(F.sum("_t").over(w_m), F.lit(0)).alias("_moff"),
         )
     guarded_moff = F.when(
         F.col("_moff").isNull(),
@@ -686,12 +721,36 @@ def dense_index(
             )
         ).cast("long"),
     ).otherwise(F.col("_moff"))
+    # Both lookup joins are LEFT with null-trap guards, and the major
+    # equality is NULL-SAFE: an inner join here would silently DROP a
+    # row whose (major, bucket) cell the count pass never observed
+    # (non-deterministic input) instead of failing loudly — the same
+    # retrofit exact_rank/exact_prefix_sum carry — and a null-unsafe
+    # join would silently drop every NULL-major row.
+    guarded_woff = F.when(
+        F.col("_woff").isNull(),
+        F.raise_error(
+            F.lit(
+                "dense_index: a (major, bucket) cell appeared that the "
+                "count pass did not observe — the input is "
+                "non-deterministic across scans; pass checkpoint=True or "
+                "materialize the input"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("_woff"))
+    w_sel = within.select(
+        F.col(major).alias("_mj"), F.col("_hb").alias("_whb"), "_woff"
+    )
     return (
-        d.join(within.select(major, "_hb", "_woff"), [major, "_hb"])
-        .join(moff_df, major, "left")
+        d.join(
+            w_sel,
+            F.col(major).eqNullSafe(F.col("_mj")) & (F.col("_hb") == F.col("_whb")),
+            "left",
+        )
+        .join(moff_df, F.col(major).eqNullSafe(F.col("_mm")), "left")
         .withColumn(
             out,
-            guarded_moff + F.col("_woff") + F.row_number().over(w) - 1 + base,
+            guarded_moff + guarded_woff + F.row_number().over(w) - 1 + base,
         )
-        .drop("_hb", "_woff", "_moff")
+        .drop("_hb", "_mj", "_whb", "_woff", "_mm", "_moff")
     )

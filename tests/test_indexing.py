@@ -458,3 +458,64 @@ def test_idiv_exact_beyond_double_range(spark):
     ).first()
     assert row["i"] == x // 2 == 2**52 + 1  # exact integral division
     assert row["f"] == 2**52 + 2  # the double path provably rounds up
+
+
+def test_dense_index_null_major_supported_both_regimes(spark):
+    """NULL major values must index like any other group (placed FIRST,
+    matching Spark's ASC NULLS FIRST) instead of crashing the driver
+    cumsum (None < int TypeError) or being silently dropped by a
+    null-unsafe join in the window fallback regime."""
+    import pyspark.sql.functions as F
+
+    rows = [(i, None if i < 3 else i % 4) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, grp int")
+    for cap in (100, 2):  # driver-cumsum regime, then window fallback
+        out = dense_index(
+            df, tiebreak="vec_id", major="grp", out="ix", major_cap=cap
+        ).collect()
+        assert len(out) == 20, f"major_cap={cap} dropped rows"
+        ixs = sorted(r["ix"] for r in out)
+        assert ixs == list(range(20)), f"major_cap={cap}: not a bijection"
+        null_ixs = {r["ix"] for r in out if r["grp"] is None}
+        assert null_ixs == {0, 1, 2}, "NULL major group must rank first"
+
+
+def test_dense_index_unseen_cell_fails_loudly(spark):
+    """A (major, bucket) cell — or major — the count pass never
+    observed must raise (non-deterministic input), never silently drop
+    the row: the same loud-fail contract exact_rank carries. The input
+    is a genuinely nondeterministic sparse filter (unseeded Python
+    random, ~5% pass rate over 200 rows across 50 majors), so each of
+    the construction's passes sees an almost surely different row set
+    and one of the null-trap guards must fire."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    @F.udf("boolean")
+    def sparse_flaky(x):
+        import random
+
+        return random.random() < 0.05
+
+    sparse_flaky = sparse_flaky.asNondeterministic()
+    df = spark.createDataFrame(
+        [(i, i % 50) for i in range(200)], "vec_id long, grp int"
+    )
+    flaky = df.filter(sparse_flaky("vec_id"))
+    with pytest.raises(Exception, match="did not observe"):
+        dense_index(flaky, tiebreak="vec_id", major="grp", out="ix").collect()
+
+
+def test_internal_column_collision_raises(spark):
+    """Inputs already carrying an operator's internal temp column must
+    fail loudly instead of having the column overwritten and dropped."""
+    import pytest
+
+    from crane_spark.operators.indexing import exact_rank
+
+    df = spark.createDataFrame([(1, 2, 3)], "a long, b long, _rb long")
+    with pytest.raises(ValueError, match="_rb"):
+        exact_rank(df, "a", ["b"])
+    df2 = spark.createDataFrame([(1, 2, 3)], "a long, b long, _hb long")
+    with pytest.raises(ValueError, match="_hb"):
+        dense_index(df2, tiebreak="a")

@@ -225,3 +225,41 @@ def test_incremental_join_maintenance_equals_full_rejoin(spark):
     assert maintained.exceptAll(full).count() == 0
     assert full.exceptAll(maintained).count() == 0
     assert full.count() > 0
+
+
+def test_incremental_join_with_precomputed_deltas(spark):
+    """The CDC-shaped entry point: callers holding row deltas skip the
+    four snapshot scans and must reproduce the full re-join exactly —
+    and the view is subtracted ONCE (the two delete terms union into a
+    single exceptAll)."""
+    import random
+
+    from crane_spark.operators.incremental import (
+        deltas,
+        incremental_join_with_deltas,
+    )
+
+    rng = random.Random(23)
+    a_rows = [(rng.randrange(9), rng.randrange(4)) for _ in range(50)]
+    b_rows = [(rng.randrange(9), rng.randrange(6) + 100) for _ in range(30)]
+    a_old = spark.createDataFrame(a_rows, "k long, av long")
+    b_old = spark.createDataFrame(b_rows, "k long, bv long")
+    a_new = spark.createDataFrame(
+        [r for r in a_rows if rng.random() > 0.3]
+        + [(rng.randrange(9), 77) for _ in range(6)],
+        "k long, av long",
+    )
+    b_new = spark.createDataFrame(
+        [r for r in b_rows if rng.random() > 0.3]
+        + [(rng.randrange(9), 277) for _ in range(5)],
+        "k long, bv long",
+    )
+    da_add, da_del = deltas(a_old, a_new)
+    db_add, db_del = deltas(b_old, b_new)
+    maintained = incremental_join_with_deltas(
+        a_old.join(b_old, ["k"]), a_old, b_old, b_new, ["k"],
+        da_add, da_del, db_add, db_del,
+    )
+    full = a_new.join(b_new, ["k"])
+    assert maintained.exceptAll(full).count() == 0
+    assert full.exceptAll(maintained).count() == 0
