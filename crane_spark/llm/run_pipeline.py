@@ -205,6 +205,30 @@ def stream_training_corpus(
     counts_dir = out_root + "/lang_counts"
 
     def ingest(batch, batch_id: int) -> None:
+        staged = []
+        try:
+            _ingest_body(batch, batch_id, staged)
+        finally:
+            # free whatever stages this attempt materialized — even on
+            # a failed sink write, since foreachBatch retries the batch
+            # with fresh checkpoints (and, under reliable_every, delete
+            # the durable files: Spark never cleans reliable
+            # checkpoints by default, so a long-running stream taking
+            # three per micro-batch would otherwise grow the
+            # checkpoint volume without bound; a batch's recovery
+            # point is dead once its idempotent sinks committed — the
+            # stream's own checkpoint replays the whole batch on
+            # crash)
+            from crane_spark.operators.caching import (
+                release_local_checkpoint,
+                release_reliable_checkpoint,
+            )
+
+            for frame in staged:
+                release_reliable_checkpoint(frame)
+                release_local_checkpoint(frame)
+
+    def _ingest_body(batch, batch_id: int, staged: list) -> None:
         spark = batch.sparkSession
         qid = _streaming_query_id(checkpoint)
         sub = os.path.join(qid, f"batch-{batch_id}")
@@ -218,6 +242,7 @@ def stream_training_corpus(
         b = loop_checkpoint(
             batch.dropDuplicates(["doc_id"]), 1, reliable_every
         )
+        staged.append(b)
         counts = {"0_raw": b.count()}
 
         length_ok = b.filter(F.col("n_chars").between(len_lo, len_hi))
@@ -253,6 +278,7 @@ def stream_training_corpus(
             known = known.select("_h")
             deduped = deduped.join(known, "_h", "left_anti")
         deduped = loop_checkpoint(deduped, 2, reliable_every)
+        staged.append(deduped)
         counts["2_exact_dedup"] = deduped.count()
 
         contaminated = (
@@ -267,6 +293,7 @@ def stream_training_corpus(
             3,
             reliable_every,
         )
+        staged.append(clean)
         counts["3_decontaminated"] = clean.count()
 
         # cumulative language counts = prior batches' ledger + this one
@@ -316,23 +343,6 @@ def stream_training_corpus(
             [(qid, batch_id, k, v) for k, v in sorted(counts.items())],
             "query_id string, batch_id long, stage string, n_docs long",
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(report_dir, sub))
-        # every sink above has executed — free this batch's staged
-        # copies now; a long soak otherwise stacks three checkpoints
-        # per micro-batch until a driver GC cycle (ADVICE r3 pattern).
-        # With reliable_every on, ALSO delete the durable files: Spark
-        # never cleans reliable checkpoints by default, so a
-        # long-running stream taking three per micro-batch would grow
-        # the checkpoint volume without bound (the recovery point is
-        # dead once the batch's idempotent sinks committed — the
-        # stream's own checkpoint replays the whole batch on crash).
-        from crane_spark.operators.caching import (
-            release_local_checkpoint,
-            release_reliable_checkpoint,
-        )
-
-        for staged in (clean, deduped, b):
-            release_reliable_checkpoint(staged)
-            release_local_checkpoint(staged)
 
     return (
         docs.writeStream.foreachBatch(ingest)

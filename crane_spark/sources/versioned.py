@@ -46,10 +46,9 @@ def _vdir(root: str, name: str, version: int) -> str:
     return f"{root}/{name}/{_VPREFIX}{version:0{_VDIGITS}d}"
 
 
-def versions(spark: SparkSession, root: str, name: str) -> list[int]:
-    """Committed version numbers of ``name``, ascending (``ls`` +
-    ``get-versions`` plane, ref dfs_client.py:139-151,160-173). Only
-    snapshots whose _SUCCESS marker exists count."""
+def _listed_versions(
+    spark: SparkSession, root: str, name: str, committed_only: bool
+) -> list[int]:
     fs, path, jvm = _fs_and_path(spark, f"{root}/{name}")
     if not fs.exists(path):
         return []
@@ -61,20 +60,38 @@ def versions(spark: SparkSession, root: str, name: str) -> list[int]:
                 v = int(base[len(_VPREFIX):])
             except ValueError:
                 continue
-            marker = jvm.org.apache.hadoop.fs.Path(
-                status.getPath(), "_SUCCESS"
-            )
-            if fs.exists(marker):
-                out.append(v)
+            if committed_only:
+                marker = jvm.org.apache.hadoop.fs.Path(
+                    status.getPath(), "_SUCCESS"
+                )
+                if not fs.exists(marker):
+                    continue
+            out.append(v)
     return sorted(out)
+
+
+def versions(spark: SparkSession, root: str, name: str) -> list[int]:
+    """Committed version numbers of ``name``, ascending (``ls`` +
+    ``get-versions`` plane, ref dfs_client.py:139-151,160-173). Only
+    snapshots whose _SUCCESS marker exists count."""
+    return _listed_versions(spark, root, name, committed_only=True)
 
 
 def put(df: DataFrame, root: str, name: str) -> int:
     """Write a new immutable snapshot version; returns its number
     (ref `put`, dfs_client.py:101-121). The snapshot becomes visible
-    atomically with the committer's _SUCCESS marker."""
+    atomically with the committer's _SUCCESS marker.
+
+    The next version number is computed over ALL ``vNNNNNN``
+    directories, committed or not: a crashed put leaves an
+    uncommitted directory (no _SUCCESS — invisible to readers), and
+    numbering from committed versions only would collide with it on
+    every subsequent put, wedging the dataset. Orphans are skipped,
+    never reused or deleted here (a concurrent writer may be
+    mid-commit on one); `delete(name)` reclaims them with the
+    dataset."""
     spark = df.sparkSession
-    existing = versions(spark, root, name)
+    existing = _listed_versions(spark, root, name, committed_only=False)
     v = (existing[-1] if existing else 0) + 1
     df.write.mode("errorifexists").parquet(_vdir(root, name, v))
     return v
@@ -99,7 +116,12 @@ def get_versions(
     spark: SparkSession, root: str, name: str, num_versions: int
 ) -> dict[int, DataFrame]:
     """The newest ``num_versions`` snapshots, keyed by version number
-    (ref `get-versions num-versions`, dfs_client.py:160-173)."""
+    (ref `get-versions num-versions`, dfs_client.py:160-173).
+    ``num_versions <= 0`` returns no snapshots — the unguarded
+    negative slice would silently return the FULL history for 0
+    (``vs[-0:] == vs``) and the oldest versions for negatives."""
+    if num_versions <= 0:
+        return {}
     vs = versions(spark, root, name)[-num_versions:]
     return {v: spark.read.parquet(_vdir(root, name, v)) for v in vs}
 
@@ -196,12 +218,17 @@ def diff(
     to_version: int,
     key_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Row-level change set between two committed snapshots: returns
-    the union of rows only in ``to_version`` (change = 'added') and
-    rows only in ``from_version`` (change = 'removed'), by full-row
-    multiset comparison (``exceptAll``), or by key columns when given
-    (then a changed key shows as removed+added). This is the audit
-    companion to `get_versions` — the reference's version plane
+    """Row-level change set between two committed snapshots. Without
+    ``key_cols``: the union of rows only in ``to_version``
+    (change = 'added') and rows only in ``from_version``
+    (change = 'removed'), by full-row multiset comparison
+    (``exceptAll``). With ``key_cols``: one row per CHANGED KEY,
+    classified 'added' (key only in to_version), 'removed' (key only
+    in from_version), or 'updated' (key in both but with different
+    row content — detected on FULL rows, so a non-key value change is
+    reported; projecting to the keys first would report an
+    update-heavy release as zero changes). This is the audit companion
+    to `get_versions` — the reference's version plane
     (dfs_client.py:160-173) could fetch old bytes but never explain
     what changed; immutable snapshot pairs make the diff a pure
     relational operation."""
@@ -209,9 +236,15 @@ def diff(
 
     newer = get(spark, root, name, to_version)
     older = get(spark, root, name, from_version)
+    added_rows = newer.exceptAll(older)
+    removed_rows = older.exceptAll(newer)
     if key_cols:
-        newer = newer.select(*key_cols)
-        older = older.select(*key_cols)
-    added = newer.exceptAll(older).withColumn("change", F.lit("added"))
-    removed = older.exceptAll(newer).withColumn("change", F.lit("removed"))
+        ak = added_rows.select(*key_cols).distinct()
+        rk = removed_rows.select(*key_cols).distinct()
+        updated = ak.intersect(rk).withColumn("change", F.lit("updated"))
+        added = ak.subtract(rk).withColumn("change", F.lit("added"))
+        removed = rk.subtract(ak).withColumn("change", F.lit("removed"))
+        return added.unionByName(removed).unionByName(updated)
+    added = added_rows.withColumn("change", F.lit("added"))
+    removed = removed_rows.withColumn("change", F.lit("removed"))
     return added.unionByName(removed)

@@ -132,27 +132,51 @@ def stream_upsert_parquet(
     df: DataFrame, path: str, checkpoint: str, key_cols: list[str]
 ) -> StreamingQuery:
     """foreachBatch upsert sink: each micro-batch replaces existing
-    rows for its keys (read-anti-join-union-overwrite on parquet; on a
-    real deployment the same foreachBatch body targets Delta/Iceberg
-    MERGE). This is the 'iterative/merge sink' surface from SURVEY §2.2
-    that plain append sinks can't express."""
+    rows for its keys (read-anti-join-union, staged write, RENAME
+    swap on parquet; on a real deployment the same foreachBatch body
+    targets Delta/Iceberg MERGE). This is the 'iterative/merge sink'
+    surface from SURVEY §2.2 that plain append sinks can't express.
+
+    Crash-safety is the same rename discipline as
+    :func:`compact_neardup_store`: the merged store is written ONCE to
+    a staging dir and installed via two metadata-only renames
+    (live -> .old, staging -> live), so the live store is never a
+    half-written overwrite target — a crash at any point leaves either
+    the old or the new version recoverable, and the next batch (or a
+    checkpoint replay of this one) restores a stranded ``.old``
+    before merging. Key equality in the anti-join is NULL-SAFE,
+    matching dropDuplicates' NULLs-are-equal semantics, so NULL-keyed
+    rows upsert instead of duplicating forever."""
     import os
+    import shutil
 
     def upsert(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.dropDuplicates(key_cols)
+        staging, old = path + ".staging", path + ".old"
+        # recover from a crashed swap: live gone but .old present
+        if not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)
+        for stale in (staging, old):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
         if os.path.exists(path):
             existing = spark.read.parquet(path)
-            keep = existing.join(batch.select(*key_cols), key_cols, "left_anti")
+            bk = batch.select(*key_cols)
+            cond = None
+            for k in key_cols:
+                c = existing[k].eqNullSafe(bk[k])
+                cond = c if cond is None else cond & c
+            keep = existing.join(bk, cond, "left_anti")
             merged = keep.unionByName(batch)
         else:
             merged = batch
-        # Write to a staging dir then swap: overwriting the parquet we
-        # are reading in the same job would corrupt it.
-        staging = path + ".staging"
         merged.write.mode("overwrite").parquet(staging)
-        final = spark.read.parquet(staging)
-        final.write.mode("overwrite").parquet(path)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(staging, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     return (
         df.writeStream.foreachBatch(upsert)
@@ -172,7 +196,10 @@ def run_available_now(
 ) -> None:
     """Drain the stream to completion into an in-memory table (the
     console/memory sink twin of the reference's final result print,
-    crane_master.py:166-169)."""
+    crane_master.py:166-169). Raises ``TimeoutError`` when the drain
+    does not finish within ``timeout_sec`` — returning normally there
+    would hand the caller a partially-drained table that silently
+    reads as complete results."""
     writer = (
         df.writeStream.format("memory")
         .queryName(sink_table)
@@ -183,7 +210,13 @@ def run_available_now(
         writer = writer.option("checkpointLocation", checkpoint)
     query = writer.start()
     try:
-        query.awaitTermination(timeout_sec)
+        finished = query.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(
+                f"availableNow drain into {sink_table!r} still running "
+                f"after {timeout_sec}s — the memory table is PARTIAL; "
+                "raise timeout_sec or reduce the input"
+            )
     finally:
         if query.isActive:
             query.stop()
@@ -257,8 +290,19 @@ def stream_incremental_ingest(
         hashed = batch.withColumn("text_hash", F.sha2(F.col(text_col), 256))
         hashed = hashed.dropDuplicates(["text_hash"])
         if os.path.exists(store_path):
-            known = spark.read.parquet(store_path).select("text_hash")
-            hashed = hashed.join(known, "text_hash", "left_anti")
+            # NULL-SAFE anti-join: sha2(NULL) is NULL, and a plain
+            # equality anti-join never matches NULL keys — a null-text
+            # doc would re-append on EVERY batch and on every replay,
+            # breaking the cross-run dedup contract (dropDuplicates
+            # above already treats NULLs as equal; the probe must too).
+            known = spark.read.parquet(store_path).select(
+                F.col("text_hash").alias("_known_hash")
+            )
+            hashed = hashed.join(
+                known,
+                F.col("text_hash").eqNullSafe(F.col("_known_hash")),
+                "left_anti",
+            )
         hashed.write.mode("append").parquet(store_path)
 
     return (
@@ -286,7 +330,15 @@ def stream_neardup_ingest(
     1. computes LSH band keys for its documents (llm/dedup.py: one
        codegen'd hash-agg, #bands short rows per doc);
     2. drops within-batch near-dups (band-bucket candidates verified
-       by exact shingle Jaccard >= t, greedy lower-id keeper);
+       by exact shingle Jaccard >= t; keeper policy is the order-free
+       "dominated by ANY lower id" rule shared with
+       `llm.similarity.semantic_dedup_keep` — NOT sequential greedy: a
+       doc that matches a lower-id doc is dropped even when that lower
+       doc is itself dropped, so a transitive chain A~B~C (A!~C) keeps
+       only A, and admission can depend on where micro-batch
+       boundaries fall. The rule is deterministic and fully parallel,
+       which is what corpus-scale ingest needs; sequential greedy
+       would serialize the batch);
     3. probes the PERSISTED band index (equi-join on (band, band_key)
        — touches only colliding buckets, never the corpus), fetches
        just the candidate matches' stored texts, verifies exactly,
@@ -348,12 +400,16 @@ def stream_neardup_ingest(
         spark = batch.sparkSession
         ball = batch.dropDuplicates([id_col]).localCheckpoint(eager=True)
         # Split on shingle-ability: short docs (< shingle_n tokens)
-        # have no bands and take the exact-hash path below.
-        n_toks = F.size(tokens(text_col))
+        # have no bands and take the exact-hash path below. NULL text
+        # routes to the short path too (size(NULL tokens) is NULL, so
+        # without the coalesce BOTH filters would silently drop the
+        # row — invisible data loss); its hash coalesces NULL to '',
+        # deliberately deduping NULL-text against empty-text docs.
+        n_toks = F.coalesce(F.size(tokens(text_col)), F.lit(0))
         b = ball.filter(n_toks >= shingle_n)
         short = (
             ball.filter(n_toks < shingle_n)
-            .withColumn("_h", F.md5(F.col(text_col)))
+            .withColumn("_h", F.md5(F.coalesce(F.col(text_col), F.lit(""))))
             .localCheckpoint(eager=True)
         )
         sets = shingle_sets(b, text_col, id_col, shingle_n).localCheckpoint(eager=True)
@@ -447,25 +503,31 @@ def stream_neardup_ingest(
         keep = keep.localCheckpoint(eager=True)
         keep_short = keep_short.localCheckpoint(eager=True)
 
-        # Bands FIRST (index over-complete on crash, never under-):
-        new_bands = bands.join(keep.select(id_col), id_col, "left_semi").unionByName(
-            keep_short.select(
-                F.col(id_col),
-                F.lit(-1).alias("band"),
-                F.col("_h").alias("band_key"),
+        try:
+            # Bands FIRST (index over-complete on crash, never under-):
+            new_bands = bands.join(
+                keep.select(id_col), id_col, "left_semi"
+            ).unionByName(
+                keep_short.select(
+                    F.col(id_col),
+                    F.lit(-1).alias("band"),
+                    F.col("_h").alias("band_key"),
+                )
             )
-        )
-        new_bands.write.mode("append").parquet(index_store)
-        keep.unionByName(keep_short.drop("_h")).write.mode("append").parquet(
-            docs_store
-        )
-        # both sinks have executed — free this batch's staged copies
-        # now; a production firehose otherwise stacks six checkpoints
-        # per micro-batch until a driver GC cycle (ADVICE r3 pattern)
-        from crane_spark.operators.caching import release_local_checkpoint
+            new_bands.write.mode("append").parquet(index_store)
+            keep.unionByName(keep_short.drop("_h")).write.mode("append").parquet(
+                docs_store
+            )
+        finally:
+            # free this batch's staged copies whether or not the sinks
+            # succeeded — a failed write is retried by foreachBatch
+            # with SIX fresh checkpoints, so leaking the failed
+            # attempt's copies is exactly the accumulation pattern the
+            # release exists to prevent (ADVICE r3)
+            from crane_spark.operators.caching import release_local_checkpoint
 
-        for staged in (keep, keep_short, bands, sets, short, ball):
-            release_local_checkpoint(staged)
+            for staged in (keep, keep_short, bands, sets, short, ball):
+                release_local_checkpoint(staged)
 
     return (
         docs.writeStream.foreachBatch(ingest)
@@ -710,8 +772,27 @@ def stream_heavy_hitters(
     from crane_spark.functions.sketches import cms_build
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
         qid = _streaming_query_id(checkpoint)
         sub = os.path.join(qid, f"batch-{batch_id}")
+        # The store is SELF-DESCRIBING: each batch writes its sketch
+        # geometry to meta/, and ingest refuses to append into a store
+        # built with a different (depth, width) — cell-wise sums of
+        # mixed-geometry sketches are silently meaningless, and a
+        # reader probing with the wrong width hashes into the wrong
+        # cells and returns zeros for genuinely heavy keys.
+        stored = _cms_store_geometry(spark, store_path)
+        if stored is not None and stored != (depth, width):
+            raise ValueError(
+                f"store {store_path!r} holds depth={stored[0]}, "
+                f"width={stored[1]} sketches; refusing to append "
+                f"depth={depth}, width={width}"
+            )
+        spark.createDataFrame(
+            [(depth, width)], "depth int, width int"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(store_path, "meta", sub)
+        )
         sketch = cms_build(batch, col, depth, width)
         sketch.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(store_path, "sketch", sub)
@@ -735,19 +816,69 @@ def stream_heavy_hitters(
     )
 
 
+def _cms_store_geometry(
+    spark: SparkSession, store_path: str
+) -> tuple[int, int] | None:
+    """(depth, width) recorded in the store's meta/ dir; None for an
+    empty or pre-meta store. Raises on a store holding MIXED
+    geometries — their sketches must never be cell-wise merged."""
+    import os
+
+    meta_dir = os.path.join(store_path, "meta")
+    if not os.path.exists(meta_dir):
+        return None
+    rows = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(meta_dir)
+        .select("depth", "width")
+        .distinct()
+        .collect()
+    )
+    if not rows:
+        return None
+    if len(rows) > 1:
+        raise ValueError(
+            f"store {store_path!r} holds sketches of MIXED geometries "
+            f"{sorted((r['depth'], r['width']) for r in rows)} — "
+            "cell-wise merging them is meaningless; re-ingest with one"
+        )
+    return rows[0]["depth"], rows[0]["width"]
+
+
 def read_heavy_hitters(
     spark: SparkSession,
     store_path: str,
     top_n: int = 10,
     col: str = "token",
-    depth: int = 4,
-    width: int = 2048,
+    depth: int | None = None,
+    width: int | None = None,
 ) -> DataFrame:
     """Top keys across every ingested batch and run: merge all batch
     sketches (cell-wise sum — one sketch-sized aggregate), probe the
-    deduplicated candidate set, rank by estimate with a key
-    tiebreak."""
+    deduplicated candidate set, rank by estimate with a key tiebreak.
+
+    Sketch geometry comes from the store's own meta/ records (written
+    by `stream_heavy_hitters`), so a reader can never probe with the
+    wrong (depth, width) — mismatched hashing returns silent zeros for
+    genuinely heavy keys. Passing depth/width explicitly is only for
+    pre-meta stores; explicit values that CONTRADICT the store's meta
+    raise."""
     from crane_spark.functions.sketches import cms_estimate
+
+    stored = _cms_store_geometry(spark, store_path)
+    if stored is not None:
+        if (depth is not None and depth != stored[0]) or (
+            width is not None and width != stored[1]
+        ):
+            raise ValueError(
+                f"store {store_path!r} records depth={stored[0]}, "
+                f"width={stored[1]}; caller asked for depth={depth}, "
+                f"width={width}"
+            )
+        depth, width = stored
+    else:
+        depth = 4 if depth is None else depth
+        width = 2048 if width is None else width
 
     sketch = (
         spark.read.option("recursiveFileLookup", "true")

@@ -1274,3 +1274,80 @@ def test_stream_distinct_sketches_survive_checkpoint_loss(spark, tmp_path):
     run()
     after = read_distinct_counts(spark, store).collect()[0]["approx_distinct"]
     assert after == before
+
+
+def test_incremental_ingest_null_text_dedups_and_is_replay_idempotent(
+    spark, tmp_path
+):
+    """sha2(NULL) is NULL, and a plain-equality anti-join never matches
+    NULL keys — before the null-safe probe, a NULL-text doc re-appended
+    on EVERY batch and every replay. One null-text row must land in the
+    store and stay single across a second run re-delivering another."""
+    from crane_spark.streaming.pipelines import stream_incremental_ingest
+
+    src = str(tmp_path / "crawl")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+
+    spark.createDataFrame([(1, None), (2, "alpha")], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    q = stream_incremental_ingest(
+        spark.readStream.schema(schema).parquet(src), store, ck
+    )
+    q.awaitTermination(60)
+    spark.createDataFrame([(3, None), (4, "beta")], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    q = stream_incremental_ingest(
+        spark.readStream.schema(schema).parquet(src), store, ck
+    )
+    q.awaitTermination(60)
+
+    stored = spark.read.parquet(store)
+    assert stored.filter("text IS NULL").count() == 1
+    assert stored.count() == 3  # null + alpha + beta
+
+
+def test_heavy_hitters_store_is_self_describing(spark, tmp_path):
+    """The CMS store records its (depth, width); a reader needs no
+    params (mismatched defaults would probe the wrong cells and return
+    silent zeros), contradictory explicit params raise, and ingest
+    refuses to append a different geometry into an existing store."""
+    import pytest
+
+    from crane_spark.streaming.pipelines import (
+        read_heavy_hitters,
+        stream_heavy_hitters,
+    )
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "hh")
+    rows = [(f"t{k}",) for k in range(1, 6) for _ in range(30 // k)]
+    spark.createDataFrame(rows, "token string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = stream_heavy_hitters(
+        spark.readStream.schema("token string").parquet(src),
+        store,
+        str(tmp_path / "ck1"),
+        width=4096,  # NOT the default
+    )
+    q.awaitTermination(60)
+
+    # paramless read resolves the stored geometry and ranks correctly
+    top = read_heavy_hitters(spark, store, top_n=2).collect()
+    assert [r["token"] for r in top] == ["t1", "t2"]
+    with pytest.raises(ValueError, match="records depth"):
+        read_heavy_hitters(spark, store, width=2048)
+    # a second ingest run with a different geometry must refuse
+    q = stream_heavy_hitters(
+        spark.readStream.schema("token string").parquet(src),
+        store,
+        str(tmp_path / "ck2"),
+        width=2048,
+    )
+    with pytest.raises(Exception, match="refusing to append"):
+        q.awaitTermination(60)
+        raise AssertionError("query should have failed")

@@ -45,10 +45,15 @@ def test_uncommitted_snapshot_is_invisible(spark, root):
     fs.delete(jvm.org.apache.hadoop.fs.Path(fake + "/_SUCCESS"), False)
     assert V.versions(spark, root, "d") == [1]
     assert V.get(spark, root, "d").count() == 3
-    # the next put must NOT reuse the torn directory's number blindly:
-    # it fails loudly on the existing path rather than overwriting.
-    with pytest.raises(Exception):
-        V.put(spark.range(2), root, "d")
+    # the next put must neither reuse the torn directory's number
+    # (errorifexists would collide and wedge EVERY future put) nor
+    # overwrite it (a concurrent writer could be mid-commit): it skips
+    # the orphan and commits the next free number.
+    assert V.put(spark.range(2), root, "d") == 3
+    assert V.versions(spark, root, "d") == [1, 3]
+    assert V.get(spark, root, "d").count() == 2
+    fs2, path2, _ = V._fs_and_path(spark, fake)
+    assert fs2.exists(path2), "orphan dir must be left untouched"
 
 
 def test_delete_one_version_and_whole_dataset(spark, root):
@@ -263,3 +268,28 @@ def test_incremental_join_with_precomputed_deltas(spark):
     full = a_new.join(b_new, ["k"])
     assert maintained.exceptAll(full).count() == 0
     assert full.exceptAll(maintained).count() == 0
+
+
+def test_get_versions_zero_and_negative_return_nothing(spark, root):
+    """vs[-0:] slices the WHOLE list — num_versions<=0 must mean none,
+    not an accidental full-history read."""
+    for n in (1, 2, 3):
+        V.put(spark.range(n), root, "d")
+    assert V.get_versions(spark, root, "d", 0) == {}
+    assert V.get_versions(spark, root, "d", -2) == {}
+    assert sorted(V.get_versions(spark, root, "d", 2)) == [2, 3]
+
+
+def test_diff_by_key_reports_value_updates(spark, root):
+    """With key_cols, a key whose NON-KEY values changed must surface
+    as 'updated' — projecting to keys first would report an
+    update-heavy release as zero changes."""
+    v1 = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "id long, score long")
+    v2 = spark.createDataFrame([(1, 99), (2, 20), (4, 40)], "id long, score long")
+    V.put(v1, root, "t")
+    V.put(v2, root, "t")
+    got = {
+        (r["id"], r["change"])
+        for r in V.diff(spark, root, "t", 1, 2, key_cols=["id"]).collect()
+    }
+    assert got == {(1, "updated"), (3, "removed"), (4, "added")}
