@@ -58,6 +58,39 @@ def register(
     return deco
 
 
+# Every rows-only entry (sql=None) must name a hash-exact registered
+# anchor: a sampled or differential twin that runs the SAME engine code
+# path against a DuckDB oracle. The anchor is what makes a rows-only
+# check meaningful — "this family's machinery is hash-verified; this
+# entry exercises it at a scale/shape its oracle can't express."
+# tests/test_oracle.py enforces that this mapping covers every
+# rows-only entry and that each anchor is a registered exact-oracle
+# query; tools/check_oracle.py prints the anchor on each rows-only line.
+ROWS_ONLY_ANCHORS: dict[str, str] = {
+    # Iterative BPE merge selection / tokenize stats: anchored by the
+    # conflict-aware batched apply equalling DuckDB's sequential
+    # nested-replace replay over a fixed merge list.
+    "bpe_merges": "bpe_apply_fixed",
+    "bpe_tokenize_stats": "bpe_apply_fixed",
+    # Approx sketches: anchored by the differential twins (exact value
+    # + worst-case-bound flags that hold under ANY merge order).
+    "cms_heavy_hitters": "cms_heavy_hitters_diff",
+    "hll_rollup_regions": "hll_rollup_diff",
+    "rolling_7d_hll": "rolling_7d_hll_diff",
+    # NN-Descent graph ANN: anchored by the deterministic sampled twin
+    # that runs the identical build + beam-search path.
+    "knn_graph_topk": "knn_graph_sampled",
+    # Distributed LR: anchored by the decimal-exact sampled twin.
+    "quality_gate_scores": "quality_gate_sampled",
+    # Hashed near-dup ANN: anchored by the integer-exact
+    # inverted-index cosine oracle.
+    "hashed_embedding_neardup": "hashed_neardup_exact",
+    # Multimodal codecs: anchored by the encode->decode roundtrip
+    # stated as exact integer arithmetic in DuckDB.
+    "multimodal_asset_report": "multimodal_decode_stats",
+}
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -615,12 +615,15 @@ def q_multimodal_asset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # +/-16383.5) round to the EVEN +/-16384 under both numpy's
 # half-to-even and SQL's half-away rules, so the two engines can
 # never disagree on any byte value; all other arithmetic is exact in
-# float64 (int*int then /128, a power of two). ASCII corpus => code
-# points == bytes (unicode(text[i]) oracle-side).
+# float64 (int*int then /128, a power of two). ASCII-only docs —
+# ENFORCED by matching char==byte length predicates on both sides,
+# not assumed of the corpus — make code points == bytes
+# (unicode(text[i]) oracle-side).
 MULTIMODAL_DECODE_SQL = """
 WITH t AS (
   SELECT doc_id, text, least(len(text), 1024) AS L
-  FROM documents WHERE doc_id < 64 AND len(text) >= 1
+  FROM documents
+  WHERE doc_id < 64 AND len(text) >= 1 AND strlen(text) = len(text)
 ),
 b AS (
   SELECT doc_id, L,
@@ -680,8 +683,16 @@ def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from crane_spark.llm import codecs
 
+    # ASCII-only filter ON BOTH SIDES (ADVICE r7): the engine truncates
+    # at 1024 BYTES (text.encode()[:1024]) while the oracle takes 1024
+    # CHARACTERS of unicode() code points — equal only when bytes ==
+    # code points, i.e. pure ASCII. char_length == octet_length
+    # enforces that per doc instead of assuming it of the corpus; the
+    # oracle carries the matching strlen(text) = len(text) predicate.
     docs = table(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") < 64) & (F.length("text") >= 1)
+        (F.col("doc_id") < 64)
+        & (F.length("text") >= 1)
+        & (F.length("text") == F.octet_length("text"))
     )
 
     def synth_decode(batches):

@@ -223,11 +223,16 @@ def diff(
     (change = 'added') and rows only in ``from_version``
     (change = 'removed'), by full-row multiset comparison
     (``exceptAll``). With ``key_cols``: one row per CHANGED KEY,
-    classified 'added' (key only in to_version), 'removed' (key only
-    in from_version), or 'updated' (key in both but with different
-    row content — detected on FULL rows, so a non-key value change is
-    reported; projecting to the keys first would report an
-    update-heavy release as zero changes). This is the audit companion
+    classified 'added' (key absent from from_version), 'removed' (key
+    absent from to_version), or 'updated' (key present in BOTH
+    versions but with different row content or multiplicity —
+    detected on FULL rows, so a non-key value change is reported;
+    projecting to the keys first would report an update-heavy release
+    as zero changes). added/removed are derived from the two
+    versions' full key sets, not from the changed-row multisets, so a
+    pure multiplicity change on a duplicated key (a row present twice
+    in from_version, once in to_version) classifies as 'updated', not
+    falsely 'removed'. This is the audit companion
     to `get_versions` — the reference's version plane
     (dfs_client.py:160-173) could fetch old bytes but never explain
     what changed; immutable snapshot pairs make the diff a pure
@@ -239,11 +244,24 @@ def diff(
     added_rows = newer.exceptAll(older)
     removed_rows = older.exceptAll(newer)
     if key_cols:
-        ak = added_rows.select(*key_cols).distinct()
-        rk = removed_rows.select(*key_cols).distinct()
-        updated = ak.intersect(rk).withColumn("change", F.lit("updated"))
-        added = ak.subtract(rk).withColumn("change", F.lit("added"))
-        removed = rk.subtract(ak).withColumn("change", F.lit("removed"))
+        # 'added'/'removed' come from the FULL versions' key sets —
+        # classifying from the changed-row multisets (exceptAll output)
+        # would mislabel a multiplicity-only change on a duplicated key
+        # as 'removed' even though the key exists in both versions.
+        keys_new = newer.select(*key_cols).distinct()
+        keys_old = older.select(*key_cols).distinct()
+        changed = (
+            added_rows.select(*key_cols)
+            .unionByName(removed_rows.select(*key_cols))
+            .distinct()
+        )
+        added = keys_new.subtract(keys_old).withColumn("change", F.lit("added"))
+        removed = keys_old.subtract(keys_new).withColumn("change", F.lit("removed"))
+        updated = (
+            changed.intersect(keys_new)
+            .intersect(keys_old)
+            .withColumn("change", F.lit("updated"))
+        )
         return added.unionByName(removed).unionByName(updated)
     added = added_rows.withColumn("change", F.lit("added"))
     removed = removed_rows.withColumn("change", F.lit("removed"))

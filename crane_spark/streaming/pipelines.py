@@ -766,10 +766,25 @@ def stream_heavy_hitters(
     union-idempotent, so estimates inflate (still never undercount
     the true stream; the direction CMS already guarantees). Contrast
     `stream_distinct_sketches`, whose HLL blobs are set-union
-    idempotent and survive checkpoint loss exactly."""
+    idempotent and survive checkpoint loss exactly.
+
+    Single-writer store: one running query owns ``store_path`` at a
+    time (the geometry guard below is checked once per RUN, not per
+    batch, so two concurrent writers with different geometries could
+    race past it — the same assumption every checkpoint-owned sink
+    already carries, since two queries sharing one checkpoint is
+    itself undefined)."""
     import os
 
     from crane_spark.functions.sketches import cms_build
+
+    # Geometry verified against the store once per RUN (first batch),
+    # then cached in the closure: re-scanning the whole meta/ tree
+    # (parquet listing + distinct + collect) on EVERY micro-batch adds
+    # a driver round-trip that grows with stream lifetime (ADVICE r7).
+    # Batches this run writes after the check match (depth, width) by
+    # construction.
+    geometry_ok: list[bool] = []
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -781,13 +796,15 @@ def stream_heavy_hitters(
         # mixed-geometry sketches are silently meaningless, and a
         # reader probing with the wrong width hashes into the wrong
         # cells and returns zeros for genuinely heavy keys.
-        stored = _cms_store_geometry(spark, store_path)
-        if stored is not None and stored != (depth, width):
-            raise ValueError(
-                f"store {store_path!r} holds depth={stored[0]}, "
-                f"width={stored[1]} sketches; refusing to append "
-                f"depth={depth}, width={width}"
-            )
+        if not geometry_ok:
+            stored = _cms_store_geometry(spark, store_path)
+            if stored is not None and stored != (depth, width):
+                raise ValueError(
+                    f"store {store_path!r} holds depth={stored[0]}, "
+                    f"width={stored[1]} sketches; refusing to append "
+                    f"depth={depth}, width={width}"
+                )
+            geometry_ok.append(True)
         spark.createDataFrame(
             [(depth, width)], "depth int, width int"
         ).coalesce(1).write.mode("overwrite").parquet(

@@ -11,6 +11,12 @@ hint, a window re-plan reverting to data-sized partitions) moves
 bytes by 10-1000x and fails here while the plan-string asserts might
 still pass.
 
+Guards are RATIO-based (ADVICE r7): each aggregate-sized claim is
+checked against a data-sized shuffle measured in the SAME session at
+the SAME rung — a Spark upgrade, codec change, or partition-count
+default moves both numbers together, so the guards stay
+version-portable where absolute byte thresholds would rot.
+
 Measured on the tiny rungs (sf0.001 vs sf0.01) — seconds, not
 minutes; the full ladder lives in SCALE.md's shuffle section.
 """
@@ -20,8 +26,10 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from crane_spark.queries import REGISTRY
+from crane_spark.tables import table
 
 from tools.shuffle_report import _group_shuffle_bytes
 
@@ -31,34 +39,68 @@ SF_SMALL = os.environ.get("CRANE_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_MED = os.path.join(os.path.dirname(SF_SMALL.rstrip("/")), "sf0.01")
 
 
-def _shuffle_bytes(spark, name: str, sf_dir: str) -> int:
+def _run_tagged(spark, tag: str, make_df) -> int:
+    """make_df is a THUNK: plan construction must happen inside the
+    job group — exact_rank-style queries run eager offset-aggregate
+    jobs while building the plan, and those jobs' shuffles belong in
+    the measurement."""
     sc = spark.sparkContext
     assert sc.uiWebUrl, "conftest must enable spark.ui.enabled"
-    tag = f"shufguard:{name}@{sf_dir}"
     sc.setJobGroup(tag, tag)
     try:
-        REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format(
-            "noop"
-        ).save()
+        make_df().write.mode("overwrite").format("noop").save()
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
     return _group_shuffle_bytes(sc, tag)
 
 
+def _shuffle_bytes(spark, name: str, sf_dir: str) -> int:
+    tag = f"shufguard:{name}@{sf_dir}"
+    return _run_tagged(spark, tag, lambda: REGISTRY[name].fn(spark, sf_dir))
+
+
 def test_q5_broadcast_star_join_shuffles_only_aggregates(spark):
     """q5's five dimension joins are all broadcast: the ONLY exchange
-    is the final 5-nation group-by. Data-sized bytes here mean a
-    dimension fell off the broadcast path."""
+    is the final 5-nation group-by. The guard compares against a
+    DATA-sized exchange of the same fact table at the same rung — a
+    dimension falling off the broadcast path drags at least fact-sized
+    rows through a shuffle, i.e. the two numbers converge."""
     b = _shuffle_bytes(spark, "q5_local_supplier_volume", SF_MED)
-    assert b < 200_000, f"q5 shuffled {b} bytes — a join stopped broadcasting"
+    baseline = _run_tagged(
+        spark,
+        "shufguard:q5-baseline",
+        lambda: table(spark, SF_MED, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .repartition(8, "l_orderkey"),
+    )
+    assert baseline > 0, "baseline repartition produced no shuffle"
+    assert b < baseline / 10, (
+        f"q5 shuffled {b} bytes vs data-sized baseline {baseline} — "
+        "a join stopped broadcasting"
+    )
 
 
 def test_wordcount_map_side_combine_is_vocab_bounded(spark):
     """The token count's exchange carries per-partition PARTIALS of a
     31-word vocabulary, not the exploded token stream (~27k rows at
-    sf0.01). Partial aggregation failing would show ~100x the bytes."""
+    sf0.01). The guard's baseline IS that exploded token stream pushed
+    through a data-sized exchange — partial aggregation failing makes
+    wordcount's bytes approach it."""
     b = _shuffle_bytes(spark, "wordcount", SF_MED)
-    assert b < 64_000, f"wordcount shuffled {b} bytes — partials not combining"
+    from crane_spark.functions.text import tokens
+
+    baseline = _run_tagged(
+        spark,
+        "shufguard:wordcount-baseline",
+        lambda: table(spark, SF_MED, "documents")
+        .select(F.explode(tokens("text")).alias("w"))
+        .repartition(8, "w"),
+    )
+    assert baseline > 0, "baseline token explode produced no shuffle"
+    assert b < baseline / 10, (
+        f"wordcount shuffled {b} bytes vs exploded-stream baseline "
+        f"{baseline} — partials not combining"
+    )
 
 
 def test_window_analytics_shuffle_flat_across_data_step(spark):

@@ -293,3 +293,21 @@ def test_diff_by_key_reports_value_updates(spark, root):
         for r in V.diff(spark, root, "t", 1, 2, key_cols=["id"]).collect()
     }
     assert got == {(1, "updated"), (3, "removed"), (4, "added")}
+
+
+def test_diff_by_key_multiplicity_change_is_updated(spark, root):
+    """A key whose row is duplicated in one version and not the other
+    exists in BOTH versions — it must classify as 'updated', never
+    'removed'/'added' (ADVICE r7: classifying from the changed-row
+    multisets mislabeled this case)."""
+    v1 = spark.createDataFrame(
+        [(1, 10), (1, 10), (2, 20)], "id long, score long"
+    )
+    v2 = spark.createDataFrame([(1, 10), (2, 20)], "id long, score long")
+    V.put(v1, root, "m")
+    V.put(v2, root, "m")
+    got = {
+        (r["id"], r["change"])
+        for r in V.diff(spark, root, "m", 1, 2, key_cols=["id"]).collect()
+    }
+    assert got == {(1, "updated")}

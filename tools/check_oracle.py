@@ -13,6 +13,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from crane_spark import get_spark
 from crane_spark.queries import REGISTRY
+from crane_spark.queries.core import ROWS_ONLY_ANCHORS
 from crane_spark.testing import diff_frames, duck_connection
 
 
@@ -31,7 +32,15 @@ def main() -> int:
             failures += 1
             continue
         if spec.sql is None:
-            print(f"ok?   {name}: rows-only ({len(spark_pdf)} rows)")
+            anchor = ROWS_ONLY_ANCHORS.get(name)
+            if anchor is None:
+                failures += 1
+                print(f"FAIL  {name}: rows-only with NO declared anchor")
+            else:
+                print(
+                    f"ok    {name}: rows-only ({len(spark_pdf)} rows)"
+                    f" [anchored by {anchor}]"
+                )
             continue
         try:
             duck_pdf = con.execute(spec.sql).fetchdf()
