@@ -514,6 +514,16 @@ def stream_neardup_ingest(
                     F.col("_h").alias("band_key"),
                 )
             )
+            # ingest_ts (epoch seconds, stamped driver-side per batch)
+            # is operational metadata for `expire_neardup_index`'s
+            # dedup-horizon retention; nothing on the probe path reads
+            # it, and pre-stamp stores (rows where it reads back NULL)
+            # are treated as keep-forever by expire.
+            import time as _time
+
+            new_bands = new_bands.withColumn(
+                "ingest_ts", F.lit(int(_time.time()))
+            )
             new_bands.write.mode("append").parquet(index_store)
             keep.unionByName(keep_short.drop("_h")).write.mode("append").parquet(
                 docs_store
@@ -703,33 +713,139 @@ def compact_neardup_store(
     ``.compact`` dir is cleaned up on the next run). Returns row
     counts per store; safe to run between ingest runs."""
     import os
-    import shutil
 
     out: dict[str, int] = {}
     for name, dedup_cols in (("bands", ["band", "band_key", id_col]), ("docs", None)):
         path = os.path.join(store_path, name)
-        old = path + ".old"
-        staging = path + ".compact"
-        # recover from a previous crashed swap: if the live dir is gone
-        # but .old survives, the rename-aside crashed mid-swap — put it
-        # back; then clear any stale staging/old leftovers.
-        if not os.path.exists(path) and os.path.exists(old):
-            os.rename(old, path)
-        for stale in (old, staging):
-            if os.path.exists(stale):
-                shutil.rmtree(stale)
-        if not os.path.exists(path):
-            continue
-        df = spark.read.parquet(path)
-        if dedup_cols:
-            df = df.dropDuplicates(dedup_cols)
-        df.coalesce(target_files).write.mode("overwrite").parquet(staging)
-        n = spark.read.parquet(staging).count()
-        os.rename(path, old)
-        os.rename(staging, path)
-        shutil.rmtree(old)
-        out[name] = n
+
+        def rewrite(df: DataFrame, cols=dedup_cols) -> DataFrame:
+            return df.dropDuplicates(cols) if cols else df
+
+        n = _crash_safe_rewrite(spark, path, rewrite, target_files)
+        if n is not None:
+            out[name] = n
     return out
+
+
+def _crash_safe_rewrite(
+    spark: SparkSession,
+    path: str,
+    transform,
+    target_files: int,
+    recursive: bool = False,
+) -> int | None:
+    """Rewrite the parquet dir at ``path`` as ``transform(df)`` in
+    ``target_files`` files, installed via the two-rename swap (live ->
+    .old, staging -> live) so the dir is always readable except during
+    the metadata-only renames. Recovers a previous crashed swap
+    (stranded ``.old``/``.compact``) first. Returns the rewritten row
+    count, or None if the dir does not exist. Single-writer: run only
+    while no stream is appending to ``path``."""
+    import os
+    import shutil
+
+    old = path + ".old"
+    staging = path + ".compact"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    for stale in (old, staging):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    if not os.path.exists(path):
+        return None
+    reader = spark.read
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    df = transform(reader.parquet(path))
+    df.coalesce(target_files).write.mode("overwrite").parquet(staging)
+    n = spark.read.parquet(staging).count()
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return n
+
+
+def expire_neardup_index(
+    spark: SparkSession,
+    store_path: str,
+    older_than_sec: int,
+    now_sec: int | None = None,
+    target_files: int = 4,
+) -> dict[str, int]:
+    """Dedup-HORIZON retention for `stream_neardup_ingest`'s band
+    index (TUNING.md state-growth audit): evict index entries whose
+    ``ingest_ts`` is older than ``older_than_sec``, so future arrivals
+    are near-dup-checked only against the last horizon's worth of
+    corpus — the production policy for crawl pipelines where a
+    re-appearing year-old page should be re-admitted. The DOC store is
+    untouched (the admitted corpus is the product; the horizon governs
+    what future arrivals are compared against).
+
+    Pre-stamp rows (NULL ``ingest_ts``, from stores written before the
+    stamp existed) are KEPT — retention must never silently widen the
+    admit set for an index that can't prove its age. Same crash-safe
+    swap and single-writer rule as `compact_neardup_store`; run while
+    the stream is quiescent. Returns kept/evicted counts."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    cutoff = (now_sec if now_sec is not None else int(_time.time())) - older_than_sec
+    path = os.path.join(store_path, "bands")
+    before: list[int] = []
+
+    def rewrite(df: DataFrame) -> DataFrame:
+        before.append(df.count())
+        if "ingest_ts" not in df.columns:
+            return df
+        return df.filter(
+            F.col("ingest_ts").isNull() | (F.col("ingest_ts") >= F.lit(cutoff))
+        )
+
+    kept = _crash_safe_rewrite(spark, path, rewrite, target_files)
+    if kept is None:
+        return {"kept": 0, "evicted": 0}
+    return {"kept": kept, "evicted": before[0] - kept}
+
+
+def compact_vector_index(
+    spark: SparkSession,
+    store_path: str,
+    target_files: int = 4,
+    id_col: str = "vec_id",
+) -> int:
+    """Periodic maintenance for `stream_vector_ingest`'s store
+    (TUNING.md state-growth audit): the exactly-once layout accretes
+    one ``<queryId>/batch-N`` directory per micro-batch, so file count
+    — and with it probe-time listing cost — grows with stream
+    LIFETIME even when the vector count doesn't. Fold every batch dir
+    into one id-deduplicated snapshot, re-sorted by ``centroid_id`` so
+    in-cell probes prune on row-group stats again (per-batch files
+    sort only within themselves).
+
+    The compacted layout (plain part files under the store root) reads
+    identically through `read_vector_index`'s recursive lookup, and
+    subsequent batches append new ``batch-N`` dirs beside it. A batch
+    written but not yet checkpoint-committed at compaction time gets
+    folded in AND replayed — the id-dedup on read absorbs that, same
+    as cross-queryId re-delivery; still, run between ingest runs
+    (single-writer), like every store maintenance op here. Crash-safe
+    via the same two-rename swap. Returns the compacted row count."""
+    # repartition BY centroid_id before the in-partition sort (the
+    # helper's trailing coalesce to the same count is then a no-op):
+    # coalescing independently-sorted partitions would interleave
+    # cells across row groups and lose the pruning this exists for.
+    n = _crash_safe_rewrite(
+        spark,
+        store_path,
+        lambda df: df.dropDuplicates([id_col])
+        .repartition(target_files, "centroid_id")
+        .sortWithinPartitions("centroid_id"),
+        target_files,
+        recursive=True,
+    )
+    return n or 0
 
 
 def stream_heavy_hitters(

@@ -1351,3 +1351,228 @@ def test_heavy_hitters_store_is_self_describing(spark, tmp_path):
     with pytest.raises(Exception, match="refusing to append"):
         q.awaitTermination(60)
         raise AssertionError("query should have failed")
+
+
+def test_expire_neardup_index_dedup_horizon(spark, tmp_path):
+    """The band index carries an ingest_ts stamp; expire_neardup_index
+    evicts entries older than the horizon so a long-expired duplicate
+    is RE-ADMITTED, while in-horizon entries keep suppressing repeats.
+    The doc store is untouched by the expiry."""
+    import time
+
+    from crane_spark.streaming.pipelines import (
+        expire_neardup_index,
+        stream_neardup_ingest,
+    )
+
+    src = str(tmp_path / "docs")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    base = " ".join(f"w{i}" for i in range(30))
+    novel = " ".join(f"z{i}" for i in range(30))
+
+    def run():
+        q = stream_neardup_ingest(
+            spark.readStream.schema(schema).parquet(src), store, ckpt
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(1, base), (2, novel)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+
+    # horizon of 1 hour, "now" pushed 2 hours into the future: every
+    # index entry ages out; the docs store must survive untouched
+    now = int(time.time())
+    res = expire_neardup_index(spark, store, older_than_sec=3600, now_sec=now + 7200)
+    assert res["kept"] == 0 and res["evicted"] > 0
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(store + "/docs").collect()
+    ) == [1, 2]
+
+    # the expired duplicate re-admits (the horizon semantics)...
+    spark.createDataFrame([(3, base)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(store + "/docs").collect()
+    ) == [1, 2, 3]
+
+    # ...and an IN-horizon expiry is a no-op that keeps suppressing
+    res2 = expire_neardup_index(spark, store, older_than_sec=3600)
+    assert res2["evicted"] == 0 and res2["kept"] > 0
+    spark.createDataFrame([(4, base)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(store + "/docs").collect()
+    ) == [1, 2, 3]
+
+
+def test_compact_vector_index_bounds_file_count(spark, sf_dir, tmp_path):
+    """stream_vector_ingest accretes one batch dir per micro-batch;
+    compact_vector_index folds them into target_files id-deduped,
+    cell-sorted files with identical read-back content, and recovers
+    from a crash mid-swap."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from crane_spark.streaming.pipelines import (
+        compact_vector_index,
+        read_vector_index,
+        stream_vector_ingest,
+    )
+    from crane_spark.tables import table
+
+    vecs = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = vecs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    src = str(tmp_path / "vecs")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    # three source files -> maxFilesPerTrigger=1 gives three batch dirs
+    vecs.limit(30).repartition(3).write.parquet(src)
+
+    q = stream_vector_ingest(
+        spark.readStream.option("maxFilesPerTrigger", "1").schema(
+            spark.read.parquet(src).schema
+        ).parquet(src),
+        store,
+        ckpt,
+        cents,
+    )
+    q.awaitTermination(120)
+
+    before = {
+        (r["vec_id"], r["centroid_id"])
+        for r in read_vector_index(spark, store).select(
+            "vec_id", "centroid_id"
+        ).collect()
+    }
+    n_files_before = sum(
+        f.endswith(".parquet") for _, _, fs in os.walk(store) for f in fs
+    )
+    n = compact_vector_index(spark, store, target_files=2)
+    after = {
+        (r["vec_id"], r["centroid_id"])
+        for r in read_vector_index(spark, store).select(
+            "vec_id", "centroid_id"
+        ).collect()
+    }
+    n_files_after = sum(
+        f.endswith(".parquet") for _, _, fs in os.walk(store) for f in fs
+    )
+    assert after == before and n == len(before)
+    assert n_files_after <= 2 < n_files_before
+
+    # crash mid-swap: live store renamed aside, staging stranded
+    os.rename(store, store + ".old")
+    shutil.copytree(store + ".old", store + ".compact")
+    n2 = compact_vector_index(spark, store, target_files=2)
+    assert os.path.exists(store)
+    assert not os.path.exists(store + ".old")
+    assert not os.path.exists(store + ".compact")
+    assert n2 == len(before)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("kill_point", [0, 1, 2, 3, 4])
+def test_stream_training_corpus_crash_matrix(
+    spark, sf_dir, tmp_path, monkeypatch, kill_point
+):
+    """Crash-injection soak (r7 verdict #8): kill the corpus stream
+    once in EVERY gap of its per-batch commit sequence — before the
+    first sink write, between each adjacent pair of the four
+    idempotent sink writes (corpus, hashes, lang_counts, report), and
+    after the last write but before the streaming checkpoint commit.
+    After restart + full drain, the store must be indistinguishable
+    from a never-crashed run over the same input: the exactly-once
+    construction means every kill point resolves to pre-batch
+    (replayed) or post-batch (overwritten in place), never a blend."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from crane_spark.llm.run_pipeline import (
+        read_stream_corpus,
+        stream_training_corpus,
+    )
+    from crane_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") < 20)
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    ref_root = str(tmp_path / "ref_store")
+    ref_ckpt = str(tmp_path / "ref_ckpt")
+
+    # two source files -> two micro-batches (maxFilesPerTrigger=1);
+    # the second overlaps the first so cross-batch hash dedup is live
+    docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 150)).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 250)).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    def run(out_root, checkpoint):
+        q = stream_training_corpus(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            eval_docs,
+            out_root,
+            checkpoint,
+        )
+        try:
+            q.awaitTermination(180)
+        except Exception:
+            pass
+        return q.exception()
+
+    # reference: the never-crashed run
+    assert run(ref_root, ref_ckpt) is None
+    ref_corpus, ref_report = read_stream_corpus(spark, ref_root)
+    ref_ids = sorted(r["doc_id"] for r in ref_corpus.collect())
+    ref_stages = sorted((r["stage"], r["n_docs"]) for r in ref_report.collect())
+    assert ref_ids
+
+    # injected run: allow kill_point sink writes into `root`, then die
+    # (kill_point == 4: die after the 4th write, before the commit)
+    orig = DataFrameWriter.parquet
+    state = {"done": 0, "armed": True}
+
+    def crashing(self, path, *a, **kw):
+        if state["armed"] and root in str(path):
+            if state["done"] == kill_point and kill_point < 4:
+                raise RuntimeError(f"injected crash before sink write {kill_point + 1}")
+            res = orig(self, path, *a, **kw)
+            state["done"] += 1
+            if state["done"] == 4 and kill_point == 4:
+                raise RuntimeError("injected crash after sinks, before commit")
+            return res
+        return orig(self, path, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", crashing)
+    exc = run(root, ckpt)
+    assert exc is not None, "the injected crash must kill the first run"
+    state["armed"] = False
+
+    # recovery: restart on the same checkpoint, drain everything
+    assert run(root, ckpt) is None
+    corpus, report = read_stream_corpus(spark, root)
+    got_ids = sorted(r["doc_id"] for r in corpus.collect())
+    got_stages = sorted((r["stage"], r["n_docs"]) for r in report.collect())
+    assert got_ids == ref_ids
+    assert got_stages == ref_stages
+    # no blend state: content-unique corpus, one report row per stage
+    assert corpus.select(F.md5("text")).distinct().count() == len(got_ids)
