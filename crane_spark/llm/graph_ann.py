@@ -166,6 +166,97 @@ def _topk_edges(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _fold_dot_rows(
+    nv: DataFrame,
+    block_ids,
+    block_mat,
+    id_col: str,
+    out_col: str,
+    groups=None,
+):
+    """(id, {out_col}, dot) for every (vector, block-row) pair — dots
+    computed per Arrow batch as 'acc += v[:, j] * c[:, j]' ascending j
+    from 0.0, i.e. the SAME float64 operation sequence as _pair_cos's
+    fold-left aggregate, so scores are bit-identical to the HOF path
+    while evaluating ~100x faster (the HOF measured ~100us per dot at
+    sf10 — per-element interpreted expression trees; this is one
+    vectorized multiply-add per dimension per batch). Rounding and
+    argmax stay SPARK-side on the emitted rows: replicating Spark's
+    BigDecimal half-up rounding in numpy is exactly the
+    shortest-decimal-string trap SCALE.md's sf1 section documents.
+
+    ``groups`` restricts each vector to one sub-block: a (group_col
+    in nv) -> indices-into-block map, for the per-super local-anchor
+    pass. The block (anchor matrix) is a broadcast-sized index
+    structure by design — c = n^(2/3) rows; ~110 MB of float64 at
+    n = 100M vectors, the documented ceiling before the hierarchy
+    needs a third level."""
+    import numpy as np
+    import pandas as pd
+
+    spark = nv.sparkSession
+    bc = spark.sparkContext.broadcast((block_ids, block_mat, groups))
+    vtype = nv.schema[id_col].dataType.simpleString()
+    group_cols = ["_grp"] if groups is not None else []
+
+    def gen(batches):
+        ids_all, mat_all, grp = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["nv"].to_numpy())
+            if grp is None:
+                sel = [(np.arange(len(pdf)), np.arange(len(ids_all)))]
+            else:
+                sel = []
+                g = pdf["_grp"].to_numpy()
+                for gid in pd.unique(g):
+                    cols = grp.get(gid)
+                    if cols is None or len(cols) == 0:
+                        continue
+                    sel.append((np.nonzero(g == gid)[0], cols))
+            for rows, cols in sel:
+                m = v[rows]
+                c = mat_all[cols]
+                acc = np.zeros((m.shape[0], c.shape[0]))
+                for j in range(m.shape[1]):
+                    acc += m[:, j, None] * c[None, :, j]
+                ii, jj = np.meshgrid(
+                    np.arange(m.shape[0]), np.arange(c.shape[0]), indexing="ij"
+                )
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy()[rows][ii.ravel()],
+                        out_col: ids_all[cols][jj.ravel()],
+                        "_dot": acc.ravel(),
+                    }
+                )
+
+    cols = [id_col, "nv", *group_cols]
+    return nv.select(*cols).mapInPandas(
+        gen, f"{id_col} {vtype}, {out_col} {vtype}, _dot double"
+    )
+
+
+def _argmax_rounded(scored: DataFrame, id_col: str, out_col: str) -> DataFrame:
+    """Per-id best (rounded cosine desc, {out_col} asc) as a map-side-
+    combinable aggregate — max(struct(round(dot), -out_col)) picks
+    exactly the row a row_number window over the same ordering picks,
+    without sorting the full pair stream (numeric out_col ids)."""
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.round(F.col("_dot"), ROUND_DIGITS).alias("_cos"),
+                    (-F.col(out_col)).alias("_nc"),
+                )
+            ).alias("_b")
+        )
+        .select(id_col, (-F.col("_b._nc")).alias(out_col))
+    )
+
+
 def _routed_assign(
     nv: DataFrame,
     vectors: DataFrame,
@@ -189,10 +280,25 @@ def _routed_assign(
     (regression-tested in tests/test_graph_ann.py). Self-routing
     guarantees every super cell holds at least its own anchor, so the
     join is lossless for all of v2s's range (supers ⊆ centroids)."""
-    c2s = ivf_assign(
-        centroids.withColumnRenamed("centroid_id", id_col),
-        supers,
-        vec_col,
+    import numpy as np
+
+    # Anchor normalized-vector matrix, collected once: c = n^(2/3)
+    # rows — a broadcast-sized index structure by design, same class
+    # as the centroid broadcasts every IVF path already makes (the
+    # _fold_dot_rows docstring carries the size ceiling).
+    anch_nv = nv.join(
+        F.broadcast(centroids.select(F.col("centroid_id").alias(id_col))), id_col
+    )
+    anch_pdf = anch_nv.select(id_col, "nv").toPandas().sort_values(id_col)
+    a_ids = anch_pdf[id_col].to_numpy()
+    a_mat = np.stack(anch_pdf["nv"].to_numpy())
+    s_id_set = {r["super_id"] for r in supers.select("super_id").collect()}
+    s_sel = np.nonzero(np.isin(a_ids, np.array(sorted(s_id_set))))[0]
+    s_ids, s_mat = a_ids[s_sel], a_mat[s_sel]
+
+    # anchors -> supers (c x s dots), Spark-side round + argmax
+    c2s = _argmax_rounded(
+        _fold_dot_rows(anch_nv, s_ids, s_mat, id_col, "super_id"),
         id_col,
         "super_id",
     ).select(F.col(id_col).alias("centroid_id"), "super_id")
@@ -204,25 +310,26 @@ def _routed_assign(
         "centroid_id",
         F.coalesce("_self", "super_id").alias("super_id"),
     )
-    v2s = ivf_assign(vectors, supers, vec_col, id_col, "super_id").select(
-        id_col, "super_id"
+
+    # vectors -> supers (n x s dots)
+    v2s = _argmax_rounded(
+        _fold_dot_rows(nv, s_ids, s_mat, id_col, "super_id"), id_col, "super_id"
     )
-    cvec = nv.join(
-        F.broadcast(c2s.select(F.col("centroid_id").alias(id_col))), id_col
-    ).select(F.col(id_col).alias("centroid_id"), F.col("nv").alias("cnv"))
-    local = (
-        v2s.join(F.broadcast(c2s), "super_id")
-        .join(nv, id_col)
-        .join(F.broadcast(cvec), "centroid_id")
-        .select(id_col, "centroid_id", _pair_cos("nv", "cnv").alias("cosine"))
+
+    # vectors -> their super's local anchors (n x ~c/s dots): the
+    # super -> anchor-indices map is c rows, collected like the matrix
+    grp: dict = {}
+    pos = {int(v): i for i, v in enumerate(a_ids)}
+    for r in c2s.collect():
+        grp.setdefault(int(r["super_id"]), []).append(pos[int(r["centroid_id"])])
+    grp = {k: np.array(sorted(v)) for k, v in grp.items()}
+    with_grp = nv.join(
+        v2s.select(id_col, F.col("super_id").alias("_grp")), id_col
     )
-    wbest = Window.partitionBy(id_col).orderBy(
-        F.desc("cosine"), F.asc("centroid_id")
-    )
-    return (
-        local.withColumn("_rn", F.row_number().over(wbest))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "centroid_id")
+    return _argmax_rounded(
+        _fold_dot_rows(with_grp, a_ids, a_mat, id_col, "centroid_id", groups=grp),
+        id_col,
+        "centroid_id",
     )
 
 

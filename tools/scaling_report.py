@@ -55,6 +55,20 @@ SF10_SET = {
     "trigram_lm_quality",
     "minhash_lsh_pairs",
     "dedup_clusters",
+    # Round 8 (r7 verdict #2): the remaining "—" cells — the cheap
+    # queries — get sf10 rows too, so the ladder's last column is
+    # complete for every headliner except the one deliberate
+    # quadratic (embedding_topk, excluded from sf1 AND sf10 with the
+    # in-table note; its scale twin ivf_probe_topk IS measured).
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "topk_orders",
+    "wordcount",
+    "rolling_7d_active_users",
+    "corpus_funnel",
+    "source_overlap_matrix",
+    "quality_gate_scores",
+    "lsh_eval",
 }
 
 # Headline queries spanning the operator families, with the scaling
@@ -71,7 +85,7 @@ HEADLINERS: dict[str, tuple[str, bool]] = {
     "wordcount": ("explode + count: linear in tokens", True),
     "minhash_lsh_pairs": ("LSH dedup: linear signatures + bucket-local pairs", True),
     "embedding_topk": (
-        "brute-force ANN: quadratic pairs by design (IVF is the scale path)",
+        "brute-force ANN: quadratic pairs by design — sf1/sf10 excluded (oracle-only; ivf_probe_topk is the scale path)",
         False,
     ),
     "ivf_probe_topk": ("IVF probe ANN: linear assign + probed-cell re-rank", True),
@@ -259,7 +273,57 @@ def similarity_regime_table(spark) -> list[str]:
         "sf0.01/0.1/1) — subquadratic candidate growth on a corpus whose",
         "all-pairs space grows 100x per decade.",
     ]
+    out += sf10_gate_margin(spark)
     return out
+
+
+def sf10_gate_margin(spark) -> list[str]:
+    """r8 (r7 verdict #3): state the sf10 regime-gate margin
+    NUMERICALLY — the gate's estimated pair-ops and matrix cells at
+    sf10 against the same budgets that were validated forced-both at
+    sf1 (dense 511 s vs sparse 22.5 s, bit-identical outputs). No
+    forced-dense sf10 run is needed: the sf1 result already shows a
+    2-decade budget breach costs 12-24x; sf10 is further past still."""
+    import math
+
+    from crane_spark.llm import dedup as D
+    from crane_spark.llm.dedup import shingle_tokens
+    from crane_spark.tables import table
+
+    docs = table(spark, SF10_DIR, "documents")
+    tok = shingle_tokens(docs, "text", "doc_id", 2)
+    n = tok.select("doc_id").distinct().count()
+    v = tok.select("token").distinct().count()
+    pair_ops = n * n * v
+    cells = n * v
+    po_b = D._DENSE_PAIR_OPS_BUDGET
+    ce_b = D._DENSE_MATRIX_CELLS_BUDGET
+    return [
+        "",
+        "**Gate margin at sf10 (computed against the sf1-validated",
+        "budgets)**: the registered 2-gram corpus at sf10 measures",
+        f"n = {n:,} docs, V = {v:,} distinct shingles (the novel-content",
+        "rung grows vocabulary ~10x per decade with the data), so the",
+        "gate's dense-regime cost estimates are:",
+        "",
+        "| estimate | sf10 value | budget | over budget |",
+        "|---|---|---|---|",
+        f"| pair-ops n^2*V | {pair_ops:.1e} | {po_b:.0e} | "
+        f"10^{math.log10(pair_ops / po_b):.1f} ({math.log10(pair_ops / po_b):.1f} decades) |",
+        f"| matrix cells n*V | {cells:.1e} | {ce_b:.0e} | "
+        f"10^{math.log10(cells / ce_b):.1f} ({math.log10(cells / ce_b):.1f} decades) |",
+        "",
+        "The sparse choice at sf10 therefore follows from the SAME",
+        "budgets the sf1 forced-both run validated: sf1 breached pair-ops",
+        "by 2 decades and dense already cost 12-24x sparse (511 s vs",
+        "22.5 s, 46 TFLOP of GEMM + a 1.9 GB per-task matrix); sf10 is",
+        "further past the budgets on both axes, and dense's cost grows",
+        "with exactly the quantities the budgets count — forcing it would",
+        "be a multi-hour GEMM for no information. The sparse path's sf10",
+        "measurement is the prefix_jaccard_join row in the ladder table",
+        "above (within-regime growth ~5x/decade, vs a true-pair count",
+        "growing 10x/decade).",
+    ]
 
 
 def llm_corpus_scaling(spark) -> list[str]:
@@ -420,10 +484,11 @@ def main() -> int:
         "factors well under 10 at the small rungs because fixed per-query",
         "overhead (~0.1-0.3 s of planning + task dispatch) dominates there;",
         "sf0.1 -> sf1 -> sf10 is where the data path takes over, and no query",
-        "may grow FASTER than its declared shape. The sf10 column covers the",
-        "hottest-factor queries of the previous rounds, every re-planned",
-        "window query, and (round 7) the expensive similarity/graph families",
-        "(SF10_SET in the tool).",
+        "may grow FASTER than its declared shape. The sf10 column is",
+        "complete (round 8) for every headliner except `embedding_topk`,",
+        "the deliberate brute-force quadratic kept as the ANN correctness",
+        "oracle — excluded from the sf1 AND sf10 rungs by design (400M+",
+        "candidate pairs); `ivf_probe_topk` is its measured scale twin.",
         "",
         "| query | shape | sf0.001 s | sf0.01 s | sf0.1 s | sf1 s | sf10 s | x10-1 | x10-2 | x10-3 | x10-4 |",
         "|---|---|---|---|---|---|---|---|---|---|---|",
