@@ -941,7 +941,11 @@ def dup_span_ranges(
       ``probe_sample_mod`` sizes the probe's doc sample — lower it
       toward 1 on SMALL corpora, where a 1/64 slice holds too few
       grams for the share to mean anything (the default assumes the
-      corpus scale the knob exists for).
+      corpus scale the knob exists for). Probe cost measured (r8,
+      TUNING.md): ~0.6 s FIXED regardless of rung — 56% of the query
+      at sf0.1 but 7.2% at sf10 and vanishing a decade up, which is
+      why ``None`` is the corpus-scale recommendation while the
+      signature default stays ``False``.
     """
     from pyspark.sql import Window
 

@@ -169,6 +169,98 @@ def timed(fn, *args) -> float:
     return elapsed
 
 
+def sf10_decompositions() -> list[str]:
+    """r8 (r7 verdict #1): per-stage wall + shuffle-byte accounting of
+    the three steepest r7 sf10 factors, measured sf1 vs sf10
+    (/tmp/decomp_r8 run, best-of-2 per stage, job-group-scoped status
+    REST metrics). Static prose like the drift-bisect section — the
+    numbers are a record of the measurement, not re-run per regen."""
+    return [
+        "",
+        "## sf10 growth decomposed: the three steepest r7 factors (r8)",
+        "",
+        "Per-stage wall + shuffle-write bytes at sf1 vs sf10 for the three",
+        "queries whose r7 sf1->sf10 factors ran hottest (7.2 / 7.6 / 7.7),",
+        "measured with job-group-scoped status-store metrics. Headline:",
+        "none of the three carries a superlinear DATA term — two are",
+        "linear in a unit that grows 11.5x per decade on this synthetic",
+        "rung, and the third's dominant term was an evaluation-cost",
+        "artifact that round 8 re-planned for a measured 3x.",
+        "",
+        "**The 11.5x unit**: make_sfn's novel-content salting suffixes",
+        "every replicated token with a replica tag, so sf10 documents are",
+        "LONGER per doc — chars grow 19.73M -> 226.5M (11.48x) while docs",
+        "grow exactly 10x. A query linear in chars/trigrams therefore",
+        "shows a ladder factor up to ~11.5 against the 10x DOC decade",
+        "without being superlinear in its actual unit.",
+        "",
+        "**token_counts (r7 factor 7.7)** — one codegen'd scan stage, no",
+        "exchange at all:",
+        "",
+        "| rung | docs | chars | wall s | shuffle | spill |",
+        "|---|---|---|---|---|---|",
+        "| sf1 | 50,000 | 19.73M | 1.0 | 0 B | 0 |",
+        "| sf10 | 500,000 | 226.5M | 3.68 | 0 B | 0 |",
+        "",
+        "Zero shuffle at both rungs: the whole query is per-row regex",
+        "work inside WholeStageCodegen, linear in CHARS (11.5x/decade",
+        "here). The 7.7 ladder factor is that linear CPU term with",
+        "per-query fixed overhead amortizing — nothing to re-plan; at",
+        "1000 executors this scales by partition count with no network",
+        "cost.",
+        "",
+        "**trigram_lm_quality (r7 factor 7.6)** — stage accounting:",
+        "",
+        "| stage | sf1 wall | sf1 shuffle | sf10 wall | sf10 shuffle | growth driver |",
+        "|---|---|---|---|---|---|",
+        "| gram explode -> (doc, tg) agg | 2.2 s | 74.1 MB | 21.6 s | 762 MB | (doc, tg) pairs 6.42M -> 63.9M (10.0x) |",
+        "| + model agg (tg) | +~0 s | +0.5 MB | +~0 s | +0.5 MB | distinct trigrams 697 -> 896 (alphabet-BOUNDED) |",
+        "| full (re-explode + broadcast-join model + doc agg) | 5.7 s | 174 MB | 67.4 s | 1788 MB | total trigrams 19.6M -> 225.5M (11.5x) |",
+        "",
+        "Every stage is linear in its unit: full-query wall grows 11.8x",
+        "against trigrams growing 11.5x. The decomposition also FALSIFIED",
+        "a declared note: the shuffle ladder previously said the partials",
+        "were 'linear in DISTINCT trigrams' — they are linear in",
+        "(doc, trigram) PAIRS; distinct CHAR-trigrams are alphabet-bounded",
+        "(697 -> 896 across a 10x corpus), which is what makes the model",
+        "broadcast-safe at ANY corpus scale (the note is corrected in",
+        "tools/shuffle_report.py). Nothing superlinear; the 100 TB cost is",
+        "two linear passes over the gram stream plus a ~900-row broadcast.",
+        "",
+        "**knn_graph_topk (r7 factor 7.2) — found an artifact, re-planned,",
+        "3x** — stage accounting (pre-re-plan):",
+        "",
+        "| stage | sf1 (flat init, n=20k) | sf10 (routed init, n=200k) |",
+        "|---|---|---|",
+        "| normalize + checkpoint | 1.1 s | 2.9 s |",
+        "| init: cell ASSIGNMENT | (inside init) | **77.7 s** |",
+        "| init: in-cell pairs + score + top-k | 15.7 s total init | 22.5 s (14.9M pairs) |",
+        "| refinement round | ~0 s (noise) | 15.4 s |",
+        "| beam search | 3.5 s | 2.8 s |",
+        "",
+        "The whole factor sat in the routed ASSIGNMENT: ~23M cosine",
+        "evaluations (two super-routing passes + local argmax) running as",
+        "per-row interpreted HOF expression trees — measured ~100us per",
+        "64-dim dot, an EVALUATION-COST artifact, not a data term (23M",
+        "dots is ~0.2 GFLOP of real work). Round 8 re-planned it exactly",
+        "as _pair_cos's docstring prescribes: per-Arrow-batch numpy",
+        "scoring that accumulates 'acc += v[:,j]*c[:,j]' in ascending",
+        "dimension order — the SAME float64 operation sequence as the HOF",
+        "fold-left, so scores are bit-identical — with rounding and the",
+        "argmax left Spark-side (max(struct(cosine, -id)) aggregate,",
+        "map-side combinable, replacing a row_number window over the full",
+        "pair stream). Measured: init 106 -> 37 s, full query at sf10",
+        "106 -> 36.6 s, factor 7.2 -> ~2.7. Remaining terms and their",
+        "next-decade levers, stated honestly: assignment evals are",
+        "O(n^(7/6)) and in-cell pairs O(n^(4/3)) by design (the measured",
+        "crossover gate's tradeoff vs the flat init's n^1.5); the in-cell",
+        "SCORING still pays HOF dots (~20 s of the remaining 37), and its",
+        "switch at the next decade is the same per-cell GEMM pattern",
+        "(similarity.cosine_near_dup_pairs) — plus a third routing level",
+        "once the anchor matrix outgrows broadcast (~110 MB at n=100M).",
+    ]
+
+
 def similarity_regime_table(spark) -> list[str]:
     """Measure BOTH regimes of the exact similarity self-join on both
     corpus shapes at sf0.01 and sf0.1, with the gate's natural choice
@@ -511,6 +603,7 @@ def main() -> int:
         "amortizes away and the same plans parallelize by partition count —",
         "see TUNING.md for the knob mapping.",
     ]
+    lines += sf10_decompositions()
     lines += similarity_regime_table(spark)
     lines += llm_corpus_scaling(spark)
     lines += [ORACLE_SF1_SECTION.rstrip()]

@@ -47,7 +47,7 @@ SHUFFLE_SET: dict[str, str] = {
     "dedup_clusters": "LSH pairs + CC rounds: linear in docs",
     "window_analytics": "exact_rank cell offsets from AGGREGATE rows: nation-bounded",
     "pack_by_budget": "doc rows once into (source, range-bucket) cells + offsets: linear, skew-bounded",
-    "trigram_lm_quality": "trigram partials: linear in DISTINCT trigrams (novel-content corpus)",
+    "trigram_lm_quality": "(doc, trigram) pair partials: linear in docs x ~900 alphabet-bounded trigrams (r8 decomposition corrected the old 'distinct trigrams' note)",
 }
 
 
