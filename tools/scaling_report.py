@@ -250,7 +250,8 @@ def sf10_decompositions() -> list[str]:
         "argmax left Spark-side (max(struct(cosine, -id)) aggregate,",
         "map-side combinable, replacing a row_number window over the full",
         "pair stream). Measured: init 106 -> 37 s, full query at sf10",
-        "106 -> 36.6 s, factor 7.2 -> ~2.7. Remaining terms and their",
+        "106 -> 36.6 s (30.0 s on the regenerated ladder row), factor",
+        "7.2 -> 2.4. Remaining terms and their",
         "next-decade levers, stated honestly: assignment evals are",
         "O(n^(7/6)) and in-cell pairs O(n^(4/3)) by design (the measured",
         "crossover gate's tradeoff vs the flat init's n^1.5); the in-cell",
@@ -487,7 +488,7 @@ def llm_corpus_scaling(spark) -> list[str]:
 # tests/test_doc_counts.py asserts they reconcile with the LIVE
 # registry (total + the 2 quadratic-oracle exclusions == registry
 # size), so registry growth cannot silently stale this section again.
-SF1_ORACLE_RUN = {"total": 215, "exact": 206, "rows_only": 9, "round": 7}
+SF1_ORACLE_RUN = {"total": 215, "exact": 206, "rows_only": 9, "round": 8}
 _SF1_QUADRATIC_EXCLUSIONS = ("prefix_jaccard_join", "embedding_near_dup")
 
 ORACLE_SF1_SECTION = f"""
@@ -500,11 +501,9 @@ queries on the 6M-row lineitem rung ({SF1_ORACLE_RUN["exact"]}
 hash-exact vs DuckDB incl. every sampled twin,
 {SF1_ORACLE_RUN["rows_only"]} rows-only with unit-test contracts;
 re-run round {SF1_ORACLE_RUN["round"]} on the shipped code — after
-the broadcast map-side similarity verify, the dup_span_ranges
-skew_safe regimes, the routed-init no-orphan fix, and the six new r7
-oracle entries `pandas_topk_cosine`, `approx_distinct_customers`,
-`approx_percentiles_by_status`, `hashed_neardup_exact`,
-`multimodal_decode_stats`, and `bpe_apply_fixed`) —
+the r8 routed-assignment re-plan (fold-order numpy dots + aggregate
+argmax in ivf_assign/_routed_assign), the versioned.diff keyed
+semantics fix, and the multimodal ASCII-enforcement predicates) —
 every exact-oracle query except
 `prefix_jaccard_join` and `embedding_near_dup`, whose DuckDB oracle
 definitions are deliberately quadratic (all-pairs over 50k docs /
