@@ -245,7 +245,18 @@ def q_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = d.select(
         "doc_id", F.expr("explode(sequence(1, length(t) - 2))").alias("i"), "t"
     ).select("doc_id", F.expr("substring(t, i, 3)").alias("tg"))
-    doc_tg = tri.groupBy("doc_id", "tg").agg(F.count(F.lit(1)).alias("k"))
+    # doc_tg feeds BOTH the model aggregate and the scoring join; the
+    # checkpoint makes the gram explode + first aggregate run ONCE
+    # instead of twice (Catalyst does not reuse the shared subtree).
+    # Measured r8: sf10 51.8 -> 25.5 s, sf1 7.3 -> 4.1 s, sf0.1
+    # 1.93 -> 1.76 s — the explode over 225M grams is the dominant
+    # stage (SCALE.md decomposition), and materializing 64M narrow
+    # (doc, tg, k) rows costs less than recomputing it.
+    doc_tg = (
+        tri.groupBy("doc_id", "tg")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=True)
+    )
     model = doc_tg.groupBy("tg").agg(F.sum("k").alias("c"))
     total = model.agg(F.sum("c").cast("double").alias("total"))
     # ln p = ln c - ln total, integerized per side: the per-term join

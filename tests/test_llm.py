@@ -101,6 +101,31 @@ def test_ivf_assign_puts_centroid_on_itself(spark):
     assert len(assigned) == 30
 
 
+def test_ivf_assign_string_centroid_ids_match_numeric(spark):
+    """The r8 aggregate-argmax fast path applies only to NUMERIC
+    centroid ids (max(struct(cosine, -id)) needs negation); string ids
+    take the row_number window fallback. Both paths must pick the
+    identical (max rounded cosine, min id) assignment — string ids
+    named so lexicographic min equals numeric min."""
+    _, df = _vectors(spark)
+    num = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    txt = num.select(
+        F.concat(F.lit("c"), F.col("centroid_id")).alias("centroid_id"),
+        "embedding",
+    )
+    via_agg = {
+        r["vec_id"]: (r["centroid_id"], r["cosine"])
+        for r in ivf_assign(df, num).collect()
+    }
+    via_window = {
+        r["vec_id"]: (int(r["centroid_id"][1:]), r["cosine"])
+        for r in ivf_assign(df, txt).collect()
+    }
+    assert via_agg == via_window
+
+
 def _assets(spark):
     rows = [
         (0, bytearray(b"\x00\x01\x02\x03" * 10), "image/png"),

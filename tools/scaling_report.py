@@ -90,7 +90,7 @@ HEADLINERS: dict[str, tuple[str, bool]] = {
     ),
     "ivf_probe_topk": ("IVF probe ANN: linear assign + probed-cell re-rank", True),
     "token_counts": ("tokenize + agg: linear in chars", True),
-    "trigram_lm_quality": ("LM score: linear extract, broadcast model", True),
+    "trigram_lm_quality": ("LM score: linear extract, broadcast model; (doc, tg) aggregate checkpointed once (r8)", True),
     "rolling_7d_active_users": ("bounded explode + distinct: linear in user-days", True),
     "dedup_clusters": ("LSH -> verify -> components: linear + pair-local", True),
     "prefix_jaccard_join": (
@@ -225,7 +225,11 @@ def sf10_decompositions() -> list[str]:
         "(697 -> 896 across a 10x corpus), which is what makes the model",
         "broadcast-safe at ANY corpus scale (the note is corrected in",
         "tools/shuffle_report.py). Nothing superlinear; the 100 TB cost is",
-        "two linear passes over the gram stream plus a ~900-row broadcast.",
+        "two linear passes over the gram stream plus a ~900-row broadcast —",
+        "and round 8 then removed one of the two: the shared (doc, tg)",
+        "aggregate is checkpointed so the gram explode runs ONCE (measured",
+        "sf10 51.8 -> 25.5 s, sf1 7.3 -> 4.1 s, sf0.1 neutral; oracle hash",
+        "unchanged).",
         "",
         "**knn_graph_topk (r7 factor 7.2) — found an artifact, re-planned,",
         "3x** — stage accounting (pre-re-plan):",
