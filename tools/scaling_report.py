@@ -255,14 +255,18 @@ def sf10_decompositions() -> list[str]:
         "map-side combinable, replacing a row_number window over the full",
         "pair stream). Measured: init 106 -> 37 s, full query at sf10",
         "106 -> 36.6 s (30.0 s on the regenerated ladder row), factor",
-        "7.2 -> 2.4. Remaining terms and their",
-        "next-decade levers, stated honestly: assignment evals are",
-        "O(n^(7/6)) and in-cell pairs O(n^(4/3)) by design (the measured",
-        "crossover gate's tradeoff vs the flat init's n^1.5); the in-cell",
-        "SCORING still pays HOF dots (~20 s of the remaining 37), and its",
-        "switch at the next decade is the same per-cell GEMM pattern",
-        "(similarity.cosine_near_dup_pairs) — plus a third routing level",
-        "once the anchor matrix outgrows broadcast (~110 MB at n=100M).",
+        "7.2 -> 2.4. Remaining terms, stated honestly: assignment evals",
+        "are O(n^(7/6)) and in-cell pairs O(n^(4/3)) by design (the measured",
+        "crossover gate's tradeoff vs the flat init's n^1.5). The obvious",
+        "next lever — per-cell GEMM for the in-cell scoring — was BUILT AND",
+        "MEASURED this round and rejected: 33.8 -> 31.6 s at sf10 (noise",
+        "range) and 7.3 -> 8.0 s at sf0.1, because the stage is bound by the",
+        "top-k window shuffle over the 15M pair rows, not by dot evaluation,",
+        "and the Arrow group exchange costs what the HOF dots saved. The",
+        "genuine next-decade lever is the PAIR-COUNT term (smaller cells +",
+        "more refinement rounds trade n^(4/3) init pairs against n*k^2 round",
+        "pairs), plus a third routing level once the anchor matrix outgrows",
+        "broadcast (~110 MB at n=100M).",
     ]
 
 
