@@ -267,6 +267,20 @@ def sf10_decompositions() -> list[str]:
         "more refinement rounds trade n^(4/3) init pairs against n*k^2 round",
         "pairs), plus a third routing level once the anchor matrix outgrows",
         "broadcast (~110 MB at n=100M).",
+        "",
+        "**Bonus: copurchase_pairs (factor 8.0) decomposed** — basket",
+        "assembly 1.47 -> 8.6 s (5.9x, linear, no spill); pair counting",
+        "2.95 -> 20.7 s cumulative with the 606 MB spill all in the final",
+        "count. The decisive measurement: DISTINCT pairs are CONSTANT across",
+        "the decade (1,196,000 at both sf1 and sf10 — part dimensions are",
+        "shared across make_sfn replicas, so the co-occurrence space",
+        "saturates) while pair ROWS grow exactly 10x (12.0M -> 120.0M). The",
+        "plan is linear in pair rows with a bounded output key space; the",
+        "spill is map-side hash-agg pressure from 32 concurrent tasks each",
+        "holding up to 1.2M partials in one fixed local memory budget — on a",
+        "real cluster the same stage gets more executors and therefore more",
+        "aggregate memory (the TUNING.md sizing mapping), and the exchange is",
+        "already partial-bounded. Nothing superlinear.",
     ]
 
 
