@@ -1576,3 +1576,69 @@ def test_stream_training_corpus_crash_matrix(
     assert got_stages == ref_stages
     # no blend state: content-unique corpus, one report row per stage
     assert corpus.select(F.md5("text")).distinct().count() == len(got_ids)
+
+
+@pytest.mark.parametrize("kill_point", [0, 1, 2])
+def test_stream_neardup_ingest_crash_matrix(spark, tmp_path, monkeypatch, kill_point):
+    """Kill the near-dup ingest once in every gap of its two-append
+    commit sequence (before the bands append, between bands and docs,
+    after docs before the checkpoint commit). The docstring's ordering
+    argument — bands FIRST, so a crash leaves the index over-complete,
+    never under-complete — must make every kill point converge after
+    restart to exactly the clean run's store: same admitted docs, no
+    re-appended duplicates, and a novel doc still admitted afterward."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from crane_spark.streaming.pipelines import stream_neardup_ingest
+
+    src = str(tmp_path / "docs")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    base = " ".join(f"w{i}" for i in range(30))
+    near = " ".join(f"w{i}" for i in range(29)) + " zz"  # near-dup of base
+    novel = " ".join(f"z{i}" for i in range(30))
+
+    def run():
+        q = stream_neardup_ingest(
+            spark.readStream.schema(schema).parquet(src), store, ckpt
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass
+        return q.exception()
+
+    spark.createDataFrame([(1, base), (2, near), (3, novel)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    orig = DataFrameWriter.parquet
+    state = {"done": 0, "armed": True}
+
+    def crashing(self, path, *a, **kw):
+        if state["armed"] and store in str(path):
+            if state["done"] == kill_point and kill_point < 2:
+                raise RuntimeError(f"injected crash before store write {kill_point + 1}")
+            res = orig(self, path, *a, **kw)
+            state["done"] += 1
+            if state["done"] == 2 and kill_point == 2:
+                raise RuntimeError("injected crash after both appends, before commit")
+            return res
+        return orig(self, path, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", crashing)
+    assert run() is not None, "the injected crash must kill the first run"
+    state["armed"] = False
+
+    assert run() is None
+    got = sorted(r["doc_id"] for r in spark.read.parquet(store + "/docs").collect())
+    assert got == [1, 3]  # near-dup 2 dropped exactly once, despite the crash
+
+    # the recovered store still dedups new arrivals and admits novelty
+    spark.createDataFrame(
+        [(9, base), (10, " ".join(f"y{i}" for i in range(30)))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    assert run() is None
+    got2 = sorted(r["doc_id"] for r in spark.read.parquet(store + "/docs").collect())
+    assert got2 == [1, 3, 10]
