@@ -740,25 +740,55 @@ def _crash_safe_rewrite(
     the metadata-only renames. Recovers a previous crashed swap
     (stranded ``.old``/``.compact``) first. Returns the rewritten row
     count, or None if the dir does not exist. Single-writer: run only
-    while no stream is appending to ``path``."""
+    while no stream is appending to ``path``.
+
+    Two recovery/read hardenings (ADVICE r8):
+
+    * Reads use ``mergeSchema`` — these stores gain operational columns
+      over time (``ingest_ts`` landed in r8), so a store appended to
+      across versions holds mixed parquet schemas. A plain read may
+      infer the schema from an OLD footer, which would make
+      `expire_neardup_index` silently keep everything and — worse —
+      let a subsequent compaction rewrite the store WITHOUT the column,
+      permanently stripping stamps from rows that had them. With
+      mergeSchema the union schema wins and pre-stamp rows read back
+      NULL, exactly the documented retention contract.
+    * If BOTH the live dir and ``.old`` exist, a crash landed between
+      the two renames and a restarted ingest recreated the live dir
+      (its appends only) before this maintenance ran. Deleting ``.old``
+      then — the pre-crash behavior — would discard the entire
+      pre-maintenance store. Instead ``.old`` is FOLDED into the
+      rewrite input; exact-duplicate rows across the two dirs (the
+      same row seen pre- AND post-crash) are the merge's own artifact,
+      so the merged input is full-row deduplicated before the
+      transform — every store routed through here treats identical
+      rows as one (band bloat rows, id-unique docs/vectors) — and
+      ``.old`` is removed only once its rows are staged."""
     import os
     import shutil
 
     old = path + ".old"
     staging = path + ".compact"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)  # staging is disposable at every stage
     if not os.path.exists(path) and os.path.exists(old):
         os.rename(old, path)
-    for stale in (old, staging):
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
     if not os.path.exists(path):
         return None
-    reader = spark.read
+    inputs = [path]
+    if os.path.exists(old):
+        inputs.append(old)  # mid-swap crash + restarted writer: merge
+    reader = spark.read.option("mergeSchema", "true")
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
-    df = transform(reader.parquet(path))
+    df_in = reader.parquet(*inputs)
+    if len(inputs) > 1:
+        df_in = df_in.dropDuplicates()
+    df = transform(df_in)
     df.coalesce(target_files).write.mode("overwrite").parquet(staging)
     n = spark.read.parquet(staging).count()
+    if os.path.exists(old):
+        shutil.rmtree(old)  # its rows are staged; safe from here on
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)

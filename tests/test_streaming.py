@@ -1642,3 +1642,192 @@ def test_stream_neardup_ingest_crash_matrix(spark, tmp_path, monkeypatch, kill_p
     assert run() is None
     got2 = sorted(r["doc_id"] for r in spark.read.parquet(store + "/docs").collect())
     assert got2 == [1, 3, 10]
+
+
+def test_maintenance_reads_merge_mixed_band_schemas(spark, tmp_path):
+    """A band store appended to across engine versions holds parquet
+    files both WITH and WITHOUT ingest_ts (the stamp landed in r8).
+    Maintenance reads must take the UNION schema: expire still evicts
+    stamped rows and keeps pre-stamp NULL rows even when a plain read
+    would infer the schema from an old stamp-less footer, and
+    compaction must never strip the stamp column from rows that have
+    it (ADVICE r8 medium)."""
+    import time
+
+    from crane_spark.streaming.pipelines import (
+        compact_neardup_store,
+        expire_neardup_index,
+    )
+
+    now = int(time.time())
+
+    def mk_mixed_store(root: str) -> None:
+        bands = root + "/bands"
+        # old-schema file FIRST so footer-order inference would
+        # plausibly pick the stamp-less schema
+        spark.createDataFrame(
+            [(1, 0, 111)], "doc_id long, band int, band_key long"
+        ).coalesce(1).write.mode("append").parquet(bands)
+        spark.createDataFrame(
+            [(2, 0, 222, now - 10_000), (3, 0, 333, now)],
+            "doc_id long, band int, band_key long, ingest_ts long",
+        ).coalesce(1).write.mode("append").parquet(bands)
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+        ).write.parquet(root + "/docs")
+
+    # expire on a mixed store: stamped-old evicted, stamped-new kept,
+    # pre-stamp NULL row kept forever
+    store_a = str(tmp_path / "store_a")
+    mk_mixed_store(store_a)
+    res = expire_neardup_index(spark, store_a, older_than_sec=3600, now_sec=now)
+    assert res == {"kept": 2, "evicted": 1}
+    kept = spark.read.option("mergeSchema", "true").parquet(store_a + "/bands")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+    assert "ingest_ts" in kept.columns
+
+    # compaction on a mixed store: stamp column survives, pre-stamp
+    # rows read back NULL (the documented keep-forever contract)
+    store_b = str(tmp_path / "store_b")
+    mk_mixed_store(store_b)
+    compact_neardup_store(spark, store_b)
+    after = spark.read.parquet(store_b + "/bands")
+    assert "ingest_ts" in after.columns
+    stamps = {r["doc_id"]: r["ingest_ts"] for r in after.collect()}
+    assert stamps[1] is None
+    assert stamps[2] == now - 10_000 and stamps[3] == now
+
+
+def test_crash_safe_swap_merges_old_when_live_recreated(spark, tmp_path):
+    """Mid-swap crash (live renamed to .old, staging never installed)
+    followed by an ingest RESTART that recreates the live dir with new
+    appends before maintenance runs again: the next maintenance must
+    fold .old back into the rewrite instead of deleting it — the old
+    recovery rmtree'd the entire pre-compaction store (ADVICE r8)."""
+    import os
+
+    from crane_spark.streaming.pipelines import (
+        compact_vector_index,
+        read_vector_index,
+    )
+
+    store = str(tmp_path / "store")
+    schema = "vec_id long, centroid_id long, embedding array<double>"
+    pre = [(i, i % 3, [float(i), 1.0]) for i in range(10)]
+    spark.createDataFrame(pre, schema).write.parquet(store + "/q1/batch-0")
+
+    # crash window: live -> .old done, then death; the restarted
+    # stream's next batch recreates the live root with only its rows
+    os.rename(store, store + ".old")
+    post = [(i, i % 3, [float(i), 2.0]) for i in range(10, 14)]
+    spark.createDataFrame(post, schema).write.parquet(store + "/q1/batch-1")
+
+    n = compact_vector_index(spark, store, target_files=2)
+    assert n == 14  # union, not just the recreated live dir
+    got = sorted(
+        r["vec_id"] for r in read_vector_index(spark, store).collect()
+    )
+    assert got == list(range(14))
+    assert not os.path.exists(store + ".old")
+    assert not os.path.exists(store + ".compact")
+
+
+@pytest.mark.parametrize("op", ["expire", "compact_vec"])
+@pytest.mark.parametrize("kill_point", [0, 1, 2])
+def test_store_maintenance_swap_crash_matrix(
+    spark, tmp_path, monkeypatch, op, kill_point
+):
+    """Crash-injection matrix for the r8 maintenance ops' two-rename
+    swap (r8 verdict #7): kill once in every gap — before live->.old,
+    between the two renames, and after staging->live but before the
+    .old cleanup — for BOTH expire_neardup_index and
+    compact_vector_index. A recovery rerun must land the store exactly
+    on the never-crashed run's post-maintenance content, with no
+    stranded .old/.compact dirs."""
+    import os
+    import shutil
+    import time
+
+    from crane_spark.streaming.pipelines import (
+        compact_vector_index,
+        expire_neardup_index,
+    )
+
+    now = int(time.time())
+    store = str(tmp_path / "store")
+    ref = str(tmp_path / "ref")
+
+    if op == "expire":
+        bands_schema = "doc_id long, band int, band_key long, ingest_ts long"
+        rows = [
+            (1, 0, 111, now - 10_000),  # expired
+            (2, 0, 222, now),  # live
+            (3, 1, 333, None),  # pre-stamp: kept forever
+        ]
+        for root in (store, ref):
+            spark.createDataFrame(rows, bands_schema).coalesce(1).write.parquet(
+                root + "/bands"
+            )
+
+        def run(root):
+            expire_neardup_index(spark, root, older_than_sec=3600, now_sec=now)
+
+        def content(root):
+            return sorted(
+                (r["doc_id"], r["ingest_ts"])
+                for r in spark.read.parquet(root + "/bands").collect()
+            )
+    else:
+        schema = "vec_id long, centroid_id long, embedding array<double>"
+        b0 = [(i, i % 2, [float(i)]) for i in range(6)]
+        b1 = [(i, i % 2, [float(i)]) for i in range(4, 9)]  # overlaps b0
+        for root in (store, ref):
+            spark.createDataFrame(b0, schema).write.parquet(root + "/q/batch-0")
+            spark.createDataFrame(b1, schema).write.parquet(root + "/q/batch-1")
+
+        def run(root):
+            compact_vector_index(spark, root, target_files=2)
+
+        def content(root):
+            return sorted(
+                (r["vec_id"], r["centroid_id"])
+                for r in spark.read.option("recursiveFileLookup", "true")
+                .parquet(root)
+                .dropDuplicates(["vec_id"])
+                .collect()
+            )
+
+    run(ref)  # the never-crashed reference
+
+    # swap-step injection: step 0 = rename(live, .old), step 1 =
+    # rename(staging, live), step 2 = rmtree(.old). Arm only for paths
+    # under this test's store.
+    real_rename, real_rmtree = os.rename, shutil.rmtree
+    state = {"step": 0, "armed": True}
+
+    def guard(kind):
+        if state["armed"]:
+            if state["step"] == kill_point:
+                raise RuntimeError(f"injected crash before swap {kind}")
+            state["step"] += 1
+
+    def rename(src, dst, **kw):
+        if state["armed"] and store in str(src):
+            guard("rename")
+        return real_rename(src, dst, **kw)
+
+    def rmtree(path, *a, **kw):
+        if state["armed"] and store in str(path):
+            guard("rmtree")
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(os, "rename", rename)
+    monkeypatch.setattr(shutil, "rmtree", rmtree)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run(store)
+    state["armed"] = False
+
+    run(store)  # recovery rerun
+    assert content(store) == content(ref)
+    assert not os.path.exists(store + ".old")
+    assert not os.path.exists(store + ".compact")
