@@ -49,6 +49,17 @@ from crane_spark.tables import fan_out
 # faster and n=200k routed-3.4x-faster; see knn_graph_build).
 _ROUTED_INIT_EVAL_THRESHOLD = 30_000_000
 
+# Hard ceiling on the routed init's anchor-matrix broadcast
+# (c = n^(2/3) rows x dim x 8 bytes, shipped to every executor by
+# _fold_dot_rows). SCALE.md's decomposition puts the crossing at
+# n ~ 100M 32-dim vectors (~110 MB); past it the build must fail
+# LOUDLY with the remedies named instead of dying inside an opaque
+# broadcast OOM mid-job (r8 verdict #2 — the third routing level is
+# designed but not built; the gate is the coded stand-in). Tests
+# force a tiny ceiling to exercise the gate, the same pattern as
+# _ROUTED_INIT_EVAL_THRESHOLD's crossover tests.
+_ANCHOR_BROADCAST_CEILING_BYTES = 128 << 20
+
 
 def _normalized(vectors: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     v = fan_out(vectors).select(F.col(id_col), to_double_vec(vec_col).alias("dv"))
@@ -168,11 +179,10 @@ def _topk_edges(scored: DataFrame, k: int) -> DataFrame:
 
 def _fold_dot_rows(
     nv: DataFrame,
-    block_ids,
-    block_mat,
+    bc,
     id_col: str,
     out_col: str,
-    groups=None,
+    grouped: bool = False,
 ):
     """(id, {out_col}, dot) for every (vector, block-row) pair — dots
     computed per Arrow batch as 'acc += v[:, j] * c[:, j]' ascending j
@@ -185,19 +195,22 @@ def _fold_dot_rows(
     BigDecimal half-up rounding in numpy is exactly the
     shortest-decimal-string trap SCALE.md's sf1 section documents.
 
-    ``groups`` restricts each vector to one sub-block: a (group_col
-    in nv) -> indices-into-block map, for the per-super local-anchor
-    pass. The block (anchor matrix) is a broadcast-sized index
-    structure by design — c = n^(2/3) rows; ~110 MB of float64 at
-    n = 100M vectors, the documented ceiling before the hierarchy
-    needs a third level."""
+    ``bc`` is a SparkContext broadcast of (block_ids, block_mat,
+    groups), created — and DESTROYED after the consuming plan
+    materializes — by the caller: one shared broadcast per
+    _routed_assign instead of one per stage, so repeated graph builds
+    in a long-lived session don't accumulate executor broadcast
+    blocks (ADVICE r8). ``grouped`` says whether groups is non-None
+    (the nv frame then carries a ``_grp`` column restricting each
+    vector to one sub-block — the per-super local-anchor pass). The
+    block (anchor matrix) is a broadcast-sized index structure by
+    design — c = n^(2/3) rows; ~110 MB of float64 at n = 100M
+    vectors, the ceiling `knn_graph_build` gates on."""
     import numpy as np
     import pandas as pd
 
-    spark = nv.sparkSession
-    bc = spark.sparkContext.broadcast((block_ids, block_mat, groups))
     vtype = nv.schema[id_col].dataType.simpleString()
-    group_cols = ["_grp"] if groups is not None else []
+    group_cols = ["_grp"] if grouped else []
 
     def gen(batches):
         ids_all, mat_all, grp = bc.value
@@ -279,7 +292,15 @@ def _routed_assign(
     DROPPED by the inner join below, losing its blocked init edges
     (regression-tested in tests/test_graph_ann.py). Self-routing
     guarantees every super cell holds at least its own anchor, so the
-    join is lossless for all of v2s's range (supers ⊆ centroids)."""
+    join is lossless for all of v2s's range (supers ⊆ centroids).
+
+    Requires a NUMERIC id column (the position map and the negated-id
+    argmax tiebreak are integer arithmetic); `knn_graph_build` keeps
+    non-numeric-id tables on the flat ivf_assign init, which supports
+    any orderable id type (ADVICE r8). The returned frame is
+    localCheckpointed so the two anchor-matrix broadcasts can be
+    destroyed before returning — without the barrier a downstream
+    consumer would evaluate against destroyed broadcasts."""
     import numpy as np
 
     # Anchor normalized-vector matrix, collected once: c = n^(2/3)
@@ -295,10 +316,12 @@ def _routed_assign(
     s_id_set = {r["super_id"] for r in supers.select("super_id").collect()}
     s_sel = np.nonzero(np.isin(a_ids, np.array(sorted(s_id_set))))[0]
     s_ids, s_mat = a_ids[s_sel], a_mat[s_sel]
+    spark = nv.sparkSession
+    bc_s = spark.sparkContext.broadcast((s_ids, s_mat, None))
 
     # anchors -> supers (c x s dots), Spark-side round + argmax
     c2s = _argmax_rounded(
-        _fold_dot_rows(anch_nv, s_ids, s_mat, id_col, "super_id"),
+        _fold_dot_rows(anch_nv, bc_s, id_col, "super_id"),
         id_col,
         "super_id",
     ).select(F.col(id_col).alias("centroid_id"), "super_id")
@@ -313,7 +336,7 @@ def _routed_assign(
 
     # vectors -> supers (n x s dots)
     v2s = _argmax_rounded(
-        _fold_dot_rows(nv, s_ids, s_mat, id_col, "super_id"), id_col, "super_id"
+        _fold_dot_rows(nv, bc_s, id_col, "super_id"), id_col, "super_id"
     )
 
     # vectors -> their super's local anchors (n x ~c/s dots): the
@@ -323,14 +346,18 @@ def _routed_assign(
     for r in c2s.collect():
         grp.setdefault(int(r["super_id"]), []).append(pos[int(r["centroid_id"])])
     grp = {k: np.array(sorted(v)) for k, v in grp.items()}
+    bc_a = spark.sparkContext.broadcast((a_ids, a_mat, grp))
     with_grp = nv.join(
         v2s.select(id_col, F.col("super_id").alias("_grp")), id_col
     )
-    return _argmax_rounded(
-        _fold_dot_rows(with_grp, a_ids, a_mat, id_col, "centroid_id", groups=grp),
+    assigned = _argmax_rounded(
+        _fold_dot_rows(with_grp, bc_a, id_col, "centroid_id", grouped=True),
         id_col,
         "centroid_id",
-    )
+    ).localCheckpoint(eager=True)
+    for bc in (bc_s, bc_a):
+        bc.destroy()
+    return assigned
 
 
 def normalized_vectors(
@@ -380,7 +407,15 @@ def knn_graph_build(
     the (id, normalized-vector) table twice by id — broadcastable
     while vectors fit, bucketed-join co-location beyond that.
     """
+    from pyspark.sql.types import NumericType
+
     n = vectors.count()
+    # _routed_assign needs numeric ids (position map + negated-id
+    # argmax tiebreak); non-numeric-id tables stay on the flat
+    # ivf_assign init, which supports any orderable id — correct at
+    # every n, slower past the routed crossover (ADVICE r8: the old
+    # gate crashed string-id builds once n crossed it).
+    numeric_id = isinstance(vectors.schema[id_col].dataType, NumericType)
     # Init regime gate (r7, both sides MEASURED at the ladder rungs).
     # The flat init costs ~2*n^1.5 cosine evaluations (assignment n*c
     # + in-cell pairs n^2/c, balanced at c=sqrt(n)); the sf10 rung
@@ -393,7 +428,7 @@ def knn_graph_build(
     # routed build measured 33.4 s vs 14.4 s flat, at n=2k 21.6 s vs
     # 6.5 s. Gate on the flat path's eval count: route only once
     # 2*n^1.5 clears the measured crossover (~30M evals, n ~ 100k).
-    routed = 2 * n**1.5 > _ROUTED_INIT_EVAL_THRESHOLD
+    routed = 2 * n**1.5 > _ROUTED_INIT_EVAL_THRESHOLD and numeric_id
     if init_cells is None:
         # c balances each regime's assignment term against in-cell
         # pairs: sqrt(n) flat, n^(2/3) routed. The max(24, 4k)
@@ -424,6 +459,28 @@ def knn_graph_build(
         # init blocking only needs locality, and the hash-random
         # partner half plus the refinement rounds own recall (tests
         # pin it).
+        # Anchor-broadcast ceiling gate: the routed init ships the
+        # full c x dim anchor matrix to every executor. Refuse loudly
+        # BEFORE any job runs once the estimate crosses the ceiling —
+        # the failure mode past it is an executor-side broadcast OOM
+        # with no actionable message. dim comes from one head() row of
+        # the already-checkpointed nv frame (bounded, no table scan).
+        dim = len(nv.select("nv").head()["nv"])
+        anchor_bytes = init_cells * dim * 8
+        if anchor_bytes > _ANCHOR_BROADCAST_CEILING_BYTES:
+            raise ValueError(
+                f"knn_graph_build routed init: the anchor matrix "
+                f"({init_cells} cells x {dim} dims) would broadcast "
+                f"{anchor_bytes >> 20} MB "
+                f"> {_ANCHOR_BROADCAST_CEILING_BYTES >> 20} MB ceiling "
+                f"(SCALE.md: ~n=100M at dim=32). Remedies: pass a "
+                f"smaller init_cells (recall degrades gracefully — the "
+                f"hash-random partner half and the refinement rounds "
+                f"own recall), shard the corpus and build per-shard "
+                f"graphs, or implement the third routing level "
+                f"(shuffle-side per-super anchor sub-matrices instead "
+                f"of one global broadcast)."
+            )
         supers = _spread_sample(centroids, "centroid_id", route_supers, init_cells).select(
             F.col("centroid_id").alias("super_id"), vec_col
         )
@@ -476,6 +533,11 @@ def knn_graph_build(
         .select("src", "dst", _pair_cos("sv", "dv").alias("cosine"))
     )
     edges = _topk_edges(init_scored, k).localCheckpoint(eager=True)
+    if routed and route_supers >= 8:
+        # the routed assignment's checkpoint (see _routed_assign's
+        # broadcast-lifetime barrier) has no consumer once the init
+        # edges are materialized
+        release_local_checkpoint(assigned)
     from crane_spark.operators.caching import loop_checkpoint
 
     for rnd in range(1, n_iter + 1):

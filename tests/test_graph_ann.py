@@ -233,3 +233,43 @@ def test_routed_assign_no_orphan_super_drops_vectors(spark):
     assert sorted(got) == [1, 2, 3, 10, 11]
     # the tied super self-routes, so vector 10 lands in super 2's cell
     assert got[10] == 2
+
+
+def test_knn_graph_build_string_ids_fall_back_to_flat_init(spark, monkeypatch):
+    """Non-numeric id columns must never reach _routed_assign (its
+    position map and negated-id argmax are integer arithmetic —
+    ADVICE r8): with the routed crossover forced to zero, a string-id
+    build takes the flat ivf_assign init and still returns a correct
+    per-node neighborhood."""
+    from crane_spark.llm import graph_ann
+
+    monkeypatch.setattr(graph_ann, "_ROUTED_INIT_EVAL_THRESHOLD", 0)
+    vecs = _clustered_vectors(spark).select(
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    edges = knn_graph_build(vecs, k=4, n_iter=1).collect()
+    srcs = {r["src"] for r in edges}
+    assert len(srcs) == 120 and all(s.startswith("doc-") for s in srcs)
+
+
+def test_knn_graph_build_anchor_broadcast_ceiling_fails_loudly(spark, monkeypatch):
+    """Past the anchor-broadcast ceiling the routed init must refuse
+    with the remedies named BEFORE running any job (r8 verdict #2),
+    not die in an executor-side broadcast OOM. Forced tiny ceiling +
+    zero crossover, same pattern as the routed-crossover tests."""
+    from crane_spark.llm import graph_ann
+
+    monkeypatch.setattr(graph_ann, "_ROUTED_INIT_EVAL_THRESHOLD", 0)
+    monkeypatch.setattr(graph_ann, "_ANCHOR_BROADCAST_CEILING_BYTES", 64)
+    vecs = _clustered_vectors(spark)
+    # init_cells=64 keeps route_supers (sqrt(c)=8) over the routed
+    # branch's floor so the forced crossover actually routes
+    with pytest.raises(ValueError, match="anchor matrix .* would broadcast"):
+        knn_graph_build(vecs, k=4, n_iter=1, init_cells=64)
+    # under the ceiling the same forced-routed build runs fine
+    monkeypatch.setattr(
+        graph_ann, "_ANCHOR_BROADCAST_CEILING_BYTES", 128 << 20
+    )
+    edges = knn_graph_build(vecs, k=4, n_iter=1, init_cells=64)
+    assert edges.select("src").distinct().count() == 120
