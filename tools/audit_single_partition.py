@@ -237,6 +237,15 @@ def main() -> int:
         print(f"\nUNEXPECTED low-cardinality-partition windows: {w_unexpected}")
     if w_stale:
         print(f"\nSTALE window-allowlist entries (no longer flag): {w_stale}")
+    # Self-contained summary (r8 verdict #9): every allowlisted entry
+    # with its reviewed justification, so the audit artifact carries
+    # the WHY without a trip to the source dicts.
+    if ALLOWLIST or WINDOW_ALLOWLIST:
+        print("\nreviewed allowlist (name: justification):")
+        for name in sorted(ALLOWLIST):
+            print(f"  {name}: {ALLOWLIST[name]}")
+        for name in sorted(WINDOW_ALLOWLIST):
+            print(f"  [lowcard-window] {name}: {WINDOW_ALLOWLIST[name]}")
     print(
         f"\n{len(flagged)} flagged / {len(w_flagged)} lowcard-window "
         f"/ {len(REGISTRY)} queries"

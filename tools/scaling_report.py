@@ -77,7 +77,7 @@ SF10_SET = {
 # is excluded from the sf1 rung (400M candidate pairs by design; the
 # IVF path is its scale twin and IS measured).
 HEADLINERS: dict[str, tuple[str, bool]] = {
-    "q1_pricing_summary": ("full-scan agg: linear in lineitem", True),
+    "q1_pricing_summary": ("full-scan agg: linear in lineitem ROWS (wide 8-way decimal-agg row) — expect <=10x/decade; floor amortizes into the measured ~5", True),
     "q5_local_supplier_volume": ("star join, broadcast dims: linear in fact", True),
     "q6_revenue_forecast": ("selective pushed-down scan: linear, small constant", True),
     "q18_large_volume": ("fact-fact join + HAVING: linear in lineitem", True),
@@ -89,16 +89,16 @@ HEADLINERS: dict[str, tuple[str, bool]] = {
         False,
     ),
     "ivf_probe_topk": ("IVF probe ANN: linear assign + probed-cell re-rank", True),
-    "token_counts": ("tokenize + agg: linear in chars", True),
-    "trigram_lm_quality": ("LM score: linear extract, broadcast model; (doc, tg) aggregate checkpointed once (r8)", True),
+    "token_counts": ("tokenize + agg: linear in CHARS — the salted rung grows chars 11.5x/decade vs 10x docs, so factors up to ~11.5 are on-shape", True),
+    "trigram_lm_quality": ("LM score: linear in (doc, trigram) PAIRS — chars/trigrams grow 11.5x/decade on the salted rung (expect <=11.5); broadcast model, shared aggregate checkpointed once (r8)", True),
     "rolling_7d_active_users": ("bounded explode + distinct: linear in user-days", True),
-    "dedup_clusters": ("LSH -> verify -> components: linear + pair-local", True),
+    "dedup_clusters": ("LSH -> verify -> components: linear in docs + bucket-local PAIR rows (~10x/decade; expect <=10)", True),
     "prefix_jaccard_join": (
-        "exact similarity join, regime-gated; x10-3 spans the dense->sparse switch (crossover table)",
+        "exact similarity join, regime-gated; x10-3 spans the dense->sparse switch (crossover table); within-regime ~5x/decade vs true pairs at 10x",
         True,
     ),
     "copurchase_pairs": (
-        "basket pair-gen: two shuffles, no join, pair fan-out bounded by basket size",
+        "basket pair-gen: two shuffles, no join; pair ROWS grow 10x/decade while distinct pairs saturate (r8 decomposition; expect <=10)",
         True,
     ),
     "corpus_funnel": ("multi-stage pipeline: linear per stage", True),
@@ -117,11 +117,11 @@ HEADLINERS: dict[str, tuple[str, bool]] = {
         True,
     ),
     "dup_span_ranges": (
-        "gram explode -> hash agg -> pruned-hit windows: linear in tokens",
+        "gram explode -> hash agg -> pruned-hit windows: linear in TOKENS (salted rung grows tokens 11.5x/decade; expect <=11.5)",
         True,
     ),
     "source_overlap_matrix": (
-        "per-hash source sets -> pair counts: linear in hashes, pairs source-bounded",
+        "per-hash source sets -> pair counts: linear in (hash, source) rows (~10x/decade, expect <=10); pairs source-bounded",
         True,
     ),
     # round-5/6 re-plans: exact_ntile / exact_rank / exact_prefix_sum
