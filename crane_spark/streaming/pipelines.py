@@ -313,6 +313,114 @@ def stream_incremental_ingest(
     )
 
 
+class _BloomFront:
+    """Driver-side Bloom filter over the STORED band keys — the
+    optional probe front for `stream_neardup_ingest(bloom_front=True)`.
+
+    Direction of error: a false POSITIVE costs one unnecessary index
+    probe (the exact join then finds nothing); a false NEGATIVE would
+    skip a probe that had a real collision and re-admit a duplicate —
+    so the filter must contain every stored key. It does, given the
+    store's documented single-writer rule: seeded from the full index
+    at run start (one distributed pass over the narrow band_key
+    column, partial bitmaps OR-folded on the driver) and updated with
+    each batch's appended keys after their append commits. A crash
+    re-seeds on restart; there is no persisted filter to drift.
+
+    Hashing is deterministic double hashing over two Spark-side
+    xxhash64 values of the key (h1 + i*h2 mod n_bits), so executors
+    and driver never disagree on a key's bits."""
+
+    def __init__(self, n_items: int, fpp: float):
+        import math
+
+        import numpy as np
+
+        n = max(1024, int(n_items))
+        ideal = int(-n * math.log(fpp) / (math.log(2) ** 2))
+        self.n_bits = max(8192, 1 << (ideal - 1).bit_length())
+        self.k = max(1, round(self.n_bits / n * math.log(2)))
+        self.bits = np.zeros(self.n_bits // 8, dtype=np.uint8)
+
+    @staticmethod
+    def fill(buf, h1, h2, n_bits: int, k: int) -> None:
+        """Set the bits for hash-pair arrays into ``buf`` (uint8
+        bitmap) — shared by driver add() and the executor-side
+        seeding partials so both use one bit layout."""
+        import numpy as np
+
+        h1 = h1.astype(np.uint64)
+        h2 = h2.astype(np.uint64)
+        for i in range(k):
+            idx = ((h1 + np.uint64(i) * h2) % np.uint64(n_bits)).astype(
+                np.int64
+            )
+            np.bitwise_or.at(
+                buf, idx >> 3, np.left_shift(np.uint8(1), (idx & 7).astype(np.uint8))
+            )
+
+    def add(self, h1, h2) -> None:
+        self.fill(self.bits, h1, h2, self.n_bits, self.k)
+
+    def might_contain_any(self, h1, h2) -> bool:
+        import numpy as np
+
+        if len(h1) == 0:
+            return False
+        h1 = h1.astype(np.uint64)
+        h2 = h2.astype(np.uint64)
+        alive = np.ones(len(h1), dtype=bool)
+        for i in range(self.k):
+            idx = ((h1 + np.uint64(i) * h2) % np.uint64(self.n_bits)).astype(
+                np.int64
+            )
+            alive &= (
+                (self.bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+            ).astype(bool)
+            if not alive.any():
+                return False
+        return True
+
+
+def _bloom_hash_cols():
+    """The two deterministic 64-bit key hashes the front is built on;
+    computed Spark-side so seeding partials and driver tests agree."""
+    return [
+        F.xxhash64("band_key").alias("h1"),
+        F.xxhash64(F.lit(1), F.col("band_key")).alias("h2"),
+    ]
+
+
+def _seed_bloom_front(spark, index_store: str, fpp: float) -> _BloomFront:
+    """Build the run's front from the persisted index: one count + one
+    distributed pass over the narrow band_key column, each partition
+    emitting a partial bitmap, OR-folded driver-side (bitmap-sized
+    transfers, never key rows)."""
+    import numpy as np
+
+    idx = spark.read.option("mergeSchema", "true").parquet(index_store)
+    n = idx.count()
+    front = _BloomFront(4 * n + 100_000, fpp)
+    n_bits, k = front.n_bits, front.k
+    hashed = idx.select(*_bloom_hash_cols())
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        part = np.zeros(n_bits // 8, dtype=np.uint8)
+        for pdf in batches:
+            if len(pdf):
+                _BloomFront.fill(
+                    part, pdf["h1"].to_numpy(), pdf["h2"].to_numpy(), n_bits, k
+                )
+        yield pd.DataFrame({"bits": [part.tobytes()]})
+
+    for r in hashed.mapInPandas(gen, "bits binary").collect():
+        front.bits |= np.frombuffer(r["bits"], dtype=np.uint8)
+    return front
+
+
 def stream_neardup_ingest(
     docs: DataFrame,
     store_path: str,
@@ -322,6 +430,9 @@ def stream_neardup_ingest(
     shingle_n: int = 3,
     t_num: int = 1,
     t_den: int = 2,
+    bloom_front: bool = False,
+    bloom_fpp: float = 0.03,
+    bloom_stats: dict | None = None,
 ) -> StreamingQuery:
     """Incremental NEAR-duplicate-free corpus ingestion: the streaming
     MinHash-LSH twin of `stream_incremental_ingest`'s exact-hash
@@ -365,6 +476,20 @@ def stream_neardup_ingest(
     At 100 TB: the band index is (band, band_key, id) — narrow rows,
     bucketable on band_key so the per-batch probe is a pruned scan;
     verification reads only candidate-matched documents.
+
+    ``bloom_front=True`` (TUNING.md state-growth audit: the
+    novel-heavy-stream knob) fronts step 3 with a per-RUN driver-side
+    Bloom filter over the stored band keys (`_BloomFront`): each
+    batch's candidate keys (batch-bounded, collected as two 64-bit
+    hashes per key) are tested first, and when NONE can be in the
+    index — the common case when arrivals are mostly novel — the
+    stored-index read, probe join, and verify round-trip are skipped
+    outright. False positives cost one wasted probe; false negatives
+    cannot occur under the store's single-writer rule (seeded from
+    the full index at run start, updated after each batch's append,
+    re-seeded on restart). ``bloom_stats`` (optional dict) receives
+    probes_skipped / probes_run / keys_tested counters for
+    observability and the TUNING.md measurement.
     """
     from crane_spark.llm.dedup import (
         minhash_bands,
@@ -375,6 +500,13 @@ def stream_neardup_ingest(
 
     docs_store = store_path + "/docs"
     index_store = store_path + "/bands"
+    # per-run bloom front state (lazily seeded at the first batch so a
+    # store created mid-run still seeds correctly) and its counters
+    _front: dict = {"bloom": None}
+    if bloom_stats is not None:
+        bloom_stats.setdefault("probes_skipped", 0)
+        bloom_stats.setdefault("probes_run", 0)
+        bloom_stats.setdefault("keys_tested", 0)
 
     def _verified_pairs(spark, pairs, sets_a, sets_b):
         """Exact Jaccard >= t_num/t_den check for candidate id pairs;
@@ -454,7 +586,27 @@ def stream_neardup_ingest(
         # while the doc store does not (crash between the appends) —
         # an absent doc store means nothing is truly ingested and
         # every index hit must resolve to "not stored, keep".
-        if os.path.exists(index_store) and os.path.exists(docs_store):
+        store_live = os.path.exists(index_store) and os.path.exists(docs_store)
+        probe_possible = True
+        if bloom_front and store_live:
+            if _front["bloom"] is None:
+                _front["bloom"] = _seed_bloom_front(spark, index_store, bloom_fpp)
+            keys = (
+                bands.join(keep.select(id_col), id_col, "left_semi")
+                .select("band_key")
+                .union(keep_short.select(F.col("_h").alias("band_key")))
+                .distinct()
+                .select(*_bloom_hash_cols())
+                .toPandas()
+            )
+            probe_possible = _front["bloom"].might_contain_any(
+                keys["h1"].to_numpy(), keys["h2"].to_numpy()
+            )
+            if bloom_stats is not None:
+                bloom_stats["keys_tested"] += len(keys)
+                key = "probes_run" if probe_possible else "probes_skipped"
+                bloom_stats[key] += 1
+        if store_live and probe_possible:
             idx = spark.read.parquet(index_store)
             hits = (
                 bands.join(keep.select(id_col), id_col, "left_semi")
@@ -528,6 +680,19 @@ def stream_neardup_ingest(
             keep.unionByName(keep_short.drop("_h")).write.mode("append").parquet(
                 docs_store
             )
+            if bloom_front and _front["bloom"] is not None:
+                # keep the run's front a superset of the store: add the
+                # keys just appended (batch-bounded collect of two
+                # hashes per key). A not-yet-seeded front stays None —
+                # the next batch seeds from the store, which already
+                # includes this append.
+                kb = (
+                    new_bands.select("band_key")
+                    .distinct()
+                    .select(*_bloom_hash_cols())
+                    .toPandas()
+                )
+                _front["bloom"].add(kb["h1"].to_numpy(), kb["h2"].to_numpy())
         finally:
             # free this batch's staged copies whether or not the sinks
             # succeeded — a failed write is retried by foreachBatch

@@ -1831,3 +1831,66 @@ def test_store_maintenance_swap_crash_matrix(
     assert content(store) == content(ref)
     assert not os.path.exists(store + ".old")
     assert not os.path.exists(store + ".compact")
+
+
+def test_neardup_bloom_front_skips_probes_and_preserves_semantics(spark, tmp_path):
+    """bloom_front=True must admit exactly the docs the un-fronted
+    ingest admits: a novel-only batch short-circuits the stored-index
+    probe (probes_skipped), an exact-duplicate batch hits the front
+    and runs the probe (dropped as before), and a forced full replay
+    self-collides through the front, so nothing re-appends."""
+    import shutil
+
+    from crane_spark.streaming.pipelines import stream_neardup_ingest
+
+    src = str(tmp_path / "docs")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    base = " ".join(f"w{i}" for i in range(30))
+    novel = " ".join(f"z{i}" for i in range(30))
+    novel2 = " ".join(f"y{i}" for i in range(30))
+
+    stats: dict = {}
+
+    def run():
+        q = stream_neardup_ingest(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            store,
+            ckpt,
+            bloom_front=True,
+            bloom_stats=stats,
+        )
+        q.awaitTermination(180)
+
+    # run 1: two batches; the second's docs are all-novel, so once the
+    # front seeds (index exists after batch 1) it must skip the probe
+    spark.createDataFrame([(1, base), (2, novel)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    spark.createDataFrame([(6, novel2)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    assert stats["probes_skipped"] >= 1 and stats["keys_tested"] > 0
+
+    # run 2: an exact duplicate — identical band keys, so the front
+    # HITS, the probe runs, and the arrival drops
+    before_runs = stats["probes_run"]
+    spark.createDataFrame([(9, base)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    assert stats["probes_run"] > before_runs
+    got = sorted(r["doc_id"] for r in spark.read.parquet(store + "/docs").collect())
+    assert got == [1, 2, 6]
+
+    # forced replay: every replayed doc self-collides through the
+    # front; the store must not change
+    shutil.rmtree(ckpt)
+    run()
+    got2 = sorted(r["doc_id"] for r in spark.read.parquet(store + "/docs").collect())
+    assert got2 == [1, 2, 6]
