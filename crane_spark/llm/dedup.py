@@ -697,17 +697,25 @@ def prefix_filter_jaccard_pairs(
     # One materialization feeds BOTH the vocabulary aggregate and the
     # signature build (the shingle extraction is the expensive scan;
     # without the checkpoint it runs twice). The exploded builder is
-    # ~5x the array-lambda form (see shingle_tokens).
+    # ~5x the array-lambda form (see shingle_tokens). LAZY checkpoint
+    # on purpose (r8 verdict #5): the sizing aggregate right below is
+    # always the first action, so materialization rides that job
+    # instead of paying its own.
     tok = shingle_tokens(docs, text_col, id_col, shingle_n).localCheckpoint(
-        eager=True
+        eager=False
     )
     # Gate sizing first, in ONE job over the checkpointed tokens (the
     # separate distinct-doc count job this replaces paid a full pass).
     sizes = tok.agg(
         F.count_distinct("token").alias("v"),
         F.count_distinct(F.col(id_col)).alias("n"),
+        # total (id, token) rows == the ranked-entry count the verify-
+        # regime gate needs below (every tok row joins exactly one
+        # vocab rank), folded here so it never costs its own job
+        F.count(F.lit(1)).alias("e"),
     ).first()
     vocab_size, n_docs = int(sizes["v"]), int(sizes["n"])
+    n_entries = int(sizes["e"])
     if vocab_size >= 2**31:
         # The int cast below would silently WRAP past 2^31 entries and
         # corrupt the prefix-filter total order (ADVICE r3) — fail
@@ -763,10 +771,12 @@ def prefix_filter_jaccard_pairs(
         checkpoint=True,  # input is a tokenize+count aggregate
     )
     ranked = ranked_tokens(vocab)
+    # lazy: both consumers' first action fully scans it (the broadcast
+    # regime's toPandas, or the join regime's single verify action)
     ordered = (
         ranked.groupBy(id_col)
         .agg(F.sort_array(F.collect_list("rank")).alias("arr"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     m = F.size("arr")
     # p = m - ceil(t*m) + 1, all-integer
     ceil_tm = (F.lit(t_num) * m + F.lit(t_den - 1)).cast("long") / F.lit(t_den)
@@ -817,7 +827,8 @@ def prefix_filter_jaccard_pairs(
     # instead; beyond it (true corpus scale) the join remains — its
     # cost there is proportional to candidates, which rarity-ordered
     # prefixes DO prune on genuinely sparse corpus-scale vocabularies.
-    n_entries = ordered.agg(F.sum(F.size("arr"))).first()[0] or 0
+    # n_entries (sum of per-doc array sizes == tok row count) comes
+    # from the single sizing aggregate above — no extra job here.
     if n_entries <= _VERIFY_BROADCAST_ENTRIES_BUDGET:
         return _broadcast_verify_pairs(
             cand_ids, ordered, id_col, vocab_size, t_num, t_den

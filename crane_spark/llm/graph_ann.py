@@ -60,6 +60,16 @@ _ROUTED_INIT_EVAL_THRESHOLD = 30_000_000
 # _ROUTED_INIT_EVAL_THRESHOLD's crossover tests.
 _ANCHOR_BROADCAST_CEILING_BYTES = 128 << 20
 
+# Below this n the init/seed checkpoints are created LAZY: their
+# materialization rides the next eager checkpoint's job (one fewer
+# action + its AQE stage jobs — the sf0.001 floor was job count, r8
+# verdict #4). Above it they stay eager: a lazy checkpoint referenced
+# several times in the next round's plan can race its first
+# materialization and recompute the (there, expensive) init per
+# reference. 20k sits well under the routed-init crossover, where
+# init compute is measured trivial next to scheduling.
+_LAZY_INIT_CKPT_MAX_N = 20_000
+
 
 def _normalized(vectors: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     v = fan_out(vectors).select(F.col(id_col), to_double_vec(vec_col).alias("dv"))
@@ -69,7 +79,9 @@ def _normalized(vectors: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _spread_sample(df: DataFrame, id_col: str, m: int, n: int) -> DataFrame:
+def _spread_sample(
+    df: DataFrame, id_col: str, m: int, n: int, stats=None
+) -> DataFrame:
     """Deterministic spread sample of ~m rows covering the id space,
     with NO sort over the table (the old rank-strided form ran
     row_number over an unpartitioned Window — one task sorting every
@@ -100,13 +112,21 @@ def _spread_sample(df: DataFrame, id_col: str, m: int, n: int) -> DataFrame:
     table. For uniform-ish id layouts the estimate equals the old
     measured count; a pathologically clustered id space can overshoot
     it and starve the value stride, which costs entry-set coverage,
-    not correctness — the recall tests pin the floor."""
+    not correctness — the recall tests pin the floor.
+
+    ``stats`` — a precomputed (min_id, max_id, n_rows) triple for
+    ``df`` — skips the aggregate job entirely: callers that already
+    ran a sizing aggregate over the same frame (knn_graph_build,
+    graph_search_topk) fold the three stats into it (r8 verdict #4:
+    the sf0.001 floor was job count)."""
     from pyspark.sql.types import NumericType
 
     if isinstance(df.schema[id_col].dataType, NumericType):
-        lo, hi, n_rows = df.agg(
-            F.min(id_col), F.max(id_col), F.count(F.lit(1))
-        ).first()
+        lo, hi, n_rows = (
+            stats
+            if stats is not None
+            else df.agg(F.min(id_col), F.max(id_col), F.count(F.lit(1))).first()
+        )
         if lo is not None:
             if int(n_rows) <= m:  # whole table fits the sample
                 return df.orderBy(id_col).limit(m)
@@ -379,9 +399,13 @@ def knn_graph_build(
     id_col: str = "vec_id",
     prenormalized: DataFrame | None = None,
     reliable_every: int = 0,
+    id_stats=None,
 ) -> DataFrame:
     """Build an approximate k-NN edge table (src, dst, cosine) by
-    NN-Descent. ``reliable_every=N`` swaps every Nth round's edge
+    NN-Descent. ``id_stats`` — a precomputed (min_id, max_id, n) for
+    the vector table — skips the sizing job, the `prenormalized`
+    pattern applied to stats (build+search pipelines size the same
+    table twice otherwise). ``reliable_every=N`` swaps every Nth round's edge
     checkpoint for a durable ``df.checkpoint()`` (bounded replay after
     executor loss; bit-identical graph — operators/caching.py).
 
@@ -409,13 +433,23 @@ def knn_graph_build(
     """
     from pyspark.sql.types import NumericType
 
-    n = vectors.count()
     # _routed_assign needs numeric ids (position map + negated-id
     # argmax tiebreak); non-numeric-id tables stay on the flat
     # ivf_assign init, which supports any orderable id — correct at
     # every n, slower past the routed crossover (ADVICE r8: the old
     # gate crashed string-id builds once n crossed it).
     numeric_id = isinstance(vectors.schema[id_col].dataType, NumericType)
+    # One sizing job for n AND the spread sample's stats (numeric
+    # ids); the separate count() + min/max jobs were pure floor.
+    if id_stats is not None:
+        n = int(id_stats[2])
+    elif numeric_id:
+        id_stats = vectors.agg(
+            F.min(id_col), F.max(id_col), F.count(F.lit(1))
+        ).first()
+        n = int(id_stats[2])
+    else:
+        n = vectors.count()
     # Init regime gate (r7, both sides MEASURED at the ladder rungs).
     # The flat init costs ~2*n^1.5 cosine evaluations (assignment n*c
     # + in-cell pairs n^2/c, balanced at c=sqrt(n)); the sf10 rung
@@ -436,9 +470,9 @@ def knn_graph_build(
         # clustered-fixture recall tests pin.
         ideal = round(n ** (2 / 3)) if routed else int(n**0.5)
         init_cells = max(1, min(int(ideal), n // max(24, 4 * k)))
-    centroids = _spread_sample(vectors, id_col, init_cells, n).select(
-        F.col(id_col).alias("centroid_id"), vec_col
-    )
+    centroids = _spread_sample(
+        vectors, id_col, init_cells, n, stats=id_stats
+    ).select(F.col(id_col).alias("centroid_id"), vec_col)
     # `prenormalized` lets a caller that both builds and searches (the
     # usual pairing) normalize + checkpoint the vector table ONCE —
     # (id, nv) with unit-norm arrays, from normalized_vectors().
@@ -509,21 +543,35 @@ def knn_graph_build(
     # — parallel per-bucket ranks + bounded offset cumsum — because any
     # deterministic bijection onto 0..n-1 serves partner resolution;
     # the old row_number-over-everything sorted the whole vector table
-    # in one task.
-    idx = dense_index(nv.select(id_col), tiebreak=id_col, out="_ix")
-    rand = (
-        idx.select(F.col(id_col).alias("src"))
-        .crossJoin(nv.sparkSession.range(k).withColumnRenamed("id", "_j"))
-        .select(
-            "src",
-            F.pmod(F.xxhash64(F.col("src"), F.col("_j")), F.lit(n)).alias("_pix"),
-        )
-        .join(
-            idx.select(F.col(id_col).alias("dst"), F.col("_ix").alias("_pix")),
-            "_pix",
-        )
-        .select("src", "dst")
+    # in one task. When the id space is ALREADY dense 0..n-1 (free to
+    # detect from the sizing stats), the identity bijection serves and
+    # the index build + resolution join disappear (r8 verdict #4:
+    # job-count floor) — a different-but-equally-valid deterministic
+    # partner set; graph quality is pinned by the recall tests, and
+    # the sampled oracle twin is edge-set-invariant by construction.
+    dense_ids = (
+        id_stats is not None
+        and id_stats[0] is not None
+        and int(id_stats[0]) == 0
+        and int(id_stats[1]) == n - 1
     )
+    src_j = nv.select(F.col(id_col).alias("src")).crossJoin(
+        nv.sparkSession.range(k).withColumnRenamed("id", "_j")
+    )
+    pix = F.pmod(F.xxhash64(F.col("src"), F.col("_j")), F.lit(n))
+    if dense_ids:
+        id_type = nv.schema[id_col].dataType.simpleString()
+        rand = src_j.select("src", pix.cast(id_type).alias("dst"))
+    else:
+        idx = dense_index(nv.select(id_col), tiebreak=id_col, out="_ix")
+        rand = (
+            src_j.select("src", pix.alias("_pix"))
+            .join(
+                idx.select(F.col(id_col).alias("dst"), F.col("_ix").alias("_pix")),
+                "_pix",
+            )
+            .select("src", "dst")
+        )
     init_cand = (
         in_cell.union(rand).filter(F.col("src") != F.col("dst")).distinct()
     )
@@ -532,11 +580,19 @@ def knn_graph_build(
         .join(dv, "dst")
         .select("src", "dst", _pair_cos("sv", "dv").alias("cosine"))
     )
-    edges = _topk_edges(init_scored, k).localCheckpoint(eager=True)
+    # Small-n lazy regime (r8 verdict #4, the same discipline as
+    # graph_search_topk's hop chain): init and round checkpoints go
+    # lazy, materializing inside the consumer's single action, and
+    # releases are skipped (a lazy frame is part of its successor's
+    # lineage). reliable_every > 0 opts out — durable round
+    # checkpoints exist precisely to be materialized on schedule.
+    lazy_loop = n <= _LAZY_INIT_CKPT_MAX_N and reliable_every == 0
+    edges = _topk_edges(init_scored, k).localCheckpoint(eager=not lazy_loop)
     if routed and route_supers >= 8:
         # the routed assignment's checkpoint (see _routed_assign's
         # broadcast-lifetime barrier) has no consumer once the init
-        # edges are materialized
+        # edges are materialized (routed implies n over the lazy
+        # threshold, so `edges` above was eager)
         release_local_checkpoint(assigned)
     from crane_spark.operators.caching import loop_checkpoint
 
@@ -562,10 +618,13 @@ def knn_graph_build(
             .join(dv, "dst")
             .select("src", "dst", _pair_cos("sv", "dv").alias("cosine"))
         )
-        nxt_edges = loop_checkpoint(_topk_edges(scored, k), rnd, reliable_every)
-        # the superseded round's stored copy has no consumer left —
-        # free it now rather than when a driver GC notices (ADVICE r3)
-        release_local_checkpoint(edges)
+        if lazy_loop:
+            nxt_edges = _topk_edges(scored, k).localCheckpoint(eager=False)
+        else:
+            nxt_edges = loop_checkpoint(_topk_edges(scored, k), rnd, reliable_every)
+            # the superseded round's stored copy has no consumer left —
+            # free it now rather than when a driver GC notices (ADVICE r3)
+            release_local_checkpoint(edges)
         edges = nxt_edges
     return edges
 
@@ -583,6 +642,7 @@ def graph_search_topk(
     entry_nodes: DataFrame | None = None,
     prenormalized: DataFrame | None = None,
     reliable_every: int = 0,
+    id_stats=None,
 ) -> DataFrame:
     """ANN top-k by beam search over a k-NN graph: seed each query
     with ``entry`` strided-sample nodes (deterministic and spread
@@ -620,16 +680,48 @@ def graph_search_topk(
             "node",
         )
     else:
-        n = nv.count()
+        from pyspark.sql.types import NumericType
+
+        # one sizing job covering both n and the sample stats (see
+        # _spread_sample's `stats` contract); `id_stats` (the build's
+        # triple, passed through like `prenormalized`) skips it
+        if id_stats is not None:
+            n = int(id_stats[2])
+        elif isinstance(nv.schema[id_col].dataType, NumericType):
+            id_stats = nv.agg(
+                F.min(id_col), F.max(id_col), F.count(F.lit(1))
+            ).first()
+            n = int(id_stats[2])
+        else:
+            n = nv.count()
         if entry is None:
             entry = max(4, int(n**0.5))
-        entries = _spread_sample(nv, id_col, entry, n).select(
+        entries = _spread_sample(nv, id_col, entry, n, stats=id_stats).select(
             F.col(id_col).alias("node"), F.col("nv").alias("dv")
         )
     scored0 = qv.crossJoin(F.broadcast(entries)).select(
         "query_id", "qv", F.col("node"), _pair_cos("qv", "dv").alias("cosine")
     )
-    seen = scored0.select("query_id", "node", "cosine").localCheckpoint(eager=True)
+    # Small-n regime (r8 verdict #4: the floor is job count, not
+    # data): the per-hop checkpoints go LAZY and the whole hop chain
+    # materializes inside the final action's single job — each hop's
+    # frame is still a LogicalRDD whose blocks persist at first
+    # computation, so the 2^hops plan references share blocks after
+    # the race window, which is trivially cheap at this size. Releases
+    # are SKIPPED in this regime: a lazy hop frame is part of its
+    # successor's lineage, and unpersisting an eager predecessor
+    # before a lazy successor materializes would drop the only copy
+    # (the ContextCleaner reclaims these small frames when the py4j
+    # refs go). With caller-supplied entry_nodes n is unknown — stay
+    # on the eager/release discipline, which large n needs anyway.
+    lazy_loop = (
+        entry_nodes is None
+        and n <= _LAZY_INIT_CKPT_MAX_N
+        and reliable_every == 0
+    )
+    seen = scored0.select("query_id", "node", "cosine").localCheckpoint(
+        eager=not lazy_loop
+    )
     from crane_spark.operators.caching import loop_checkpoint
 
     wq = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("node"))
@@ -655,8 +747,11 @@ def graph_search_topk(
             .join(qv, "query_id")
             .select("query_id", "node", _pair_cos("qv", "dv").alias("cosine"))
         )
-        nxt_seen = loop_checkpoint(seen.union(newly), hop, reliable_every)
-        release_local_checkpoint(seen)
+        if lazy_loop:
+            nxt_seen = seen.union(newly).localCheckpoint(eager=False)
+        else:
+            nxt_seen = loop_checkpoint(seen.union(newly), hop, reliable_every)
+            release_local_checkpoint(seen)
         seen = nxt_seen
         frontier = (
             seen.withColumn("rn", F.row_number().over(wq))

@@ -1557,33 +1557,43 @@ def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate / truth / hit counts, precision, recall — the numbers
     that decide band/hash configuration before a 100 TB dedup run,
     computed on a bounded sample the same way a production tuning pass
-    would."""
+    would.
+
+    One ACTION, not five (r8 verdict #5): candidate and truth pair
+    sets meet in a single full-outer join whose one aggregate yields
+    all three counts (sum of each side's flag; hits = rows where both
+    flags land), so the two eager pair-set checkpoints and the three
+    separate count jobs are gone — the fixed floor was job-count, not
+    data (3.2 s flat from sf0.001 to sf0.1)."""
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    # Three counts consume each side; materialize once (the pair sets
-    # are tiny relative to the work that produced them).
-    cand = minhash_band_pairs(docs, shingle_n=3).localCheckpoint(eager=True)
     from crane_spark.llm.dedup import prefix_filter_jaccard_pairs
 
+    cand = minhash_band_pairs(docs, shingle_n=3).withColumn("_c", F.lit(1))
     truth = (
         prefix_filter_jaccard_pairs(docs, shingle_n=3, t_num=1, t_den=2)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+        .withColumn("_t", F.lit(1))
     )
-    hits = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
-    n_cand = cand.count()
-    n_truth = truth.count()
-    n_hits = hits.count()
-    row = [(
-        n_cand,
-        n_truth,
-        n_hits,
-        round(n_hits / max(n_cand, 1), 6),
-        round(n_hits / max(n_truth, 1), 6),
-    )]
-    return spark.createDataFrame(
-        row,
-        "n_candidates long, n_true_pairs long, n_hits long, "
-        "precision double, recall double",
+    counts = (
+        cand.join(truth, ["doc_a", "doc_b"], "full_outer")
+        .agg(
+            F.coalesce(F.sum("_c"), F.lit(0)).alias("n_candidates"),
+            F.coalesce(F.sum("_t"), F.lit(0)).alias("n_true_pairs"),
+            F.count(F.when(F.col("_c").isNotNull() & F.col("_t").isNotNull(), 1))
+            .alias("n_hits"),
+        )
+    )
+    ratio = lambda num, den: (  # noqa: E731 — round like the oracle
+        F.round(
+            F.col(num).cast("double") / F.greatest(F.col(den), F.lit(1)), 6
+        ).cast("double")
+    )
+    return counts.select(
+        "n_candidates",
+        "n_true_pairs",
+        "n_hits",
+        ratio("n_hits", "n_candidates").alias("precision"),
+        ratio("n_hits", "n_true_pairs").alias("recall"),
     )
 
 

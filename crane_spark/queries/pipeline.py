@@ -314,12 +314,17 @@ def q_knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    # one normalization checkpoint feeds both stages
+    # one normalization checkpoint + one sizing aggregate feed both
+    # stages (r8 verdict #4: the sf0.001 floor was job count)
     nv = normalized_vectors(emb)
-    edges = knn_graph_build(emb, k=6, n_iter=1, prenormalized=nv)
+    stats = nv.agg(F.min("vec_id"), F.max("vec_id"), F.count(F.lit(1))).first()
+    edges = knn_graph_build(
+        emb, k=6, n_iter=1, prenormalized=nv, id_stats=stats
+    )
     queries = emb.filter(F.col("vec_id") < 5)
     return graph_search_topk(
-        queries, emb, edges, k=3, beam=12, hops=2, prenormalized=nv
+        queries, emb, edges, k=3, beam=12, hops=2, prenormalized=nv,
+        id_stats=stats,
     )
 
 
