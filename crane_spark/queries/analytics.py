@@ -129,26 +129,74 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     second corpus shuffle and join-build memory are gone, and the
     pair blowup stays bounded by basket size inside a codegen'd
     lambda. Top-20 via orderBy+limit (per-partition heaps) before
-    the 20-row rank window."""
+    the 20-row rank window.
+
+    Two r9 re-plans, both measured at the sf10 rung (r8 verdict #3 —
+    the 606 MB map-side hash-agg spill in the pair count):
+
+    * PACKED pair key: each a<b pair is one BIGINT a*2^32 + b instead
+      of a two-field struct — half the hash-map entry bytes and a
+      cheaper hash in the saturated-keyspace aggregate (distinct pairs
+      are CONSTANT across the sf1->sf10 decade, so every map task's
+      table holds ~the whole key space). A per-basket bounds guard
+      raises loudly if a partkey ever exceeds the 31-bit packing
+      budget rather than corrupting pairs silently.
+    * WIDTH: when the scan is big enough that per-task pair maps
+      outgrow the execution-memory budget (> ~8 MB of input feeding
+      each of defaultParallelism tasks), the basket exchange is
+      widened to ~8 MB-of-lineitem per task, bounding each map at
+      spill-free size. Measured at sf10: spill 606 MB -> 0, wall
+      ~20 -> ~14 s, shuffle 1.19 -> 1.62 GB (partial aggregation
+      compresses nothing at a saturated keyspace, so the wider
+      partials cost bytes but no time; on a cluster this is the
+      shuffle.partitions sizing TUNING.md prescribes). Below the
+      threshold the plan is unchanged — AQE keeps coalescing the
+      small rungs (forcing 32-wide at sf0.001 measured +0.4 s)."""
+    import os
+
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    paths = [f.removeprefix("file:") for f in li.inputFiles()]
+    in_bytes = sum(
+        os.path.getsize(p) for p in paths if os.path.isfile(p)
+    )
+    wide = in_bytes // (8 << 20)
+    if wide > spark.sparkContext.defaultParallelism:
+        li = li.repartition(min(4096, int(wide)), "l_orderkey")
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ids")
     )
+    # ids is sorted ascending, so one check per basket covers every
+    # element; silent pair corruption is never on the table.
+    guarded = baskets.filter(F.size("ids") > 1).withColumn(
+        "ids",
+        F.when(
+            (F.element_at("ids", 1) < 0)
+            | (F.element_at("ids", -1) >= F.lit(2**31)),
+            F.raise_error(
+                F.lit(
+                    "copurchase_pairs: partkey outside [0, 2^31) — the "
+                    "packed-pair key would corrupt; widen to a struct key"
+                )
+            ).cast(baskets.schema["ids"].dataType.simpleString()),
+        ).otherwise(F.col("ids")),
+    )
     pairs = (
-        baskets.filter(F.size("ids") > 1)
-        .select(
+        guarded.select(
             F.explode(
                 F.expr(
                     "flatten(transform(ids, (x, i) -> "
                     "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                    "y -> struct(x AS a, y AS b))))"
+                    "y -> bigint(x) * 4294967296 + y)))"
                 )
-            ).alias("p")
+            ).alias("pk")
         )
-        .groupBy(
-            F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b")
-        )
+        .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.shiftright("pk", 32).alias("part_a"),
+            F.pmod("pk", F.lit(4294967296)).alias("part_b"),
+            "n_orders",
+        )
     )
     top = pairs.orderBy(F.desc("n_orders"), "part_a", "part_b").limit(20)
     w = Window.orderBy(F.desc("n_orders"), "part_a", "part_b")
