@@ -234,6 +234,15 @@ def r9_replans() -> list[str]:
         "  window); cutting deeper means fewer exchanges per hop or a",
         "  non-AQE regime for sub-second inputs, both plan-semantics",
         "  changes deferred with the measurement recorded.",
+        "",
+        "Ladder-clock deltas (r8 -> r9 regen, same harness): copurchase",
+        "sf10 31.1 -> 21.4 s; lsh_eval sf1 10.1 -> 3.3 s and sf10 9.2 ->",
+        "3.8 s (the removed checkpoint materializations were data-sized",
+        "at the big rungs, so the one-action plan pays off MORE with",
+        "scale); knn_graph_topk sf0.001 4.1 -> 3.9, sf0.1 5.6 -> 4.9,",
+        "sf10 30.0 -> 27.5 s — the small-n rung lands ~6-13% on the",
+        "ladder clock vs ~23% matched-session, i.e. short of the 30%",
+        "bar, with the residual priced above.",
     ]
 
 
@@ -578,7 +587,7 @@ def llm_corpus_scaling(spark) -> list[str]:
 # tests/test_doc_counts.py asserts they reconcile with the LIVE
 # registry (total + the 2 quadratic-oracle exclusions == registry
 # size), so registry growth cannot silently stale this section again.
-SF1_ORACLE_RUN = {"total": 215, "exact": 206, "rows_only": 9, "round": 8}
+SF1_ORACLE_RUN = {"total": 215, "exact": 206, "rows_only": 9, "round": 9}
 _SF1_QUADRATIC_EXCLUSIONS = ("prefix_jaccard_join", "embedding_near_dup")
 
 ORACLE_SF1_SECTION = f"""
@@ -591,9 +600,9 @@ queries on the 6M-row lineitem rung ({SF1_ORACLE_RUN["exact"]}
 hash-exact vs DuckDB incl. every sampled twin,
 {SF1_ORACLE_RUN["rows_only"]} rows-only with unit-test contracts;
 re-run round {SF1_ORACLE_RUN["round"]} on the shipped code — after
-the r8 routed-assignment re-plan (fold-order numpy dots + aggregate
-argmax in ivf_assign/_routed_assign), the versioned.diff keyed
-semantics fix, and the multimodal ASCII-enforcement predicates) —
+the r9 re-plans: packed-key copurchase count, one-action lsh_eval,
+lazy small-n checkpoints in graph ANN / prefix_filter / dense_index,
+and the dense-id partner fast path) —
 every exact-oracle query except
 `prefix_jaccard_join` and `embedding_near_dup`, whose DuckDB oracle
 definitions are deliberately quadratic (all-pairs over 50k docs /
