@@ -224,6 +224,13 @@ def shuffle_section(spark) -> list[str]:
             "sizing mapping); the spill path is the correct local behavior,",
             "completes within the declared growth shapes, and is bounded by",
             "the candidate count the prefix filter already minimizes.",
+            "",
+            "r9 update: copurchase_pairs left this list — its saturated-",
+            "keyspace pair count was re-planned (packed 64-bit key + a",
+            "width gated to ~8 MB of scan input per task, targeted at the",
+            "one spilling stage instead of the r7 sweep's GLOBAL partition",
+            "raise that fragmented every stage's budget at once): sf10",
+            "spill 606 MB -> 0, wall ~20 -> ~14.8 s (SCALE.md r9 section).",
         ]
     else:
         lines += [
