@@ -228,12 +228,15 @@ def r9_replans() -> list[str]:
         "  lineage; reliable_every opts out). 61 -> 48 jobs, 5.6 ->",
         "  4.2-4.6 s matched-session at sf0.001 (~23%); recall, sampled-",
         "  twin hash, reliable-checkpoint, and executor-loss tests green.",
-        "  The residual floor is ~48 AQE query-stage schedulings along",
-        "  the critical path (the exchanges themselves: per-hop distinct",
-        "  + anti-join + window, per-round self-join + distinct +",
-        "  window); cutting deeper means fewer exchanges per hop or a",
-        "  non-AQE regime for sub-second inputs, both plan-semantics",
-        "  changes deferred with the measurement recorded.",
+        "  The residual floor is the ~48 shuffle-stage barriers on the",
+        "  critical path (per-hop distinct + anti-join + window,",
+        "  per-round self-join + distinct + window). REJECTED: blaming",
+        "  AQE's per-stage re-optimization — disabling AQE measured",
+        "  NEUTRAL-TO-WORSE (sf0.001 5.1 -> 6.0 s, sf0.1 5.6 -> 5.3 s,",
+        "  best-of-3 matched sessions), so the stages themselves are the",
+        "  cost and the only real lever is fewer exchanges per hop/round",
+        "  — a plan-semantics change deferred with the measurement",
+        "  recorded.",
         "",
         "Ladder-clock deltas (r8 -> r9 regen, same harness): copurchase",
         "sf10 31.1 -> 21.4 s; lsh_eval sf1 10.1 -> 3.3 s and sf10 9.2 ->",
