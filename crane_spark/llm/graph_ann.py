@@ -733,24 +733,33 @@ def graph_search_topk(
 
     dvt = nv.select(F.col(id_col).alias("node"), F.col("nv").alias("dv"))
     for hop in range(1, hops + 1):
-        nxt = (
-            frontier.join(
-                edges.select(F.col("src").alias("node"), F.col("dst")), "node"
-            )
-            .select("query_id", F.col("dst").alias("node"))
-            .distinct()
-            # only UNSEEN nodes get scored this hop
-            .join(seen.select("query_id", "node"), ["query_id", "node"], "left_anti")
-        )
+        # Candidates go straight to scoring — no distinct, no
+        # seen-anti-join (r9). Both existed to avoid re-scoring, but a
+        # hop's candidate multiset is bounded by queries x beam x k
+        # regardless of corpus size, while the anti-join SHUFFLED the
+        # (growing) seen set every hop: the dedup-by-aggregate below
+        # absorbs duplicates and re-scored seen nodes in the one
+        # exchange the accumulation already needed. Cosines are
+        # deterministic per (query, node), so max() over re-scores is
+        # the stored value — results bit-identical to the anti-join
+        # form (sampled twin + recall tests pin it).
+        cand = frontier.join(
+            edges.select(F.col("src").alias("node"), F.col("dst")), "node"
+        ).select("query_id", F.col("dst").alias("node"))
         newly = (
-            nxt.join(dvt, "node")
+            cand.join(dvt, "node")
             .join(qv, "query_id")
             .select("query_id", "node", _pair_cos("qv", "dv").alias("cosine"))
         )
+        merged = (
+            seen.union(newly)
+            .groupBy("query_id", "node")
+            .agg(F.max("cosine").alias("cosine"))
+        )
         if lazy_loop:
-            nxt_seen = seen.union(newly).localCheckpoint(eager=False)
+            nxt_seen = merged.localCheckpoint(eager=False)
         else:
-            nxt_seen = loop_checkpoint(seen.union(newly), hop, reliable_every)
+            nxt_seen = loop_checkpoint(merged, hop, reliable_every)
             release_local_checkpoint(seen)
         seen = nxt_seen
         frontier = (
