@@ -225,7 +225,7 @@ def r9_replans() -> list[str]:
         "  resolution join); below n=20k the init/round/hop checkpoints",
         "  go LAZY and materialize inside the consumer's single action",
         "  (releases skipped - a lazy frame lives in its successor's",
-        "  lineage; reliable_every opts out). 61 -> 45 jobs (the hop fusion below landed after the ladder regen), 5.6 ->",
+        "  lineage; reliable_every opts out). 61 -> 45 jobs (the per-hop distinct+anti-join fusion landed after the ladder regen), 5.6 ->",
         "  4.2-4.6 s matched-session at sf0.001 (~23%); recall, sampled-",
         "  twin hash, reliable-checkpoint, and executor-loss tests green.",
         "  The residual floor is the ~48 shuffle-stage barriers on the",
