@@ -381,3 +381,21 @@ def test_dup_span_ranges_skewsafe_salted_shape(spark, sf_dir):
     # and the default regime keeps its h-window (the cheap plan)
     base = _plan(spark, sf_dir, "dup_span_ranges")
     assert "windowspecdefinition(h#" in base and "LeftSemi" not in base
+
+
+def test_copurchase_packed_key_bounds_guard_fires(spark, tmp_path):
+    """The r9 packed 64-bit pair key is only valid for partkeys in
+    [0, 2^31); the per-basket bounds guard must RAISE on an
+    out-of-range key rather than silently corrupting pairs."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from crane_spark.queries import REGISTRY
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, 2**31 + 5), (1, 7), (2, 3), (2, 4)],
+        "l_orderkey long, l_partkey long",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    with pytest.raises(Exception, match="packed-pair"):
+        REGISTRY["copurchase_pairs"].fn(spark, sf).collect()
