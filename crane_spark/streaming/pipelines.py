@@ -927,22 +927,37 @@ def _crash_safe_rewrite(
       same row seen pre- AND post-crash) are the merge's own artifact,
       so the merged input is full-row deduplicated before the
       transform — every store routed through here treats identical
-      rows as one (band bloat rows, id-unique docs/vectors) — and
-      ``.old`` is removed only once its rows are staged."""
+      rows as one (band bloat rows, id-unique docs/vectors).
+
+    Crucially (ADVICE r9), the folded ``.old`` is never deleted before
+    the new store is installed: recovery unconditionally deletes
+    staging, so between "rmtree(.old)" and "rename(staging, live)" the
+    staging dir would hold the ONLY copy of .old's rows and a crash
+    there loses them. Instead ``.old`` is renamed aside to
+    ``.merged*`` (glob-numbered: a crash-after-install leftover can
+    coexist with a fresh fold) and deleted only after
+    ``rename(staging, live)`` lands; recovery folds any stranded
+    ``.merged*`` dir into the inputs exactly like ``.old``."""
+    import glob as _glob
     import os
     import shutil
 
     old = path + ".old"
     staging = path + ".compact"
+    merged_dirs = sorted(_glob.glob(_glob.escape(path) + ".merged*"))
     if os.path.exists(staging):
-        shutil.rmtree(staging)  # staging is disposable at every stage
+        shutil.rmtree(staging)  # disposable: side dirs outlive install
     if not os.path.exists(path) and os.path.exists(old):
         os.rename(old, path)
+    if not os.path.exists(path) and merged_dirs:
+        os.rename(merged_dirs[0], path)
+        merged_dirs = merged_dirs[1:]
     if not os.path.exists(path):
         return None
     inputs = [path]
     if os.path.exists(old):
         inputs.append(old)  # mid-swap crash + restarted writer: merge
+    inputs.extend(merged_dirs)  # stranded fold-asides from a crash
     reader = spark.read.option("mergeSchema", "true")
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
@@ -952,11 +967,25 @@ def _crash_safe_rewrite(
     df = transform(df_in)
     df.coalesce(target_files).write.mode("overwrite").parquet(staging)
     n = spark.read.parquet(staging).count()
+    aside = None
     if os.path.exists(old):
-        shutil.rmtree(old)  # its rows are staged; safe from here on
+        # set the folded .old ASIDE — its rows exist only in staging
+        # until the install rename; deletion waits until after it
+        aside = next(
+            p
+            for i in range(len(merged_dirs) + 2)
+            if not os.path.exists(
+                p := path + ".merged" + ("" if i == 0 else str(i))
+            )
+        )
+        os.rename(old, aside)
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)
+    if aside is not None:
+        shutil.rmtree(aside)
+    for d in merged_dirs:
+        shutil.rmtree(d)
     return n
 
 

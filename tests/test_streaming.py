@@ -1833,6 +1833,83 @@ def test_store_maintenance_swap_crash_matrix(
     assert not os.path.exists(store + ".compact")
 
 
+@pytest.mark.parametrize("kill_point", [0, 1, 2, 3, 4])
+def test_store_maintenance_merge_swap_crash_matrix(
+    spark, tmp_path, monkeypatch, kill_point
+):
+    """Crash-injection matrix for the MERGE path of the crash-safe
+    swap (ADVICE r9): when maintenance starts with a stranded ``.old``
+    beside a writer-recreated live dir, the fold run performs five
+    os-ops — rename(.old, .merged), rename(live, .old),
+    rename(.compact, live), rmtree(.old), rmtree(.merged) — and a
+    crash in ANY gap must not lose the stranded .old's rows. The old
+    protocol rmtree'd .old before installing staging, so a crash
+    there left .old's only copy in .compact, which recovery deletes.
+    A recovery rerun must land exactly on the never-crashed result
+    with no stranded side dirs."""
+    import glob
+    import os
+    import shutil
+
+    from crane_spark.streaming.pipelines import (
+        compact_vector_index,
+        read_vector_index,
+    )
+
+    store = str(tmp_path / "store")
+    ref = str(tmp_path / "ref")
+    schema = "vec_id long, centroid_id long, embedding array<double>"
+    pre = [(i, i % 3, [float(i), 1.0]) for i in range(10)]
+    post = [(i, i % 3, [float(i), 2.0]) for i in range(10, 14)]
+    for root in (store, ref):
+        # mid-swap crash of an EARLIER maintenance: live went to .old,
+        # staging never installed; the restarted stream then recreated
+        # the live root with only its new batch
+        spark.createDataFrame(pre, schema).write.parquet(root + ".old/q/batch-0")
+        spark.createDataFrame(post, schema).write.parquet(root + "/q/batch-1")
+
+    def run(root):
+        compact_vector_index(spark, root, target_files=2)
+
+    def content(root):
+        return sorted(
+            r["vec_id"] for r in read_vector_index(spark, root).collect()
+        )
+
+    run(ref)
+    assert content(ref) == list(range(14))
+
+    real_rename, real_rmtree = os.rename, shutil.rmtree
+    state = {"step": 0, "armed": True}
+
+    def guard():
+        if state["step"] == kill_point:
+            raise RuntimeError("injected crash in merge swap")
+        state["step"] += 1
+
+    def rename(src, dst, **kw):
+        if state["armed"] and store in str(src):
+            guard()
+        return real_rename(src, dst, **kw)
+
+    def rmtree(path, *a, **kw):
+        if state["armed"] and store in str(path):
+            guard()
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(os, "rename", rename)
+    monkeypatch.setattr(shutil, "rmtree", rmtree)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run(store)
+    state["armed"] = False
+
+    run(store)  # recovery rerun: folds .old/.merged leftovers
+    assert content(store) == content(ref)
+    assert not os.path.exists(store + ".old")
+    assert not os.path.exists(store + ".compact")
+    assert glob.glob(store + ".merged*") == []
+
+
 def test_neardup_bloom_front_skips_probes_and_preserves_semantics(spark, tmp_path):
     """bloom_front=True must admit exactly the docs the un-fronted
     ingest admits: a novel-only batch short-circuits the stored-index
