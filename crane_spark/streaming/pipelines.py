@@ -331,15 +331,24 @@ class _BloomFront:
     xxhash64 values of the key (h1 + i*h2 mod n_bits), so executors
     and driver never disagree on a key's bits."""
 
-    def __init__(self, n_items: int, fpp: float):
+    @staticmethod
+    def plan(n_items: int, fpp: float) -> tuple[int, int]:
+        """(n_bits, k) for a target item count and fpp — separated
+        from __init__ so the size GATE can price the bitmap BEFORE
+        allocating it (the anchor-broadcast-ceiling pattern,
+        llm/graph_ann.py)."""
         import math
-
-        import numpy as np
 
         n = max(1024, int(n_items))
         ideal = int(-n * math.log(fpp) / (math.log(2) ** 2))
-        self.n_bits = max(8192, 1 << (ideal - 1).bit_length())
-        self.k = max(1, round(self.n_bits / n * math.log(2)))
+        n_bits = max(8192, 1 << (ideal - 1).bit_length())
+        k = max(1, round(n_bits / n * math.log(2)))
+        return n_bits, k
+
+    def __init__(self, n_items: int, fpp: float):
+        import numpy as np
+
+        self.n_bits, self.k = self.plan(n_items, fpp)
         self.bits = np.zeros(self.n_bits // 8, dtype=np.uint8)
 
     @staticmethod
@@ -391,17 +400,47 @@ def _bloom_hash_cols():
     ]
 
 
-def _seed_bloom_front(spark, index_store: str, fpp: float) -> _BloomFront:
+# Hard ceiling on the bloom front's bitmap (driver copy AND each
+# seeding task's partial are this size). Past it the front is
+# AUTO-DISABLED with a logged reason — the front is purely a probe
+# short-circuit, so correctness is identical without it; silently
+# allocating a multi-GB bitmap per 10^10-key store (~9 GB at fpp
+# 0.03) would instead fail as an opaque OOM inside mapInPandas.
+# Remedies past the ceiling: raise bloom_fpp (fewer bits/key), expire
+# the index (`expire_neardup_index` shrinks the keyed set), or accept
+# the un-fronted probe path. Env override for tests/operators.
+_BLOOM_FRONT_CEILING_BYTES = int(
+    __import__("os").environ.get("CRANE_BLOOM_FRONT_CEILING_BYTES", 256 << 20)
+)
+
+
+def _seed_bloom_front(spark, index_store: str, fpp: float) -> _BloomFront | None:
     """Build the run's front from the persisted index: one count + one
     distributed pass over the narrow band_key column, each partition
-    emitting a partial bitmap, OR-folded driver-side (bitmap-sized
-    transfers, never key rows)."""
+    emitting a partial bitmap, OR-folded driver-side via
+    toLocalIterator (driver peak = the front + ONE partial, never all
+    partials at once). Returns None — front disabled — when the
+    planned bitmap exceeds `_BLOOM_FRONT_CEILING_BYTES`."""
+    import logging
+
     import numpy as np
 
     idx = spark.read.option("mergeSchema", "true").parquet(index_store)
     n = idx.count()
+    n_bits, k = _BloomFront.plan(4 * n + 100_000, fpp)
+    if n_bits // 8 > _BLOOM_FRONT_CEILING_BYTES:
+        logging.getLogger(__name__).warning(
+            "bloom front DISABLED: planned bitmap %d MB for %d stored "
+            "band keys at fpp=%g exceeds the %d MB ceiling "
+            "(CRANE_BLOOM_FRONT_CEILING_BYTES). Remedies: raise "
+            "bloom_fpp, expire the index, or run un-fronted.",
+            n_bits // 8 >> 20,
+            n,
+            fpp,
+            _BLOOM_FRONT_CEILING_BYTES >> 20,
+        )
+        return None
     front = _BloomFront(4 * n + 100_000, fpp)
-    n_bits, k = front.n_bits, front.k
     hashed = idx.select(*_bloom_hash_cols())
 
     def gen(batches):
@@ -416,7 +455,7 @@ def _seed_bloom_front(spark, index_store: str, fpp: float) -> _BloomFront:
                 )
         yield pd.DataFrame({"bits": [part.tobytes()]})
 
-    for r in hashed.mapInPandas(gen, "bits binary").collect():
+    for r in hashed.mapInPandas(gen, "bits binary").toLocalIterator():
         front.bits |= np.frombuffer(r["bits"], dtype=np.uint8)
     return front
 
@@ -502,7 +541,7 @@ def stream_neardup_ingest(
     index_store = store_path + "/bands"
     # per-run bloom front state (lazily seeded at the first batch so a
     # store created mid-run still seeds correctly) and its counters
-    _front: dict = {"bloom": None}
+    _front: dict = {"bloom": None, "disabled": False}
     if bloom_stats is not None:
         bloom_stats.setdefault("probes_skipped", 0)
         bloom_stats.setdefault("probes_run", 0)
@@ -588,9 +627,22 @@ def stream_neardup_ingest(
         # every index hit must resolve to "not stored, keep".
         store_live = os.path.exists(index_store) and os.path.exists(docs_store)
         probe_possible = True
-        if bloom_front and store_live:
+        if bloom_front and store_live and not _front["disabled"]:
             if _front["bloom"] is None:
                 _front["bloom"] = _seed_bloom_front(spark, index_store, bloom_fpp)
+                if _front["bloom"] is None:
+                    # size-gated: the store's key count prices the
+                    # bitmap past the ceiling — run un-fronted for the
+                    # rest of this run (the store only grows)
+                    _front["disabled"] = True
+                    if bloom_stats is not None:
+                        bloom_stats["disabled"] = "bitmap over ceiling"
+        if (
+            bloom_front
+            and store_live
+            and not _front["disabled"]
+            and _front["bloom"] is not None
+        ):
             keys = (
                 bands.join(keep.select(id_col), id_col, "left_semi")
                 .select("band_key")
@@ -676,23 +728,32 @@ def stream_neardup_ingest(
             new_bands = new_bands.withColumn(
                 "ingest_ts", F.lit(int(_time.time()))
             )
-            new_bands.write.mode("append").parquet(index_store)
-            keep.unionByName(keep_short.drop("_h")).write.mode("append").parquet(
-                docs_store
-            )
+            # Front-update key collection runs BEFORE the appends
+            # (ADVICE r9): a Spark failure HERE aborts the batch before
+            # anything commits, so the front can never lag a committed
+            # append. After the appends only a pure-numpy add() remains
+            # — and if even that fails, the front resets to None so the
+            # next batch re-seeds from the store (superset restored)
+            # instead of silently carrying false negatives.
+            kb = None
             if bloom_front and _front["bloom"] is not None:
-                # keep the run's front a superset of the store: add the
-                # keys just appended (batch-bounded collect of two
-                # hashes per key). A not-yet-seeded front stays None —
-                # the next batch seeds from the store, which already
-                # includes this append.
                 kb = (
                     new_bands.select("band_key")
                     .distinct()
                     .select(*_bloom_hash_cols())
                     .toPandas()
                 )
-                _front["bloom"].add(kb["h1"].to_numpy(), kb["h2"].to_numpy())
+            new_bands.write.mode("append").parquet(index_store)
+            keep.unionByName(keep_short.drop("_h")).write.mode("append").parquet(
+                docs_store
+            )
+            if kb is not None:
+                try:
+                    _front["bloom"].add(
+                        kb["h1"].to_numpy(), kb["h2"].to_numpy()
+                    )
+                except Exception:
+                    _front["bloom"] = None  # re-seed from the store
         finally:
             # free this batch's staged copies whether or not the sinks
             # succeeded — a failed write is retried by foreachBatch

@@ -1971,3 +1971,72 @@ def test_neardup_bloom_front_skips_probes_and_preserves_semantics(spark, tmp_pat
     run()
     got2 = sorted(r["doc_id"] for r in spark.read.parquet(store + "/docs").collect())
     assert got2 == [1, 2, 6]
+
+
+def test_bloom_front_size_gate_disables_past_ceiling(spark, tmp_path, monkeypatch):
+    """Forced-tiny-ceiling exercise of the bloom front's size gate
+    (r9 verdict #1): when the planned bitmap prices past
+    _BLOOM_FRONT_CEILING_BYTES, the front must AUTO-DISABLE with the
+    reason recorded in bloom_stats — never allocate — and the ingest
+    must keep exact un-fronted semantics: probes run (none skipped)
+    and duplicates are still dropped."""
+    from crane_spark.streaming import pipelines as P
+    from crane_spark.streaming.pipelines import stream_neardup_ingest
+
+    # smallest possible bitmap is 8192 bits = 1024 bytes; a 512-byte
+    # ceiling forces the gate for ANY store size
+    monkeypatch.setattr(P, "_BLOOM_FRONT_CEILING_BYTES", 512)
+
+    src = str(tmp_path / "docs")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    base = " ".join(f"w{i}" for i in range(30))
+    novel = " ".join(f"z{i}" for i in range(30))
+
+    stats: dict = {}
+
+    def run():
+        q = stream_neardup_ingest(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            store,
+            ckpt,
+            bloom_front=True,
+            bloom_stats=stats,
+        )
+        q.awaitTermination(180)
+
+    spark.createDataFrame([(1, base)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    # batch 2: one novel + one exact duplicate; the gated run must
+    # probe (not skip) and drop the duplicate exactly like un-fronted
+    spark.createDataFrame([(2, novel), (3, base)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+
+    assert stats.get("disabled") == "bitmap over ceiling"
+    assert stats["probes_skipped"] == 0
+    got = sorted(r["doc_id"] for r in spark.read.parquet(store + "/docs").collect())
+    assert got == [1, 2]
+
+
+def test_bloom_front_plan_prices_without_allocating():
+    """_BloomFront.plan must agree with __init__'s actual layout so
+    the gate's price is the real allocation, and the 10B-key case the
+    r9 verdict named must price past the default 256 MB ceiling."""
+    from crane_spark.streaming.pipelines import (
+        _BLOOM_FRONT_CEILING_BYTES,
+        _BloomFront,
+    )
+
+    for n, fpp in ((1, 0.03), (10_000, 0.03), (5_000_000, 0.01)):
+        front = _BloomFront(n, fpp)
+        assert (front.n_bits, front.k) == _BloomFront.plan(n, fpp)
+
+    n_bits, _ = _BloomFront.plan(10_000_000_000, 0.03)
+    assert n_bits // 8 > _BLOOM_FRONT_CEILING_BYTES
