@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from crane_spark.functions.aggregates import dsum, sql_dsum
 from crane_spark.queries.core import register
-from crane_spark.tables import fan_out, table
+from crane_spark.tables import fan_out, scan_input_bytes, table
 
 COHORT_SQL = """
 WITH first_day AS (
@@ -152,14 +152,11 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       shuffle.partitions sizing TUNING.md prescribes). Below the
       threshold the plan is unchanged — AQE keeps coalescing the
       small rungs (forcing 32-wide at sf0.001 measured +0.4 s)."""
-    import os
-
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    paths = [f.removeprefix("file:") for f in li.inputFiles()]
-    in_bytes = sum(
-        os.path.getsize(p) for p in paths if os.path.isfile(p)
-    )
-    wide = in_bytes // (8 << 20)
+    # scan_input_bytes falls back to relation statistics on non-local
+    # storage (hdfs/s3) — the r9 os.path.getsize-only version silently
+    # read 0 bytes there and reverted to the spilling plan (ADVICE r9)
+    wide = scan_input_bytes(li) // (8 << 20)
     if wide > spark.sparkContext.defaultParallelism:
         li = li.repartition(min(4096, int(wide)), "l_orderkey")
     baskets = li.groupBy("l_orderkey").agg(

@@ -43,6 +43,35 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def scan_input_bytes(df: DataFrame) -> int:
+    """Total bytes feeding ``df``'s scan, for size-based plan gates
+    (e.g. copurchase_pairs' basket-exchange width).
+
+    Local `file:` paths are sized exactly with os.path.getsize. When
+    NONE resolve locally — hdfs://, s3a://, abfs:// — fall back to
+    the optimizer's relation statistics (`sizeInBytes`, derived from
+    the same file lengths via the Hadoop FS listing Spark already
+    performed), so gates still ENGAGE off local disk instead of
+    silently reading 0 and reverting to an ungated plan (ADVICE r9).
+    The statistics path can over-count by the plan's column-pruning
+    ratio; gates calibrated in MB-per-task terms tolerate that — the
+    failure mode being fixed is 0-vs-real, not a 2x estimate. Returns
+    0 only when both paths are unavailable."""
+    sizes = [
+        os.path.getsize(p)
+        for f in df.inputFiles()
+        if os.path.isfile(p := f.removeprefix("file:"))
+    ]
+    if sizes:
+        return sum(sizes)
+    try:
+        return int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return 0
+
+
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.ts may be TIMESTAMP(NANOS) parquet, which Spark's reader
     rejects. Read nanos as long and truncate to microseconds with

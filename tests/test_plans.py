@@ -383,6 +383,51 @@ def test_dup_span_ranges_skewsafe_salted_shape(spark, sf_dir):
     assert "windowspecdefinition(h#" in base and "LeftSemi" not in base
 
 
+def test_scan_input_bytes_local_and_nonlocal(spark, sf_dir, monkeypatch):
+    """scan_input_bytes must size local scans exactly and — the
+    ADVICE r9 gap — return a POSITIVE statistics-based estimate when
+    no input path is a local file (hdfs://, s3a://), so size-based
+    plan gates engage off local disk instead of silently reading 0."""
+    import os
+
+    from pyspark.sql import DataFrame
+
+    from crane_spark.tables import scan_input_bytes, table
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    exact = sum(
+        os.path.getsize(f.removeprefix("file:")) for f in li.inputFiles()
+    )
+    assert scan_input_bytes(li) == exact and exact > 0
+
+    monkeypatch.setattr(
+        DataFrame,
+        "inputFiles",
+        lambda self: ["hdfs://nn:8020/warehouse/lineitem/part-0.parquet"],
+    )
+    est = scan_input_bytes(li)
+    assert est > 0  # statistics fallback, not the silent-0 regression
+
+
+def test_copurchase_width_gate_fires_on_nonlocal_estimate(
+    spark, sf_dir, monkeypatch
+):
+    """With the scan sized past the width threshold (as a big hdfs/s3
+    scan would be), copurchase_pairs must widen the basket exchange —
+    a visible widened hashpartitioning on l_orderkey — and produce
+    the same top-20 as the ungated plan."""
+    from crane_spark.queries import REGISTRY
+    from crane_spark.queries import analytics as A
+
+    base = REGISTRY["copurchase_pairs"].fn(spark, sf_dir).collect()
+
+    monkeypatch.setattr(A, "scan_input_bytes", lambda df: (8 << 20) * 500)
+    gated_df = REGISTRY["copurchase_pairs"].fn(spark, sf_dir)
+    plan = gated_df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(l_orderkey" in plan and "500" in plan
+    assert sorted(map(tuple, gated_df.collect())) == sorted(map(tuple, base))
+
+
 def test_copurchase_packed_key_bounds_guard_fires(spark, tmp_path):
     """The r9 packed 64-bit pair key is only valid for partkeys in
     [0, 2^31); the per-basket bounds guard must RAISE on an
