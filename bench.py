@@ -229,7 +229,13 @@ def main() -> int:
     )
     saved_local_max = B.LOCAL_VOCAB_MAX
     B.LOCAL_VOCAB_MAX = 0
+    # r9 verdict #8: the BPE twins run outside the cold/warm passes,
+    # so they carry the same stamps the main passes do — loadavg at
+    # each twin's start plus the shared primed-cache state — making
+    # their round-over-round deltas adjudicable from data.
+    bpe_stamps: dict = {"page_cache_primed": prime}
     try:
+        bpe_stamps["loadavg_1m_before_distributed"] = loadavg_1m()
         start = time.perf_counter()
         bpe_merges = B.bpe_train(bpe_corpus, n_merges=1000, exact=False)
         bpe_seconds = round(time.perf_counter() - start, 3)
@@ -244,9 +250,11 @@ def main() -> int:
         # i.e. the exact path now BEATS greedy: greedy still pays a
         # full pair re-count per round while delta rounds are one
         # cheap job.
+        bpe_stamps["loadavg_1m_before_exact"] = loadavg_1m()
         start = time.perf_counter()
         bpe_exact = B.bpe_train(bpe_corpus, n_merges=1000, exact=True)
         bpe_exact_seconds = round(time.perf_counter() - start, 3)
+        bpe_stamps["loadavg_1m_after"] = loadavg_1m()
     finally:
         B.LOCAL_VOCAB_MAX = saved_local_max
     assert len(bpe_merges) == 1000
@@ -279,6 +287,19 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": best,
+        # r9 verdict #4: per-query per-PASS detail (cold/warm/third)
+        # so any per-query regression can be adjudicated from data —
+        # e.g. r9's embedding_topk +38% read as "ambient, probably"
+        # because only the best-of map survived. File-payload only;
+        # the stdout line stays compact.
+        "queries_passes": {
+            name: {
+                "cold": cold[name],
+                "warm": warm[name],
+                **({"third": third[name]} if name in third else {}),
+            }
+            for name in warm
+        },
         "cold_value": round(sum(cold.values()), 3),
         "warm_value": round(sum(warm.values()), 3),
         # r8 verdict #1 names: with the page cache primed, cold_total
@@ -308,6 +329,7 @@ def main() -> int:
         payload["streaming_wordcount_lines_per_sec"] = stream_lps
     payload["bpe_1000_merges_distributed_sec"] = bpe_seconds
     payload["bpe_1000_merges_exact_sec"] = bpe_exact_seconds
+    payload["bpe_stamps"] = bpe_stamps
 
     # Full per-query detail goes to a file; the stdout line must stay
     # compact. The driver captures only a bounded tail of stdout
@@ -342,6 +364,7 @@ def main() -> int:
         "window_running_total",
     ]
     compact = dict(payload)
+    compact.pop("queries_passes")  # full detail lives in the file
     compact["queries"] = {
         q: best[q] for q in headline_queries if q in best
     }

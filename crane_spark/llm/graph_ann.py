@@ -49,15 +49,16 @@ from crane_spark.tables import fan_out
 # faster and n=200k routed-3.4x-faster; see knn_graph_build).
 _ROUTED_INIT_EVAL_THRESHOLD = 30_000_000
 
-# Hard ceiling on the routed init's anchor-matrix broadcast
-# (c = n^(2/3) rows x dim x 8 bytes, shipped to every executor by
-# _fold_dot_rows). SCALE.md's decomposition puts the crossing at
-# n ~ 100M 32-dim vectors (~110 MB); past it the build must fail
-# LOUDLY with the remedies named instead of dying inside an opaque
-# broadcast OOM mid-job (r8 verdict #2 — the third routing level is
-# designed but not built; the gate is the coded stand-in). Tests
-# force a tiny ceiling to exercise the gate, the same pattern as
-# _ROUTED_INIT_EVAL_THRESHOLD's crossover tests.
+# Ceiling on the routed init's anchor-matrix broadcast (c = n^(2/3)
+# rows x dim x 8 bytes, shipped to every executor by _fold_dot_rows).
+# SCALE.md's decomposition puts the crossing at n ~ 100M 32-dim
+# vectors (~110 MB). Past it the build ROUTES THROUGH the third
+# routing level (r9 verdict #2): `_routed_assign(shuffle_anchors=
+# True)` keeps the anchor matrix distributed and meets vectors
+# per-super in a cogroup shuffle — bit-identical assignments, no
+# broadcast that grows with c. The r8-r9 loud-fail gate became a
+# regime switch. Tests force a tiny ceiling to exercise both sides,
+# the same pattern as _ROUTED_INIT_EVAL_THRESHOLD's crossover tests.
 _ANCHOR_BROADCAST_CEILING_BYTES = 128 << 20
 
 # Below this n the init/seed checkpoints are created LAZY: their
@@ -290,6 +291,82 @@ def _argmax_rounded(scored: DataFrame, id_col: str, out_col: str) -> DataFrame:
     )
 
 
+def _cogroup_local_pairs(
+    with_grp: DataFrame, anchors: DataFrame, id_col: str
+) -> DataFrame:
+    """Third routing level (r9 verdict #2): per-super LOCAL argmax
+    candidates WITHOUT broadcasting the global anchor matrix. Vectors
+    (id, nv, _grp=super_id) cogroup with their super's anchor rows
+    (_grp, centroid_id, cnv) — a shuffle on super_id, each task
+    holding ONE super's ~c/s-row sub-matrix — and emit near-max
+    (id, centroid_id, _dot) rows for Spark-side rounding + argmax.
+
+    Bit-identical to the broadcast path by construction:
+
+    * dots use the SAME float64 fold order as _fold_dot_rows
+      ('acc += v[:, j] * c[:, j]' ascending j from 0.0), so values
+      match bit-for-bit;
+    * rounding and the argmax tiebreak stay SPARK-side on the emitted
+      rows (`_argmax_rounded`), never replicated in numpy — the
+      shortest-decimal-string trap SCALE.md documents;
+    * the near-max filter (dot >= max - 2*10^-ROUND_DIGITS) can never
+      drop the post-rounding winner: rounding to the 10^-d grid is
+      monotone, so a candidate more than one grid step below the raw
+      max cannot round-tie with it; the margin doubles the step for
+      float slack. Typical emission is 1-2 rows per vector — the same
+      order as the broadcast path's post-argmax output, while the
+      per-task acc matrix is CHUNKED to ~64 MB.
+
+    Memory per task: one super's anchors (~c/s x dim) + a vector
+    chunk; at the n=100M design point that is ~1 MB of anchors and
+    the chunked acc — no driver or broadcast structure grows with c."""
+    import numpy as np
+    import pandas as pd
+
+    vtype = with_grp.schema[id_col].dataType.simpleString()
+    margin = 2 * 10.0 ** (-ROUND_DIGITS)
+
+    def fn(vdf: pd.DataFrame, adf: pd.DataFrame) -> pd.DataFrame:
+        if len(vdf) == 0 or len(adf) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: np.array([], dtype=np.int64),
+                    "centroid_id": np.array([], dtype=np.int64),
+                    "_dot": np.array([], dtype=np.float64),
+                }
+            )
+        c = np.stack(adf["cnv"].to_numpy())
+        a_ids = adf["centroid_id"].to_numpy()
+        v_ids = vdf[id_col].to_numpy()
+        v = np.stack(vdf["nv"].to_numpy())
+        chunk = max(1, (64 << 20) // (8 * c.shape[0]))
+        outs = []
+        for lo in range(0, v.shape[0], chunk):
+            m = v[lo : lo + chunk]
+            acc = np.zeros((m.shape[0], c.shape[0]))
+            for j in range(m.shape[1]):
+                acc += m[:, j, None] * c[None, :, j]
+            keep = acc >= acc.max(axis=1, keepdims=True) - margin
+            ii, jj = np.nonzero(keep)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        id_col: v_ids[lo : lo + chunk][ii],
+                        "centroid_id": a_ids[jj],
+                        "_dot": acc[keep],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        with_grp.select(id_col, "nv", "_grp")
+        .groupBy("_grp")
+        .cogroup(anchors.select("_grp", "centroid_id", "cnv").groupBy("_grp"))
+        .applyInPandas(fn, f"{id_col} {vtype}, centroid_id {vtype}, _dot double")
+    )
+
+
 def _routed_assign(
     nv: DataFrame,
     vectors: DataFrame,
@@ -297,6 +374,7 @@ def _routed_assign(
     supers: DataFrame,
     vec_col: str,
     id_col: str,
+    shuffle_anchors: bool = False,
 ) -> DataFrame:
     """Two-level routed cell assignment: anchors (`centroids`) route
     to their nearest super, vectors route super-first and then argmax
@@ -318,25 +396,51 @@ def _routed_assign(
     argmax tiebreak are integer arithmetic); `knn_graph_build` keeps
     non-numeric-id tables on the flat ivf_assign init, which supports
     any orderable id type (ADVICE r8). The returned frame is
-    localCheckpointed so the two anchor-matrix broadcasts can be
+    localCheckpointed so the anchor-matrix broadcasts can be
     destroyed before returning — without the barrier a downstream
-    consumer would evaluate against destroyed broadcasts."""
+    consumer would evaluate against destroyed broadcasts.
+
+    ``shuffle_anchors=True`` is the THIRD routing level (r9 verdict
+    #2): past the anchor-broadcast ceiling only the SUPER matrix
+    (s = c^(1/2) rows, always tiny) is collected and broadcast; the
+    full anchor matrix never touches the driver, and the per-super
+    local argmax runs as a cogroup shuffle join against per-super
+    anchor sub-matrices (`_cogroup_local_pairs`). Assignments are
+    bit-identical to the broadcast level (same dots, same Spark-side
+    rounding/argmax) — parity-tested both ways."""
     import numpy as np
 
-    # Anchor normalized-vector matrix, collected once: c = n^(2/3)
-    # rows — a broadcast-sized index structure by design, same class
-    # as the centroid broadcasts every IVF path already makes (the
-    # _fold_dot_rows docstring carries the size ceiling).
+    spark = nv.sparkSession
     anch_nv = nv.join(
         F.broadcast(centroids.select(F.col("centroid_id").alias(id_col))), id_col
     )
-    anch_pdf = anch_nv.select(id_col, "nv").toPandas().sort_values(id_col)
-    a_ids = anch_pdf[id_col].to_numpy()
-    a_mat = np.stack(anch_pdf["nv"].to_numpy())
-    s_id_set = {r["super_id"] for r in supers.select("super_id").collect()}
-    s_sel = np.nonzero(np.isin(a_ids, np.array(sorted(s_id_set))))[0]
-    s_ids, s_mat = a_ids[s_sel], a_mat[s_sel]
-    spark = nv.sparkSession
+    if shuffle_anchors:
+        # collect ONLY the supers' rows (s = sqrt(c), ~500 at n=100M);
+        # the c-row anchor matrix stays distributed
+        s_pdf = (
+            nv.join(
+                F.broadcast(supers.select(F.col("super_id").alias(id_col))),
+                id_col,
+            )
+            .select(id_col, "nv")
+            .toPandas()
+            .sort_values(id_col)
+        )
+        s_ids = s_pdf[id_col].to_numpy()
+        s_mat = np.stack(s_pdf["nv"].to_numpy())
+        a_ids = a_mat = None
+    else:
+        # Anchor normalized-vector matrix, collected once: c = n^(2/3)
+        # rows — a broadcast-sized index structure by design, same
+        # class as the centroid broadcasts every IVF path already
+        # makes (the _fold_dot_rows docstring carries the size
+        # ceiling; knn_graph_build routes past it to shuffle_anchors).
+        anch_pdf = anch_nv.select(id_col, "nv").toPandas().sort_values(id_col)
+        a_ids = anch_pdf[id_col].to_numpy()
+        a_mat = np.stack(anch_pdf["nv"].to_numpy())
+        s_id_set = {r["super_id"] for r in supers.select("super_id").collect()}
+        s_sel = np.nonzero(np.isin(a_ids, np.array(sorted(s_id_set))))[0]
+        s_ids, s_mat = a_ids[s_sel], a_mat[s_sel]
     bc_s = spark.sparkContext.broadcast((s_ids, s_mat, None))
 
     # anchors -> supers (c x s dots), Spark-side round + argmax
@@ -359,6 +463,24 @@ def _routed_assign(
         _fold_dot_rows(nv, bc_s, id_col, "super_id"), id_col, "super_id"
     )
 
+    with_grp = nv.join(
+        v2s.select(id_col, F.col("super_id").alias("_grp")), id_col
+    )
+    if shuffle_anchors:
+        # third level: per-super anchor sub-matrices meet their
+        # vectors in a cogroup shuffle — no global anchor broadcast
+        anchors_g = anch_nv.select(
+            F.col(id_col).alias("centroid_id"), F.col("nv").alias("cnv")
+        ).join(
+            F.broadcast(c2s.select("centroid_id", F.col("super_id").alias("_grp"))),
+            "centroid_id",
+        )
+        pairs = _cogroup_local_pairs(with_grp, anchors_g, id_col)
+        assigned = _argmax_rounded(pairs, id_col, "centroid_id").localCheckpoint(
+            eager=True
+        )
+        bc_s.destroy()
+        return assigned
     # vectors -> their super's local anchors (n x ~c/s dots): the
     # super -> anchor-indices map is c rows, collected like the matrix
     grp: dict = {}
@@ -367,9 +489,6 @@ def _routed_assign(
         grp.setdefault(int(r["super_id"]), []).append(pos[int(r["centroid_id"])])
     grp = {k: np.array(sorted(v)) for k, v in grp.items()}
     bc_a = spark.sparkContext.broadcast((a_ids, a_mat, grp))
-    with_grp = nv.join(
-        v2s.select(id_col, F.col("super_id").alias("_grp")), id_col
-    )
     assigned = _argmax_rounded(
         _fold_dot_rows(with_grp, bc_a, id_col, "centroid_id", grouped=True),
         id_col,
@@ -493,32 +612,40 @@ def knn_graph_build(
         # init blocking only needs locality, and the hash-random
         # partner half plus the refinement rounds own recall (tests
         # pin it).
-        # Anchor-broadcast ceiling gate: the routed init ships the
-        # full c x dim anchor matrix to every executor. Refuse loudly
-        # BEFORE any job runs once the estimate crosses the ceiling —
-        # the failure mode past it is an executor-side broadcast OOM
-        # with no actionable message. dim comes from one head() row of
-        # the already-checkpointed nv frame (bounded, no table scan).
+        # Anchor-broadcast ceiling: the two-level routed init ships
+        # the full c x dim anchor matrix to every executor. Past the
+        # ceiling (SCALE.md: ~n=100M at dim=32) the build no longer
+        # refuses (the r8-r9 gate) — it routes through the THIRD
+        # level, `shuffle_anchors`, which keeps the anchor matrix
+        # distributed and meets vectors per-super in a cogroup
+        # shuffle; assignments are bit-identical either way. dim comes
+        # from one head() row of the already-checkpointed nv frame
+        # (bounded, no table scan).
         dim = len(nv.select("nv").head()["nv"])
         anchor_bytes = init_cells * dim * 8
-        if anchor_bytes > _ANCHOR_BROADCAST_CEILING_BYTES:
-            raise ValueError(
-                f"knn_graph_build routed init: the anchor matrix "
-                f"({init_cells} cells x {dim} dims) would broadcast "
-                f"{anchor_bytes >> 20} MB "
-                f"> {_ANCHOR_BROADCAST_CEILING_BYTES >> 20} MB ceiling "
-                f"(SCALE.md: ~n=100M at dim=32). Remedies: pass a "
-                f"smaller init_cells (recall degrades gracefully — the "
-                f"hash-random partner half and the refinement rounds "
-                f"own recall), shard the corpus and build per-shard "
-                f"graphs, or implement the third routing level "
-                f"(shuffle-side per-super anchor sub-matrices instead "
-                f"of one global broadcast)."
+        shuffle_anchors = anchor_bytes > _ANCHOR_BROADCAST_CEILING_BYTES
+        if shuffle_anchors:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "knn_graph_build routed init: anchor matrix %d MB > "
+                "%d MB ceiling; using the shuffle-side third routing "
+                "level (per-super anchor sub-matrices).",
+                anchor_bytes >> 20,
+                _ANCHOR_BROADCAST_CEILING_BYTES >> 20,
             )
         supers = _spread_sample(centroids, "centroid_id", route_supers, init_cells).select(
             F.col("centroid_id").alias("super_id"), vec_col
         )
-        assigned = _routed_assign(nv, vectors, centroids, supers, vec_col, id_col)
+        assigned = _routed_assign(
+            nv,
+            vectors,
+            centroids,
+            supers,
+            vec_col,
+            id_col,
+            shuffle_anchors=shuffle_anchors,
+        )
     else:
         assigned = ivf_assign(vectors, centroids, vec_col, id_col).select(
             id_col, "centroid_id"
@@ -588,11 +715,16 @@ def knn_graph_build(
     # checkpoints exist precisely to be materialized on schedule.
     lazy_loop = n <= _LAZY_INIT_CKPT_MAX_N and reliable_every == 0
     edges = _topk_edges(init_scored, k).localCheckpoint(eager=not lazy_loop)
-    if routed and route_supers >= 8:
+    if routed and route_supers >= 8 and not lazy_loop:
         # the routed assignment's checkpoint (see _routed_assign's
         # broadcast-lifetime barrier) has no consumer once the init
-        # edges are materialized (routed implies n over the lazy
-        # threshold, so `edges` above was eager)
+        # edges are materialized. The release is gated on the EAGER
+        # regime explicitly (ADVICE r9): under lazy_loop (reachable
+        # when _ROUTED_INIT_EVAL_THRESHOLD is tuned/monkeypatched
+        # below _LAZY_INIT_CKPT_MAX_N) `edges` is lazy and `assigned`'s
+        # blocks are still in its lineage — releasing them only works
+        # by the accident of AQE materializing downstream stages, and
+        # a stage retry would hit CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
         release_local_checkpoint(assigned)
     from crane_spark.operators.caching import loop_checkpoint
 

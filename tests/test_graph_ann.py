@@ -253,23 +253,101 @@ def test_knn_graph_build_string_ids_fall_back_to_flat_init(spark, monkeypatch):
     assert len(srcs) == 120 and all(s.startswith("doc-") for s in srcs)
 
 
-def test_knn_graph_build_anchor_broadcast_ceiling_fails_loudly(spark, monkeypatch):
-    """Past the anchor-broadcast ceiling the routed init must refuse
-    with the remedies named BEFORE running any job (r8 verdict #2),
-    not die in an executor-side broadcast OOM. Forced tiny ceiling +
-    zero crossover, same pattern as the routed-crossover tests."""
+def test_knn_graph_build_past_ceiling_routes_through_shuffle_level(
+    spark, monkeypatch
+):
+    """Past the anchor-broadcast ceiling the routed init must SUCCEED
+    through the third routing level (r9 verdict #2: the r8-r9 gate's
+    loud failure became a working path) and produce the bit-identical
+    edge set the under-ceiling broadcast level produces."""
     from crane_spark.llm import graph_ann
 
     monkeypatch.setattr(graph_ann, "_ROUTED_INIT_EVAL_THRESHOLD", 0)
-    monkeypatch.setattr(graph_ann, "_ANCHOR_BROADCAST_CEILING_BYTES", 64)
     vecs = _clustered_vectors(spark)
     # init_cells=64 keeps route_supers (sqrt(c)=8) over the routed
     # branch's floor so the forced crossover actually routes
-    with pytest.raises(ValueError, match="anchor matrix .* would broadcast"):
-        knn_graph_build(vecs, k=4, n_iter=1, init_cells=64)
-    # under the ceiling the same forced-routed build runs fine
     monkeypatch.setattr(
         graph_ann, "_ANCHOR_BROADCAST_CEILING_BYTES", 128 << 20
     )
-    edges = knn_graph_build(vecs, k=4, n_iter=1, init_cells=64)
-    assert edges.select("src").distinct().count() == 120
+    ref = sorted(
+        map(tuple, knn_graph_build(vecs, k=4, n_iter=1, init_cells=64).collect())
+    )
+    monkeypatch.setattr(graph_ann, "_ANCHOR_BROADCAST_CEILING_BYTES", 64)
+    got = sorted(
+        map(tuple, knn_graph_build(vecs, k=4, n_iter=1, init_cells=64).collect())
+    )
+    assert got == ref
+    assert len({r[0] for r in got}) == 120
+
+
+def test_routed_assign_shuffle_anchors_parity_and_no_orphans(spark):
+    """_routed_assign(shuffle_anchors=True) must return the exact
+    assignment the broadcast level returns — including the no-orphan
+    invariant's tied-super fixture (every vector present once, the
+    tied super self-routed)."""
+    import math
+
+    from crane_spark.llm.graph_ann import _normalized, _routed_assign
+
+    theta = 0.009
+    phi = 0.8
+
+    def v(a):
+        return [math.cos(a), math.sin(a)]
+
+    rows = [(1, v(0.0)), (2, v(theta)), (3, v(-0.5)), (10, v(phi)), (11, v(-0.6))]
+    vectors = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = vectors.filter(F.col("vec_id") <= 3).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    supers = vectors.filter(F.col("vec_id") <= 2).select(
+        F.col("vec_id").alias("super_id"), "embedding"
+    )
+    nv = _normalized(vectors, "embedding", "vec_id")
+    bcast = {
+        r["vec_id"]: r["centroid_id"]
+        for r in _routed_assign(
+            nv, vectors, centroids, supers, "embedding", "vec_id"
+        ).collect()
+    }
+    shuf = {
+        r["vec_id"]: r["centroid_id"]
+        for r in _routed_assign(
+            nv,
+            vectors,
+            centroids,
+            supers,
+            "embedding",
+            "vec_id",
+            shuffle_anchors=True,
+        ).collect()
+    }
+    assert shuf == bcast
+    assert sorted(shuf) == [1, 2, 3, 10, 11] and shuf[10] == 2
+
+    # larger clustered parity: 120 vectors, both levels identical
+    vecs = _clustered_vectors(spark)
+    nv2 = _normalized(vecs, "embedding", "vec_id")
+    from crane_spark.llm.graph_ann import _spread_sample
+
+    cents = _spread_sample(vecs, "vec_id", 16, 120).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    sups = _spread_sample(cents, "centroid_id", 4, 16).select(
+        F.col("centroid_id").alias("super_id"), "embedding"
+    )
+    a = sorted(
+        map(
+            tuple,
+            _routed_assign(nv2, vecs, cents, sups, "embedding", "vec_id").collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            _routed_assign(
+                nv2, vecs, cents, sups, "embedding", "vec_id", shuffle_anchors=True
+            ).collect(),
+        )
+    )
+    assert a == b
