@@ -296,12 +296,18 @@ def stream_training_corpus(
         staged.append(clean)
         counts["3_decontaminated"] = clean.count()
 
-        # cumulative language counts = prior batches' ledger + this one
+        # cumulative language counts = prior batches' ledger + this
+        # one. Full-row dropDuplicates first: after a ledger
+        # compaction a replayed batch's rows can exist in BOTH the
+        # compacted files and its rewritten subdir (identical rows —
+        # the funnel is deterministic); without the dedup they would
+        # double-count (compact_corpus_ledger's contract).
         batch_counts = clean.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
         if os.path.exists(counts_dir):
             prior = (
                 spark.read.option("recursiveFileLookup", "true")
                 .parquet(counts_dir)
+                .dropDuplicates()
                 .filter(
                     ~((F.col("query_id") == qid) & (F.col("batch_id") == batch_id))
                 )
@@ -352,6 +358,52 @@ def stream_training_corpus(
     )
 
 
+def compact_corpus_ledger(
+    spark: SparkSession, out_root: str, target_files: int = 4
+) -> dict[str, int]:
+    """Periodic compaction for `stream_training_corpus`'s ledger
+    state (TUNING.md state-growth audit row — the near-dup index got
+    retention + compaction in r8; this is the corpus twin). A
+    year-long stream writes one small per-(query, batch) directory
+    set per micro-batch into hashes/, lang_counts/ and report/; the
+    per-batch probe and the cumulative-count read then pay an
+    ever-growing FILE LISTING — that listing, not the narrow rows, is
+    the real scale cost. Compaction rewrites each store as a full-row
+    dedup into ``target_files`` files through the same crash-safe
+    two-rename swap as `compact_neardup_store` (stranded .old/.merged
+    recovery included). Rows and their (query_id, batch_id) keys are
+    PRESERVED for all three stores.
+
+    A groupBy fold of lang_counts/report (one row per lang/stage) was
+    REJECTED by this module's own crash matrix: summing aggregates is
+    not idempotent under `_crash_safe_rewrite`'s .old-fold recovery —
+    a crash between install and .old cleanup re-folds rows whose
+    totals the installed store already contains (measured: en=14
+    where the never-crashed run says 7). Full-row dedup IS idempotent
+    there, and keeping per-batch keys also keeps the ingest's
+    replayed-batch exclusion filter exact. Replay-after-compaction
+    duplicate copies (a batch's rows in both the compacted files and
+    its rewritten subdir) are absorbed by the read paths' full-row
+    dropDuplicates (deterministic funnel => identical rows).
+
+    Same single-writer rule as the other maintenance ops: run while
+    no stream is appending. Returns per-store rewritten row counts."""
+    from crane_spark.streaming.pipelines import _crash_safe_rewrite
+
+    out: dict[str, int] = {}
+    for name in ("hashes", "lang_counts", "report"):
+        n = _crash_safe_rewrite(
+            spark,
+            out_root + "/" + name,
+            lambda df: df.dropDuplicates(),
+            target_files,
+            recursive=True,
+        )
+        if n is not None:
+            out[name] = n
+    return out
+
+
 def read_stream_corpus(spark: SparkSession, out_root: str):
     """(corpus, per-stage report) accumulated by `stream_training_corpus`
     across every batch and run."""
@@ -361,6 +413,9 @@ def read_stream_corpus(spark: SparkSession, out_root: str):
     report = (
         spark.read.option("recursiveFileLookup", "true")
         .parquet(out_root + "/report")
+        # replay-after-compaction can leave identical copies of a
+        # batch's rows in two file sets; see compact_corpus_ledger
+        .dropDuplicates()
         .groupBy("stage")
         .agg(F.sum("n_docs").alias("n_docs"))
     )

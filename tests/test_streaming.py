@@ -7,6 +7,7 @@ op L) with something strictly stronger — and these tests are the proof.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from crane_spark.operators.topology import wordcount
 from crane_spark.sources import read_text_lines
@@ -838,6 +839,168 @@ def test_stream_training_corpus_single_drain_matches_batch_funnel(
     assert batch_corpus.exceptAll(corpus).count() == 0
 
 
+def test_compact_corpus_ledger_preserves_semantics(spark, sf_dir, tmp_path):
+    """Compacting the corpus ledger between batches (r9 verdict #7)
+    must change NOTHING observable: the report totals, cumulative
+    lang counts (and therefore the mixing thresholds of later
+    batches), the admitted corpus, and the exact-dedup probe must all
+    match a never-compacted twin run fed identical batches."""
+    import pyspark.sql.functions as F
+
+    from crane_spark.llm.run_pipeline import (
+        compact_corpus_ledger,
+        read_stream_corpus,
+        stream_training_corpus,
+    )
+    from crane_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") < 20)
+    batches = [
+        docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 120)),
+        docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 220)),  # overlap
+        docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 320)),  # overlap
+    ]
+
+    def feed_and_run(tag: str, compact_after: int | None):
+        src = str(tmp_path / f"src_{tag}")
+        root = str(tmp_path / f"store_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        for i, b in enumerate(batches):
+            b.coalesce(1).write.mode("append").parquet(src)
+            q = stream_training_corpus(
+                spark.readStream.schema(docs.schema).parquet(src),
+                eval_docs,
+                root,
+                ckpt,
+            )
+            q.awaitTermination(180)
+            if compact_after is not None and i == compact_after:
+                out = compact_corpus_ledger(spark, root)
+                assert set(out) == {"hashes", "lang_counts", "report"}
+        return root
+
+    plain = feed_and_run("plain", None)
+    compacted = feed_and_run("compacted", 1)  # compact between batch 2 and 3
+
+    c_a, r_a = read_stream_corpus(spark, plain)
+    c_b, r_b = read_stream_corpus(spark, compacted)
+    assert {(r["stage"], r["n_docs"]) for r in r_a.collect()} == {
+        (r["stage"], r["n_docs"]) for r in r_b.collect()
+    }
+    assert c_a.exceptAll(c_b).count() == 0 and c_b.exceptAll(c_a).count() == 0
+    # probe state intact: the full hash sets agree
+    ha = {
+        r["_h"]
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .option("mergeSchema", "true")
+        .parquet(plain + "/hashes")
+        .collect()
+    }
+    hb = {
+        r["_h"]
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .option("mergeSchema", "true")
+        .parquet(compacted + "/hashes")
+        .collect()
+    }
+    assert ha == hb
+
+
+@pytest.mark.parametrize("killed_store", ["hashes", "lang_counts", "report"])
+@pytest.mark.parametrize("kill_point", [0, 1, 2])
+def test_compact_corpus_ledger_crash_matrix(
+    spark, tmp_path, monkeypatch, killed_store, kill_point
+):
+    """Crash-injection matrix for compact_corpus_ledger's three store
+    rewrites (r9 verdict #7, the same discipline as
+    test_store_maintenance_swap_crash_matrix): kill once in every gap
+    of each store's two-rename swap; a recovery rerun must land all
+    three stores exactly on the never-crashed result with no stranded
+    side dirs."""
+    import glob
+    import os
+    import shutil
+
+    from crane_spark.llm.run_pipeline import compact_corpus_ledger
+
+    store = str(tmp_path / "store")
+    ref = str(tmp_path / "ref")
+    h_schema = "_h string, query_id string, batch_id long"
+    c_schema = "query_id string, batch_id long, lang string, n long"
+    r_schema = "query_id string, batch_id long, stage string, n_docs long"
+    for root in (store, ref):
+        for b in (0, 1):
+            spark.createDataFrame(
+                [(f"h{b}{i}", "q", b) for i in range(4)], h_schema
+            ).coalesce(1).write.parquet(f"{root}/hashes/q/batch-{b}")
+            spark.createDataFrame(
+                [("q", b, "en", 3 + b), ("q", b, "de", 1)], c_schema
+            ).coalesce(1).write.parquet(f"{root}/lang_counts/q/batch-{b}")
+            spark.createDataFrame(
+                [("q", b, "0_raw", 4), ("q", b, "4_mixed", 3 + b)], r_schema
+            ).coalesce(1).write.parquet(f"{root}/report/q/batch-{b}")
+
+    def content(root):
+        rep = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(root + "/report")
+            .groupBy("stage")
+            .agg(F.sum("n_docs").alias("n_docs"))
+        )
+        langs = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(root + "/lang_counts")
+            .groupBy("lang")
+            .agg(F.sum("n").alias("n"))
+        )
+        hashes = (
+            spark.read.option("recursiveFileLookup", "true")
+            .option("mergeSchema", "true")
+            .parquet(root + "/hashes")
+        )
+        return (
+            sorted((r["stage"], r["n_docs"]) for r in rep.collect()),
+            sorted((r["lang"], r["n"]) for r in langs.collect()),
+            sorted(r["_h"] for r in hashes.collect()),
+        )
+
+    compact_corpus_ledger(spark, ref)
+    want = content(ref)
+
+    real_rename, real_rmtree = os.rename, shutil.rmtree
+    state = {"step": 0, "armed": True}
+    target = store + "/" + killed_store
+
+    def guard():
+        if state["step"] == kill_point:
+            raise RuntimeError("injected crash in ledger compact")
+        state["step"] += 1
+
+    def rename(src, dst, **kw):
+        if state["armed"] and target in str(src):
+            guard()
+        return real_rename(src, dst, **kw)
+
+    def rmtree(path, *a, **kw):
+        if state["armed"] and target in str(path):
+            guard()
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(os, "rename", rename)
+    monkeypatch.setattr(shutil, "rmtree", rmtree)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        compact_corpus_ledger(spark, store)
+    state["armed"] = False
+
+    compact_corpus_ledger(spark, store)  # recovery rerun
+    assert content(store) == want
+    for name in ("hashes", "lang_counts", "report"):
+        for suffix in (".old", ".compact"):
+            assert not os.path.exists(f"{store}/{name}{suffix}")
+        assert glob.glob(f"{store}/{name}.merged*") == []
+
+
 def test_stream_training_corpus_incremental_and_replay(spark, sf_dir, tmp_path):
     """Multi-batch ingestion: later arrivals dedup against the
     persisted hash index, the corpus never holds two docs with the
@@ -1482,7 +1645,6 @@ def test_compact_vector_index_bounds_file_count(spark, sf_dir, tmp_path):
     assert n2 == len(before)
 
 
-import pytest
 
 
 @pytest.mark.parametrize("kill_point", [0, 1, 2, 3, 4])
