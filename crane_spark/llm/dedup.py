@@ -116,7 +116,11 @@ def shingle_tokens(
 
 
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    pretokenized: DataFrame | None = None,
 ) -> DataFrame:
     """(id, m0..m{k-1}) minhash signature per document; documents with
     fewer than `shingle_n` tokens are dropped (they have no shingles,
@@ -133,22 +137,33 @@ def minhash_signatures(
     # concat. Exploding the transform-lambda array instead evaluates
     # the whole lambda interpreted per row — measured ~5x slower on
     # the corpus scan (same lesson as shingle_tokens).
-    exploded = (
-        tokenized(docs, text_col, id_col)
-        .filter(F.size("toks") >= shingle_n)
-        .select(
-            F.col(id_col),
-            F.expr(f"explode(sequence(1, size(toks) - {shingle_n - 1}))").alias("i"),
-            "toks",
+    #
+    # `pretokenized` — a caller-shared (id, token) DISTINCT shingle
+    # stream (shingle_tokens) — replaces the scan outright: min() over
+    # the deduplicated stream equals min() over the multiset (min is
+    # duplicate-invariant), and both builders drop the same
+    # too-short docs, so signatures are bit-identical (r9 verdict #6).
+    if pretokenized is not None:
+        exploded = pretokenized.select(
+            F.col(id_col), F.col("token").alias("shingle")
         )
-        .select(
-            F.col(id_col),
-            F.concat_ws(
-                " ",
-                *[F.expr(f"element_at(toks, i + {k})") for k in range(shingle_n)],
-            ).alias("shingle"),
+    else:
+        exploded = (
+            tokenized(docs, text_col, id_col)
+            .filter(F.size("toks") >= shingle_n)
+            .select(
+                F.col(id_col),
+                F.expr(f"explode(sequence(1, size(toks) - {shingle_n - 1}))").alias("i"),
+                "toks",
+            )
+            .select(
+                F.col(id_col),
+                F.concat_ws(
+                    " ",
+                    *[F.expr(f"element_at(toks, i + {k})") for k in range(shingle_n)],
+                ).alias("shingle"),
+            )
         )
-    )
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"m{s}")
         for s in range(N_MINHASH)
@@ -179,6 +194,7 @@ def minhash_band_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     max_bucket: int | None = None,
+    pretokenized: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: documents sharing any band bucket.
     Returns distinct (doc_a < doc_b) pairs.
@@ -200,7 +216,12 @@ def minhash_band_pairs(
     Default None keeps the operator lossless for candidate-complete
     uses (lsh_eval, dedup clustering at test scales).
     """
-    bands = minhash_bands(minhash_signatures(docs, text_col, id_col, shingle_n), id_col)
+    bands = minhash_bands(
+        minhash_signatures(
+            docs, text_col, id_col, shingle_n, pretokenized=pretokenized
+        ),
+        id_col,
+    )
     buckets = bands.groupBy("band", "band_key").agg(
         F.sort_array(F.collect_list(id_col)).alias("ids")
     )
@@ -650,6 +671,7 @@ def prefix_filter_jaccard_pairs(
     shingle_n: int = 2,
     t_num: int = 1,
     t_den: int = 2,
+    pretokenized: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT set-similarity self-join with AllPairs/PPJoin prefix
     filtering: every pair with shingle-Jaccard >= t_num/t_den, no
@@ -701,8 +723,17 @@ def prefix_filter_jaccard_pairs(
     # on purpose (r8 verdict #5): the sizing aggregate right below is
     # always the first action, so materialization rides that job
     # instead of paying its own.
-    tok = shingle_tokens(docs, text_col, id_col, shingle_n).localCheckpoint(
-        eager=False
+    # `pretokenized` — a (id, token) DISTINCT shingle stream the
+    # caller already built (shingle_tokens) and checkpointed — lets a
+    # consumer that runs BOTH this exact join and the MinHash pipeline
+    # over the same docs (lsh_eval) pay the shingle scan once (r9
+    # verdict #6).
+    tok = (
+        pretokenized
+        if pretokenized is not None
+        else shingle_tokens(docs, text_col, id_col, shingle_n).localCheckpoint(
+            eager=False
+        )
     )
     # Gate sizing first, in ONE job over the checkpointed tokens (the
     # separate distinct-doc count job this replaces paid a full pass).
@@ -769,6 +800,10 @@ def prefix_filter_jaccard_pairs(
         out="rank",
         one_based=True,
         checkpoint=True,  # input is a tokenize+count aggregate
+        # the sizing aggregate above already measured the vocabulary:
+        # small vocabularies take dense_index's one-window regime
+        # (bit-identical ranks, no construction jobs — r9 verdict #6)
+        n_rows=vocab_size,
     )
     ranked = ranked_tokens(vocab)
     # lazy: both consumers' first action fully scans it (the broadcast

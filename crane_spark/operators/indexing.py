@@ -66,6 +66,14 @@ from pyspark.sql import functions as F
 # that need audit-plus-execute must rebuild after restoring the flag.
 EXPLAIN_ONLY = False
 
+# dense_index SMALL-regime gate: a caller-counted input at or under
+# this takes one bounded window sort (a ~256k-row single-task sort is
+# tens of ms) instead of the 2-job / 4-5-exchange bucketed
+# construction — r9 verdict #6, the lsh_eval fixed floor. Past it the
+# parallel construction is mandatory: the whole point of dense_index
+# is that a billion-token vocabulary never sorts in one task.
+_SMALL_INDEX_MAX_ROWS = 262_144
+
 
 def _sketch_cuts(df: DataFrame, key: str, buckets: int, accuracy: int) -> list:
     """``buckets - 1`` approximate cut points of ``key`` (deduplicated,
@@ -572,6 +580,7 @@ def dense_index(
     one_based: bool = False,
     major_cap: int = 2_000_000,
     checkpoint: bool = False,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Add a dense integer index column ``out`` (0..n-1, or 1..n with
     ``one_based``) to ``df`` without any single-partition data sort.
@@ -600,6 +609,18 @@ def dense_index(
     drop). NULL ``major`` values are supported: null-safe join
     equality and a None-aware driver sort place the NULL group first,
     matching Spark's ASC NULLS FIRST.
+
+    ``n_rows`` — the caller's already-measured row count of ``df`` —
+    enables the SMALL regime (r9 verdict #6): at or under
+    `_SMALL_INDEX_MAX_ROWS` the whole bucketed construction (2 driver
+    jobs + 4-5 exchanges) collapses to ONE bounded window sort over
+    the identical total order (major NULLS FIRST, hash bucket,
+    tiebreak), producing bit-identical indices with no extra job —
+    the input is read once, so ``checkpoint`` is moot there. The
+    window partitions by a constant over a caller-counted bounded
+    input (same pattern as the EXPLAIN_ONLY offsets window); never
+    pass a guessed n_rows — the gate exists so data-sized inputs
+    always take the parallel construction.
     """
     spark = df.sparkSession
     _reserve(
@@ -607,6 +628,24 @@ def dense_index(
         "_mm", "_moff",
     )
     hb = F.pmod(F.xxhash64(F.col(tiebreak)), F.lit(buckets))
+    if (
+        n_rows is not None
+        and n_rows <= _SMALL_INDEX_MAX_ROWS
+        and not EXPLAIN_ONLY
+    ):
+        base = F.lit(1) if one_based else F.lit(0)
+        order = []
+        if major is not None:
+            order.append(F.col(major).asc_nulls_first())
+        order += [F.col("_hb"), F.col(tiebreak)]
+        w_small = Window.partitionBy(
+            F.pmod(F.xxhash64(F.lit(0)), F.lit(1))
+        ).orderBy(*order)
+        return (
+            df.withColumn("_hb", hb)
+            .withColumn(out, F.row_number().over(w_small) - 1 + base)
+            .drop("_hb")
+        )
     if checkpoint and not EXPLAIN_ONLY:
         # LAZY: every regime's first action below is a full scan of
         # `d` (the bucket-count collect, or the totals.limit collect

@@ -1564,13 +1564,30 @@ def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     all three counts (sum of each side's flag; hits = rows where both
     flags land), so the two eager pair-set checkpoints and the three
     separate count jobs are gone — the fixed floor was job-count, not
-    data (3.2 s flat from sf0.001 to sf0.1)."""
-    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    from crane_spark.llm.dedup import prefix_filter_jaccard_pairs
+    data (3.2 s flat from sf0.001 to sf0.1).
 
-    cand = minhash_band_pairs(docs, shingle_n=3).withColumn("_c", F.lit(1))
+    ONE shingle scan, not two (r9 verdict #6): both pipelines consume
+    the same checkpointed (id, token) distinct shingle stream — the
+    MinHash side because min() is duplicate-invariant, the exact side
+    because that stream is exactly its input — and the truth side's
+    vocabulary rank takes dense_index's small regime (the sizing
+    aggregate already measured the vocabulary)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    from crane_spark.llm.dedup import (
+        prefix_filter_jaccard_pairs,
+        shingle_tokens,
+    )
+
+    # lazy: the first action is the truth side's sizing aggregate,
+    # which fully scans it (prefix_filter's checkpoint discipline)
+    tok = shingle_tokens(docs, "text", "doc_id", 3).localCheckpoint(eager=False)
+    cand = minhash_band_pairs(docs, shingle_n=3, pretokenized=tok).withColumn(
+        "_c", F.lit(1)
+    )
     truth = (
-        prefix_filter_jaccard_pairs(docs, shingle_n=3, t_num=1, t_den=2)
+        prefix_filter_jaccard_pairs(
+            docs, shingle_n=3, t_num=1, t_den=2, pretokenized=tok
+        )
         .select("doc_a", "doc_b")
         .withColumn("_t", F.lit(1))
     )

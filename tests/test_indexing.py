@@ -59,6 +59,62 @@ def test_dense_index_window_fallback_matches_collect_path(spark):
     assert a == b
 
 
+def test_dense_index_small_regime_matches_bucketed(spark):
+    """`n_rows` at or under the small-regime gate must produce
+    BIT-IDENTICAL indices to the bucketed construction (r9 verdict
+    #6): same (major NULLS FIRST, hash bucket, tiebreak) total order,
+    for the no-major, major, duplicate-major and NULL-major cases."""
+    # no-major
+    df = spark.range(777).select((F.col("id") * 7 + 3).alias("vec_id"))
+    a = {r["vec_id"]: r["_ix"] for r in dense_index(df, "vec_id").collect()}
+    b = {
+        r["vec_id"]: r["_ix"]
+        for r in dense_index(df, "vec_id", n_rows=777).collect()
+    }
+    assert a == b
+
+    # major with heavy duplication + a NULL major group
+    rows = [(f"tok{i}", 1 + (i % 17)) for i in range(1500)] + [
+        ("null_a", None),
+        ("null_b", None),
+    ]
+    vocab = spark.createDataFrame(rows, "token string, dfreq long")
+    base = {
+        r["token"]: r["rank"]
+        for r in dense_index(
+            vocab, "token", major="dfreq", out="rank", one_based=True
+        ).collect()
+    }
+    small = {
+        r["token"]: r["rank"]
+        for r in dense_index(
+            vocab,
+            "token",
+            major="dfreq",
+            out="rank",
+            one_based=True,
+            n_rows=1502,
+        ).collect()
+    }
+    assert small == base
+
+    # over the gate: n_rows must NOT change the construction
+    from crane_spark.operators import indexing as I
+
+    over = {
+        r["token"]: r["rank"]
+        for r in dense_index(
+            vocab,
+            "token",
+            major="dfreq",
+            out="rank",
+            one_based=True,
+            n_rows=I._SMALL_INDEX_MAX_ROWS + 1,
+        ).collect()
+    }
+    assert over == base
+
+
 def test_dense_index_empty_and_small(spark):
     empty = spark.createDataFrame([], "vec_id long")
     assert dense_index(empty, "vec_id").count() == 0

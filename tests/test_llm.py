@@ -52,6 +52,47 @@ def test_minhash_finds_near_dups(spark):
     assert not any(4 in p for p in pairs)  # unrelated doc never pairs
 
 
+def test_pretokenized_sharing_is_bit_identical(spark, sf_dir):
+    """The lsh_eval shingle-scan sharing (r9 verdict #6): feeding both
+    the MinHash candidate pipeline and the exact prefix-filter join
+    one shared (id, token) distinct shingle stream must reproduce the
+    unshared pipelines' pair sets exactly — MinHash because min() is
+    duplicate-invariant, the exact join because that stream IS its
+    input."""
+    from pyspark.sql import functions as F
+
+    from crane_spark.llm.dedup import (
+        prefix_filter_jaccard_pairs,
+        shingle_tokens,
+    )
+    from crane_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    tok = shingle_tokens(docs, "text", "doc_id", 3).localCheckpoint()
+
+    base_c = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_band_pairs(docs, shingle_n=3).collect()
+    }
+    shared_c = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_band_pairs(docs, shingle_n=3, pretokenized=tok).collect()
+    }
+    assert shared_c == base_c
+
+    base_t = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_filter_jaccard_pairs(docs, shingle_n=3).collect()
+    }
+    shared_t = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_filter_jaccard_pairs(
+            docs, shingle_n=3, pretokenized=tok
+        ).collect()
+    }
+    assert shared_t == base_t
+
+
 def test_jaccard_orders_similarity(spark):
     sims = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
