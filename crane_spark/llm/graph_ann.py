@@ -690,7 +690,9 @@ def knn_graph_build(
         id_type = nv.schema[id_col].dataType.simpleString()
         rand = src_j.select("src", pix.cast(id_type).alias("dst"))
     else:
-        idx = dense_index(nv.select(id_col), tiebreak=id_col, out="_ix")
+        # n is already measured: small non-dense id spaces take the
+        # one-window regime (bit-identical bijection, r10)
+        idx = dense_index(nv.select(id_col), tiebreak=id_col, out="_ix", n_rows=n)
         rand = (
             src_j.select("src", pix.alias("_pix"))
             .join(

@@ -625,22 +625,26 @@ def dense_index(
     spark = df.sparkSession
     _reserve(
         df, "_hb", "_ob", "_off", "_bn", "_n", "_t", "_mj", "_whb", "_woff",
-        "_mm", "_moff",
+        "_mm", "_moff", "_smallix",
     )
     hb = F.pmod(F.xxhash64(F.col(tiebreak)), F.lit(buckets))
-    if (
-        n_rows is not None
-        and n_rows <= _SMALL_INDEX_MAX_ROWS
-        and not EXPLAIN_ONLY
-    ):
+    if n_rows is not None and n_rows <= _SMALL_INDEX_MAX_ROWS:
+        # No EXPLAIN_ONLY exclusion: this regime runs zero
+        # construction jobs, so the audited plan IS the executed plan.
+        # Catalyst folds the constant partition key, so this plans as
+        # an explicit `Exchange SinglePartition` + global Window —
+        # VISIBLE to tools/audit_single_partition.py's dimension 1 on
+        # purpose: if a registered query's audited plan ever takes
+        # this regime, the audit fails until a human reviews the
+        # caller's n_rows bound and allowlists it. (Today none does:
+        # the sf0.001 audit corpus keeps every dense_index consumer
+        # in regimes that skip this window.)
         base = F.lit(1) if one_based else F.lit(0)
         order = []
         if major is not None:
             order.append(F.col(major).asc_nulls_first())
         order += [F.col("_hb"), F.col(tiebreak)]
-        w_small = Window.partitionBy(
-            F.pmod(F.xxhash64(F.lit(0)), F.lit(1))
-        ).orderBy(*order)
+        w_small = Window.partitionBy(F.lit(0)).orderBy(*order)
         return (
             df.withColumn("_hb", hb)
             .withColumn(out, F.row_number().over(w_small) - 1 + base)
