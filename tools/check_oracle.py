@@ -20,6 +20,13 @@ from crane_spark.testing import diff_frames, duck_connection
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     names = sys.argv[2:] or list(REGISTRY)
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        # fail BEFORE any Spark work, on stdout: a typo'd name under
+        # `2>/dev/null` otherwise dies as an invisible KeyError after
+        # the valid names ran, reading like a passed sweep
+        print(f"unknown query names (not in REGISTRY): {unknown}")
+        return 2
     spark = get_spark("check_oracle")
     con = duck_connection(sf_dir)
     failures = 0
