@@ -317,9 +317,16 @@ def _cogroup_local_pairs(
       order as the broadcast path's post-argmax output, while the
       per-task acc matrix is CHUNKED to ~64 MB.
 
-    Memory per task: one super's anchors (~c/s x dim) + a vector
-    chunk; at the n=100M design point that is ~1 MB of anchors and
-    the chunked acc — no driver or broadcast structure grows with c."""
+    Memory per task: cogroup applyInPandas materializes ONE super's
+    whole group — its ~c/s anchor rows plus its routed vectors
+    (~n/s on spread routing; ~1.4 GB at the n=100M/dim=32 design
+    point) — while the acc matrix is explicitly chunked to ~64 MB.
+    No driver or broadcast structure grows with c. The residual skew
+    exposure is a corpus whose vectors overwhelmingly route to ONE
+    super (the group then approaches n rows — the generic
+    applyInPandas group-materialization bound); the spread-sampled
+    supers make that a degenerate-geometry case, and the remedy is
+    more supers (route_supers scales with c^(1/2) by default)."""
     import numpy as np
     import pandas as pd
 

@@ -149,6 +149,9 @@ def stream_training_corpus(
     gram_n: int = 8,
     n_shards: int = N_SHARDS,
     reliable_every: int = 0,
+    bloom_front: bool = False,
+    bloom_fpp: float = 0.03,
+    bloom_stats: dict | None = None,
 ):
     """INCREMENTAL twin of `build_training_corpus`: the same funnel
     applied per micro-batch over a documents stream, so the daily
@@ -183,10 +186,22 @@ def stream_training_corpus(
     (query_id, batch_id) so replays overwrite rather than double-count.
     Read the corpus with `read_stream_corpus`.
 
-    At 100 TB: the md5 index is one narrow column (bucketable; front
-    it with operators/bloom.py to skip the probe for novel-heavy
-    batches); the gram set is eval-suite-sized and broadcasts; all
-    other stages are per-batch local.
+    At 100 TB: the md5 index is one narrow column (bucketable); the
+    gram set is eval-suite-sized and broadcasts; all other stages are
+    per-batch local.
+
+    ``bloom_front=True`` (r10 — the hash-ledger twin of
+    `stream_neardup_ingest`'s front) fronts the persisted-index
+    anti-join with a per-RUN driver Bloom filter over the stored
+    `_h` values: when NO batch hash can be in the ledger (the common
+    case for novel-heavy streams) the recursive ledger read and the
+    anti-join are skipped outright. Same contract as the neardup
+    front: false positives cost one wasted probe; false negatives
+    impossible under the single-writer rule (seeded from the full
+    ledger at first use, keys collected BEFORE the appends and added
+    with pure numpy after commit, front reset to re-seed on any
+    update failure); size-gated by `_BLOOM_FRONT_CEILING_BYTES` with
+    auto-disable recorded in ``bloom_stats``.
 
     ``reliable_every`` forwards :func:`loop_checkpoint`'s durability
     cadence to the three per-batch materialized stages (stage index =
@@ -203,6 +218,11 @@ def stream_training_corpus(
     hashes_dir = out_root + "/hashes"
     report_dir = out_root + "/report"
     counts_dir = out_root + "/lang_counts"
+    _front: dict = {"bloom": None, "disabled": False}
+    if bloom_stats is not None:
+        bloom_stats.setdefault("probes_skipped", 0)
+        bloom_stats.setdefault("probes_run", 0)
+        bloom_stats.setdefault("keys_tested", 0)
 
     def ingest(batch, batch_id: int) -> None:
         staged = []
@@ -255,7 +275,36 @@ def stream_training_corpus(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        if os.path.exists(hashes_dir):
+        probe_possible = True
+        if os.path.exists(hashes_dir) and bloom_front and not _front["disabled"]:
+            from crane_spark.streaming.pipelines import (
+                _bloom_hash_cols,
+                _seed_bloom_front,
+            )
+
+            if _front["bloom"] is None:
+                _front["bloom"] = _seed_bloom_front(
+                    spark, hashes_dir, bloom_fpp, key_col="_h", recursive=True
+                )
+                if _front["bloom"] is None:
+                    _front["disabled"] = True  # size-gated; run un-fronted
+                    if bloom_stats is not None:
+                        bloom_stats["disabled"] = "bitmap over ceiling"
+            if _front["bloom"] is not None:
+                keys = (
+                    deduped.select("_h")
+                    .distinct()
+                    .select(*_bloom_hash_cols("_h"))
+                    .toPandas()
+                )
+                probe_possible = _front["bloom"].might_contain_any(
+                    keys["h1"].to_numpy(), keys["h2"].to_numpy()
+                )
+                if bloom_stats is not None:
+                    bloom_stats["keys_tested"] += len(keys)
+                    key = "probes_run" if probe_possible else "probes_skipped"
+                    bloom_stats[key] += 1
+        if os.path.exists(hashes_dir) and probe_possible:
             # The hash store is keyed by (query_id, batch_id) so a crashed
             # attempt's own hashes/<qid>/batch-N (already on disk when the
             # batch replays under the same checkpoint) is excluded — otherwise
@@ -332,6 +381,20 @@ def stream_training_corpus(
             "source",
             (hash_bucket("doc_id", "shard") % n_shards).cast("int").alias("shard"),
         )
+        # Front-update keys collected BEFORE any write commits (the
+        # ADVICE r9 ordering, shared with stream_neardup_ingest): a
+        # Spark failure here aborts the batch pre-commit, and after
+        # the writes only a pure-numpy add() remains.
+        kb = None
+        if bloom_front and _front["bloom"] is not None:
+            from crane_spark.streaming.pipelines import _bloom_hash_cols
+
+            kb = (
+                deduped.select("_h")
+                .distinct()
+                .select(*_bloom_hash_cols("_h"))
+                .toPandas()
+            )
         # per-(query, batch) overwrite directories: replay-idempotent
         sharded.write.mode("overwrite").parquet(os.path.join(corpus_dir, sub))
         deduped.select(
@@ -349,6 +412,11 @@ def stream_training_corpus(
             [(qid, batch_id, k, v) for k, v in sorted(counts.items())],
             "query_id string, batch_id long, stage string, n_docs long",
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(report_dir, sub))
+        if kb is not None:
+            try:
+                _front["bloom"].add(kb["h1"].to_numpy(), kb["h2"].to_numpy())
+            except Exception:
+                _front["bloom"] = None  # re-seed from the ledger
 
     return (
         docs.writeStream.foreachBatch(ingest)

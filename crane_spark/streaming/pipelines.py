@@ -391,12 +391,12 @@ class _BloomFront:
         return True
 
 
-def _bloom_hash_cols():
+def _bloom_hash_cols(key_col: str = "band_key"):
     """The two deterministic 64-bit key hashes the front is built on;
     computed Spark-side so seeding partials and driver tests agree."""
     return [
-        F.xxhash64("band_key").alias("h1"),
-        F.xxhash64(F.lit(1), F.col("band_key")).alias("h2"),
+        F.xxhash64(key_col).alias("h1"),
+        F.xxhash64(F.lit(1), F.col(key_col)).alias("h2"),
     ]
 
 
@@ -414,18 +414,30 @@ _BLOOM_FRONT_CEILING_BYTES = int(
 )
 
 
-def _seed_bloom_front(spark, index_store: str, fpp: float) -> _BloomFront | None:
+def _seed_bloom_front(
+    spark,
+    index_store: str,
+    fpp: float,
+    key_col: str = "band_key",
+    recursive: bool = False,
+) -> _BloomFront | None:
     """Build the run's front from the persisted index: one count + one
-    distributed pass over the narrow band_key column, each partition
+    distributed pass over the narrow ``key_col`` column, each partition
     emitting a partial bitmap, OR-folded driver-side via
     toLocalIterator (driver peak = the front + ONE partial, never all
     partials at once). Returns None — front disabled — when the
-    planned bitmap exceeds `_BLOOM_FRONT_CEILING_BYTES`."""
+    planned bitmap exceeds `_BLOOM_FRONT_CEILING_BYTES`.
+
+    ``recursive`` reads per-(query, batch) subdirectory stores (the
+    corpus hash ledger's layout)."""
     import logging
 
     import numpy as np
 
-    idx = spark.read.option("mergeSchema", "true").parquet(index_store)
+    reader = spark.read.option("mergeSchema", "true")
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    idx = reader.parquet(index_store)
     n = idx.count()
     n_bits, k = _BloomFront.plan(4 * n + 100_000, fpp)
     if n_bits // 8 > _BLOOM_FRONT_CEILING_BYTES:
@@ -441,7 +453,7 @@ def _seed_bloom_front(spark, index_store: str, fpp: float) -> _BloomFront | None
         )
         return None
     front = _BloomFront(4 * n + 100_000, fpp)
-    hashed = idx.select(*_bloom_hash_cols())
+    hashed = idx.select(*_bloom_hash_cols(key_col))
 
     def gen(batches):
         import numpy as np

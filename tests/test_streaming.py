@@ -1001,6 +1001,64 @@ def test_compact_corpus_ledger_crash_matrix(
         assert glob.glob(f"{store}/{name}.merged*") == []
 
 
+def test_corpus_bloom_front_skips_probe_and_preserves_semantics(
+    spark, sf_dir, tmp_path
+):
+    """bloom_front=True on the corpus stream must admit exactly what
+    the un-fronted stream admits: an all-novel batch skips the ledger
+    probe (probes_skipped), a repeat batch hits the front, runs the
+    probe and drops the duplicates, and the final corpus + report
+    equal the un-fronted twin's."""
+    import pyspark.sql.functions as F
+
+    from crane_spark.llm.run_pipeline import (
+        read_stream_corpus,
+        stream_training_corpus,
+    )
+    from crane_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") < 20)
+    batches = [
+        docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 120)),
+        docs.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 220)),  # novel
+        docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 220)),  # repeats
+    ]
+
+    def run(tag, front, stats):
+        src = str(tmp_path / f"src_{tag}")
+        root = str(tmp_path / f"store_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        for b in batches:
+            b.coalesce(1).write.mode("append").parquet(src)
+            q = stream_training_corpus(
+                spark.readStream.schema(docs.schema).parquet(src),
+                eval_docs,
+                root,
+                ckpt,
+                bloom_front=front,
+                bloom_stats=stats,
+            )
+            q.awaitTermination(180)
+        return root
+
+    plain = run("plain", False, None)
+    stats: dict = {}
+    fronted = run("fronted", True, stats)
+
+    # batch 2 is all-novel vs batch 1's ledger -> at least one skip;
+    # batch 3 repeats batch 2's docs -> the front hits, probe runs
+    assert stats["probes_skipped"] >= 1
+    assert stats["probes_run"] >= 1 and stats["keys_tested"] > 0
+
+    c_a, r_a = read_stream_corpus(spark, plain)
+    c_b, r_b = read_stream_corpus(spark, fronted)
+    assert {(r["stage"], r["n_docs"]) for r in r_a.collect()} == {
+        (r["stage"], r["n_docs"]) for r in r_b.collect()
+    }
+    assert c_a.exceptAll(c_b).count() == 0 and c_b.exceptAll(c_a).count() == 0
+
+
 def test_stream_training_corpus_incremental_and_replay(spark, sf_dir, tmp_path):
     """Multi-batch ingestion: later arrivals dedup against the
     persisted hash index, the corpus never holds two docs with the
