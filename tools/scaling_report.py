@@ -665,7 +665,7 @@ def llm_corpus_scaling(spark) -> list[str]:
 # tests/test_doc_counts.py asserts they reconcile with the LIVE
 # registry (total + the 2 quadratic-oracle exclusions == registry
 # size), so registry growth cannot silently stale this section again.
-SF1_ORACLE_RUN = {"total": 215, "exact": 206, "rows_only": 9, "round": 9}
+SF1_ORACLE_RUN = {"total": 215, "exact": 206, "rows_only": 9, "round": 10}
 _SF1_QUADRATIC_EXCLUSIONS = ("prefix_jaccard_join", "embedding_near_dup")
 
 ORACLE_SF1_SECTION = f"""
@@ -678,9 +678,10 @@ queries on the 6M-row lineitem rung ({SF1_ORACLE_RUN["exact"]}
 hash-exact vs DuckDB incl. every sampled twin,
 {SF1_ORACLE_RUN["rows_only"]} rows-only with unit-test contracts;
 re-run round {SF1_ORACLE_RUN["round"]} on the shipped code — after
-the r9 re-plans: packed-key copurchase count, one-action lsh_eval,
-lazy small-n checkpoints in graph ANN / prefix_filter / dense_index,
-and the dense-id partner fast path) —
+the r10 re-plans: shared lsh_eval shingle scan, dense_index small
+regime, the third-routing-level code path, plus r9's packed-key
+copurchase count, one-action lsh_eval, and lazy small-n
+checkpoints) —
 every exact-oracle query except
 `prefix_jaccard_join` and `embedding_near_dup`, whose DuckDB oracle
 definitions are deliberately quadratic (all-pairs over 50k docs /
