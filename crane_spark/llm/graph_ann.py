@@ -815,7 +815,12 @@ def graph_search_topk(
     if entry_nodes is not None:
         # IVF-route tiering: the caller supplies geometric cover
         # nodes (e.g. the build's cell anchors) by id; their
-        # normalized vectors come from the vector table.
+        # normalized vectors come from the vector table. n stays
+        # unknown UNLESS the caller also passed id_stats (the build's
+        # sizing triple) — then the small-n lazy regime below applies
+        # exactly as in the strided-entry path (r10: the sampled twin
+        # ran every hop eager for want of a declared n).
+        n = int(id_stats[2]) if id_stats is not None else None
         entries = entry_nodes.select(F.col(id_col).alias("node")).join(
             nv.select(F.col(id_col).alias("node"), F.col("nv").alias("dv")),
             "node",
@@ -853,10 +858,11 @@ def graph_search_topk(
     # successor's lineage, and unpersisting an eager predecessor
     # before a lazy successor materializes would drop the only copy
     # (the ContextCleaner reclaims these small frames when the py4j
-    # refs go). With caller-supplied entry_nodes n is unknown — stay
-    # on the eager/release discipline, which large n needs anyway.
+    # refs go). With caller-supplied entry_nodes n is unknown unless
+    # id_stats declares it — undeclared stays on the eager/release
+    # discipline, which large n needs anyway.
     lazy_loop = (
-        entry_nodes is None
+        n is not None
         and n <= _LAZY_INIT_CKPT_MAX_N
         and reliable_every == 0
     )

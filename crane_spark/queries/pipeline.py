@@ -798,7 +798,11 @@ def q_knn_graph_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 7 == 0)
     nv = normalized_vectors(emb)
-    edges = knn_graph_build(emb, k=4, n_iter=1, prenormalized=nv)
+    # one sizing aggregate shared by build AND search (the id_stats
+    # pattern); declaring n also lets the entry_nodes search run the
+    # small-n lazy-checkpoint regime instead of eager-per-hop (r10)
+    stats = nv.agg(F.min("vec_id"), F.max("vec_id"), F.count(F.lit(1))).first()
+    edges = knn_graph_build(emb, k=4, n_iter=1, prenormalized=nv, id_stats=stats)
     queries = emb.filter(F.col("vec_id") < 35)
     return graph_search_topk(
         queries,
@@ -809,6 +813,7 @@ def q_knn_graph_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         hops=1,
         entry_nodes=emb.select("vec_id"),
         prenormalized=nv,
+        id_stats=stats,
     )
 
 
