@@ -280,6 +280,39 @@ def test_knn_graph_build_past_ceiling_routes_through_shuffle_level(
     assert len({r[0] for r in got}) == 120
 
 
+def test_cogroup_local_pairs_handles_vectorless_and_unmatched_supers(spark):
+    """Third-level edge cases: a super whose anchors attract NO
+    vectors emits nothing (its cogroup vector side is empty), and the
+    near-max emission never loses a vector — every input vector with
+    a matching anchor group appears in the output exactly once after
+    the Spark-side argmax."""
+    from pyspark.sql import functions as F
+
+    from crane_spark.llm.graph_ann import (
+        _argmax_rounded,
+        _cogroup_local_pairs,
+    )
+
+    # supers 1 and 2; super 2 has an anchor but no routed vectors
+    vecs = spark.createDataFrame(
+        [(10, [1.0, 0.0], 1), (11, [0.8, 0.6], 1), (12, [0.0, 1.0], 1)],
+        "vec_id long, nv array<double>, _grp long",
+    )
+    anchors = spark.createDataFrame(
+        [(1, 100, [1.0, 0.0]), (1, 101, [0.0, 1.0]), (2, 200, [0.5, 0.5])],
+        "_grp long, centroid_id long, cnv array<double>",
+    )
+    pairs = _cogroup_local_pairs(vecs, anchors, "vec_id")
+    assigned = {
+        r["vec_id"]: r["centroid_id"]
+        for r in _argmax_rounded(pairs, "vec_id", "centroid_id").collect()
+    }
+    # every vector resolved once; no anchor from the vectorless super
+    assert sorted(assigned) == [10, 11, 12]
+    assert assigned[10] == 100 and assigned[12] == 101
+    assert 200 not in set(assigned.values())
+
+
 def test_routed_assign_shuffle_anchors_parity_and_no_orphans(spark):
     """_routed_assign(shuffle_anchors=True) must return the exact
     assignment the broadcast level returns — including the no-orphan
