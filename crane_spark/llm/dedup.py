@@ -628,10 +628,24 @@ def _dense_bitset_pairs(
     bs = -(-n // n_blocks)
     vtype = tok.schema[id_col].dataType.simpleString()
 
+    # Fused-threshold arithmetic stays int32-exact only while
+    # (t_den + 2*t_num) * 2^24 < 2^31; ordinary thresholds (1/2, 2/3,
+    # 9/10) are far inside it, extreme ratios (99/100) take the wide
+    # int64 form. r10 optimization: the int64 formulation allocated six
+    # full-block temporaries (rint copy, int64 inter, 2-op union,
+    # td*inter, tn*union) — ~70 MB of memory traffic per 264x5000
+    # block, which SATURATED memory bandwidth when every core ran a
+    # block task concurrently (measured 19 x 0.13 s of compute taking
+    # 4-6 s wall, reproduced with plain multiprocessing — guide §5).
+    # The fused form rewrites td*i >= tn*(sa+sb-i) as
+    # (td+tn)*i - tn*sb >= tn*sa, runs in int32 with in-place ops
+    # (~4x less traffic), and converts to int64 only for survivors.
+    fused_i32 = (t_den + 2 * t_num) * (1 << 24) < (1 << 31)
+
     def gen(batches):
         bids, packed = bc.value
         a = np.unpackbits(packed, axis=1)[:, :vocab_size].astype(np.float32)
-        sizes = a.sum(axis=1).astype(np.int64)
+        sizes = a.sum(axis=1).astype(np.int32)
         at = a.T
         col = np.arange(n)[None, :]
         for pdf in batches:
@@ -640,18 +654,33 @@ def _dense_bitset_pairs(
                 e = min(n, s + bs)
                 if s >= e:
                     continue
-                inter = np.rint(a[s:e] @ at).astype(np.int64)
-                union = sizes[s:e, None] + sizes[None, :] - inter
-                keep = (t_den * inter >= t_num * union) & (
-                    np.arange(s, e)[:, None] < col
-                )
+                g = a[s:e] @ at
+                np.rint(g, out=g)
+                if fused_i32:
+                    inter = g.astype(np.int32)
+                    v = (t_den + t_num) * inter
+                    v -= t_num * sizes[None, :]
+                    keep = v >= (t_num * sizes[s:e])[:, None]
+                    keep &= np.arange(s, e)[:, None] < col
+                else:
+                    inter = g.astype(np.int64)
+                    union = (
+                        sizes[s:e, None].astype(np.int64)
+                        + sizes[None, :]
+                        - inter
+                    )
+                    keep = (t_den * inter >= t_num * union) & (
+                        np.arange(s, e)[:, None] < col
+                    )
                 ii, jj = np.nonzero(keep)
+                iv = inter[ii, jj].astype(np.int64)
+                uv = sizes[ii + s].astype(np.int64) + sizes[jj] - iv
                 yield pd.DataFrame(
                     {
                         "doc_a": bids[ii + s],
                         "doc_b": bids[jj],
-                        "n_common": inter[ii, jj],
-                        "jaccard": inter[ii, jj] / union[ii, jj],
+                        "n_common": iv,
+                        "jaccard": iv / uv,
                     }
                 )
 
