@@ -37,14 +37,32 @@ from crane_spark.tables import fan_out
 GRID = 9  # decimal places of the per-row rounding grid
 
 
+#: dimensionality of quality_features' output (bias + 4 statistics) —
+#: statically known, so training over these features can skip the
+#: first()-row sizing job (see logreg_train's `dim`).
+QUALITY_FEATURES_DIM = 5
+
+
 def quality_features(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep=(),
 ) -> DataFrame:
     """(id, features array<double>) — cheap, scan-local text
     statistics: [bias, log1p(n_tokens), mean token length, stopword
-    ratio, digit ratio]. All codegen'd expressions; one pass."""
+    ratio, digit ratio]. All codegen'd expressions; one pass.
+
+    ``keep`` — extra (name, Column) pairs evaluated IN the same scan
+    and carried alongside the features: the training label rides the
+    featurize projection instead of joining back to the source table
+    by id (r10, guide §2.2: the join shipped every feature row through
+    an exchange just to attach a column the scan could compute)."""
     d = fan_out(docs).select(
-        F.col(id_col), F.col(text_col), tokens(text_col).alias("toks")
+        F.col(id_col),
+        F.col(text_col),
+        tokens(text_col).alias("toks"),
+        *[c.alias(nm) for nm, c in keep],
     )
     n_toks = F.size("toks").cast("double")
     stop = F.size(
@@ -66,6 +84,7 @@ def quality_features(
             F.when(n_toks > 0, stop / n_toks).otherwise(0.0),
             F.when(chars > 0, digits / chars).otherwise(0.0),
         ).alias("features"),
+        *[nm for nm, _c in keep],
     )
 
 
@@ -76,7 +95,9 @@ def logreg_train(
     features_col: str = "features",
     label_col: str = "label",
     reliable: bool = False,
-) -> tuple[list[float], list[float]]:
+    dim: int | None = None,
+    keep_cols: tuple[str, ...] = (),
+):
     """Full-batch logistic regression; returns (weights, per-iteration
     mean log-loss). ``data`` is (features array<double>, label 0/1).
 
@@ -101,36 +122,68 @@ def logreg_train(
     input with a durable ``df.checkpoint()`` instead of
     localCheckpoint (identical rows; training is bit-identical), and a
     lost executor recomputes scans from the checkpoint files instead
-    of killing the train (operators/caching.py docstring)."""
-    # One job learns n AND the dimensionality (F.first inside the agg
-    # replaces a separate .first() job); the raw features are NOT
-    # checkpointed — they are cheap scan-local expressions, and at
-    # corpus scale storing a features copy costs more than the one
-    # extra scan the standardized checkpoint below pays.
-    head = data.agg(
-        F.count(F.lit(1)).alias("n"), F.first(features_col).alias("f0")
-    ).first()
-    n = int(head["n"])
-    dim = len(head["f0"])
+    of killing the train (operators/caching.py docstring).
+
+    r10 (guide §1.2/§2.4 — the query's floor was job count x per-job
+    scheduling, not arithmetic): the pipeline pays exactly ONE scan of
+    the input expressions. RAW (features, label) rows are pinned
+    FIRST; the sizing/moments jobs and every iteration read the pinned
+    blocks instead of re-running the featurize scan (previously: one
+    scan each for the head job, the moments job, and the checkpoint).
+    The standardization is folded into the per-iteration expressions —
+    the same (x_i - mean_i) / std_i float64 division the stored-array
+    form precomputed, applied to the same values, so every margin,
+    gradient and loss is bit-identical (pinned by the reproducibility
+    test). ``dim`` declares a statically-known feature dimensionality
+    (e.g. QUALITY_FEATURES_DIM) and skips the first()-row job; n now
+    comes from the moments aggregate. Iterations run over a
+    byte-derived coalesce of the pinned blocks (~32 MB/task, floor 1)
+    so a small corpus doesn't schedule defaultParallelism tasks per
+    iteration — partitioning never changes results (the decimal-grid
+    sums are order-independent by contract). ``keep_cols`` pins extra
+    columns (e.g. the doc id) through the checkpoint and switches the
+    return to (weights, losses, pinned): serving scores the pinned
+    rows instead of re-featurizing the corpus."""
     raw = data.select(
-        F.col(features_col).alias("x"), F.col(label_col).cast("double").alias("y")
+        *keep_cols,
+        F.col(features_col).alias("x"),
+        F.col(label_col).cast("double").alias("y"),
     )
+    if reliable:
+        from crane_spark.operators.caching import ensure_checkpoint_dir
+
+        ensure_checkpoint_dir(raw.sparkSession)
+        ckpt = raw.checkpoint(eager=True)
+    else:
+        ckpt = raw.localCheckpoint(eager=True)
+
+    if dim is None:
+        dim = len(ckpt.select(F.col("x").alias("f0")).first()["f0"])
 
     def dgrid9(col):
         return F.round(col, GRID).cast(f"decimal(28,{GRID})")
 
-    stat_aggs = []
+    stat_aggs = [F.count(F.lit(1)).alias("n")]
     for i in range(1, dim):
         xi = F.element_at("x", i + 1)
         stat_aggs.append(F.sum(dgrid9(xi)).cast("double").alias(f"s{i}"))
         stat_aggs.append(F.sum(dgrid9(xi * xi)).cast("double").alias(f"q{i}"))
-    stats = raw.agg(*stat_aggs).collect()[0]
+    stats = ckpt.agg(*stat_aggs).collect()[0]
+    n = int(stats["n"])
     mean = [0.0] * dim
     std = [1.0] * dim
     for i in range(1, dim):
         mean[i] = float(stats[f"s{i}"]) / n
         var = max(float(stats[f"q{i}"]) / n - mean[i] ** 2, 0.0)
         std[i] = math.sqrt(var) if var > 1e-24 else 1.0
+
+    # ~32 MB of (x, y) doubles per iteration task; coalesce only ever
+    # MERGES the pinned blocks, so a big corpus keeps its scan-derived
+    # partitioning and a small one stops paying defaultParallelism
+    # scheduled tasks per iteration job.
+    row_bytes = 8 * dim + 24
+    parts = max(1, -(-n * row_bytes // (32 << 20)))
+    d = ckpt.select("x", "y").coalesce(parts)
 
     scaled = F.array(
         F.element_at("x", 1),
@@ -139,21 +192,13 @@ def logreg_train(
             for i in range(1, dim)
         ],
     )
-    d = raw.select(scaled.alias("x"), "y")
-    if reliable:
-        from crane_spark.operators.caching import ensure_checkpoint_dir
-
-        ensure_checkpoint_dir(d.sparkSession)
-        d = d.checkpoint(eager=True)
-    else:
-        d = d.localCheckpoint(eager=True)
 
     w = [0.0] * dim
     losses: list[float] = []
     for _ in range(n_iter):
         w_lit = F.array(*[F.lit(float(v)) for v in w])
         margin = F.aggregate(
-            F.zip_with(w_lit, F.col("x"), lambda a, b: a * b),
+            F.zip_with(w_lit, scaled, lambda a, b: a * b),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -169,7 +214,7 @@ def logreg_train(
             return F.round(col, GRID).cast(f"decimal(28,{GRID})")
 
         aggs = [
-            F.sum(dgrid(resid * F.element_at("x", i + 1)))
+            F.sum(dgrid(resid * F.element_at(scaled, i + 1)))
             .cast("double")
             .alias(f"g{i}")
             for i in range(dim)
@@ -181,6 +226,9 @@ def logreg_train(
     w_raw = [w[0] - sum(w[i] * mean[i] / std[i] for i in range(1, dim))] + [
         w[i] / std[i] for i in range(1, dim)
     ]
+    if keep_cols:
+        pinned = ckpt.select(*keep_cols, F.col("x").alias(features_col))
+        return w_raw, losses, pinned
     return w_raw, losses
 
 
@@ -211,13 +259,22 @@ def train_language_gate(
     label = (
         label_expr if label_expr is not None else (F.col("lang") == "en").cast("int")
     )
-    feats = quality_features(docs, text_col, id_col)
-    train = feats.join(
-        docs.select(F.col(id_col), label.alias("label")), id_col
+    # One corpus scan end to end (r10): the label rides the featurize
+    # projection (no join back to docs), dim is static so training
+    # skips its sizing job, and serving scores the rows logreg_train
+    # pinned instead of featurizing the corpus a second time. Same
+    # (features, label) rows in, same expressions per row — weights,
+    # losses and scores are bit-identical to the joined form.
+    train = quality_features(docs, text_col, id_col, keep=(("label", label),))
+    weights, losses, pinned = logreg_train(
+        train,
+        n_iter=n_iter,
+        lr=lr,
+        dim=QUALITY_FEATURES_DIM,
+        keep_cols=(id_col,),
     )
-    weights, losses = logreg_train(train, n_iter=n_iter, lr=lr)
-    scored = feats.select(
-        F.col(id_col), logreg_score(feats, weights).alias("quality_score")
+    scored = pinned.select(
+        F.col(id_col), logreg_score(pinned, weights).alias("quality_score")
     )
     return weights, losses, scored
 
