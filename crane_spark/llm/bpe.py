@@ -597,16 +597,61 @@ def apply_merges(
     """Tokenize with a learned merge table: replay merges in order
     (the inference side of BPE). Accepts a raw documents frame.
 
-    Merges are re-grouped greedily into batches applied in one pass
-    each: a batch flushes when the next merge's input symbol was an
-    input OR OUTPUT of an earlier batch member (an output collision,
-    e.g. (e,s) then (es,t), means the later merge needs the earlier
-    one's result and MUST wait for the next pass). Within such a
-    batch, one left-to-right pass equals sequential replay, so a
-    50k-merge tokenizer replays in ~hundreds of nested passes, not
-    50k."""
+    r10 (guide §1.2 — the cost was plan construction, not data): the
+    rewrite runs on the \\x01sym\\x02-bracketed STRING representation
+    the delta training loop already uses — one 3-node `replace` per
+    merge, applied in merge order. Sequential replay IS classic BPE,
+    and a bracket-aligned replace is exactly the left-to-right
+    skip-one merge pass (_bpe_train_delta's exactness note), so the
+    symbol output is identical to the old batched aggregate-HOF
+    chain, which itself equals sequential replay batch by batch. That
+    HOF chain cost ~0.4 s of py4j lambda construction PER BATCH
+    (~6.2 s for a 40-merge apply on a 31-word vocabulary) before a
+    single row moved; it remains only as the fallback for vocabularies
+    containing the bracket bytes (no natural corpus does — the same
+    guard as bpe_train's delta regime). Every ~100 replaces the chain
+    is folded through a named projection to bound expression depth for
+    tokenizer-scale merge lists."""
     if words is None:
         words = word_freqs(seqs_or_docs, text_col)
+    o, c = _SYM_OPEN, _SYM_CLOSE
+    clean = (
+        words.filter(F.col("word").contains(o) | F.col("word").contains(c))
+        .limit(1)
+        .isEmpty()
+    )
+    if not clean:
+        return _apply_merges_hof(words, merges)
+    seqs = _initial_symbols(words)
+    cur = seqs.select(
+        "word",
+        "freq",
+        F.concat(F.lit(o), F.array_join("syms", c + o), F.lit(c)).alias("s"),
+    )
+    rep = F.col("s")
+    for k, (a, b, _n) in enumerate(merges, start=1):
+        rep = F.replace(rep, F.lit(o + a + c + o + b + c), F.lit(o + a + b + c))
+        if k % 100 == 0:
+            cur = cur.select("word", "freq", rep.alias("s"))
+            rep = F.col("s")
+    cur = cur.select("word", "freq", rep.alias("s"))
+    return cur.select(
+        "word",
+        "freq",
+        F.split(F.btrim(F.col("s"), F.lit(o + c)), c + o).alias("syms"),
+    )
+
+
+def _apply_merges_hof(
+    words: DataFrame, merges: list[tuple[str, str, int]]
+) -> DataFrame:
+    """Array-form apply (the pre-r10 default): merges re-grouped
+    greedily into symbol-disjoint batches, each applied in one
+    left-to-right aggregate-HOF pass — equal to sequential replay
+    batch by batch (a batch flushes when the next merge's input symbol
+    was an input OR OUTPUT of an earlier batch member). Kept for
+    vocabularies whose words contain the \\x01/\\x02 bracket bytes,
+    where the string form would be ambiguous."""
     seqs = _initial_symbols(words)
     batch: list[tuple[str, str, int]] = []
     blocked: set[str] = set()
