@@ -183,14 +183,35 @@ def _pair_cos(a: str, b: str):
     )
 
 
-def _topk_edges(scored: DataFrame, k: int) -> DataFrame:
+def _topk_edges(scored: DataFrame, k: int, dedup: bool = False) -> DataFrame:
     """Keep each src's k best (cosine desc, dst asc) — the pruning
     that bounds the graph at k edges/node. The window form measured
     FASTER here than the aggregate-collect top-k pattern
     (`topk_per_group_agg`): with ~k*n candidate rows per round the
     dominant cost is the shuffle either way, and the window avoids
-    materializing per-group arrays (8.0 s -> 6.6 s end-to-end)."""
+    materializing per-group arrays (8.0 s -> 6.6 s end-to-end).
+
+    ``dedup=True`` accepts a candidate MULTISET (r10, the c9536f8
+    fusion applied to the build loop): duplicate (src, dst) rows carry
+    bit-identical cosines (every occurrence is scored by the same
+    _pair_cos join), so dense_rank ranks each distinct (cosine, dst)
+    once — the top-k SELECTION equals row_number over the deduped set
+    — and the trailing distinct collapses the surviving duplicates
+    WITHOUT an exchange: the window's hash(src) partitioning already
+    clusters every (src, dst, cosine) group, so the aggregate runs
+    partition-local (verified in the plan: no Exchange between Window
+    and HashAggregate). This removes the standalone distinct exchange
+    the callers paid before scoring; the cost is re-scoring duplicate
+    pairs (map-side, dup factor ~ paths-per-pair <= 2 in practice) in
+    exchange for one fewer shuffle-stage barrier per round."""
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    if dedup:
+        return (
+            scored.withColumn("rn", F.dense_rank().over(w))
+            .filter(F.col("rn") <= k)
+            .select("src", "dst", "cosine")
+            .distinct()
+        )
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
@@ -708,11 +729,17 @@ def knn_graph_build(
             )
             .select("src", "dst")
         )
-    init_cand = (
-        in_cell.union(rand).filter(F.col("src") != F.col("dst")).distinct()
-    )
+    # Candidates go straight to scoring — no standalone distinct
+    # (r10, the c9536f8 fusion applied to the build): both halves are
+    # scored by the SAME _pair_cos join, so duplicate pairs carry
+    # bit-identical cosines and _topk_edges(dedup=True) absorbs them
+    # inside the top-k window's own exchange. One shuffle barrier
+    # replaces two; the cost is re-scoring the (small) rand∩in_cell
+    # overlap map-side.
     init_scored = (
-        init_cand.join(sv, "src")
+        in_cell.union(rand)
+        .filter(F.col("src") != F.col("dst"))
+        .join(sv, "src")
         .join(dv, "dst")
         .select("src", "dst", _pair_cos("sv", "dv").alias("cosine"))
     )
@@ -723,7 +750,9 @@ def knn_graph_build(
     # lineage). reliable_every > 0 opts out — durable round
     # checkpoints exist precisely to be materialized on schedule.
     lazy_loop = n <= _LAZY_INIT_CKPT_MAX_N and reliable_every == 0
-    edges = _topk_edges(init_scored, k).localCheckpoint(eager=not lazy_loop)
+    edges = _topk_edges(init_scored, k, dedup=True).localCheckpoint(
+        eager=not lazy_loop
+    )
     if routed and route_supers >= 8 and not lazy_loop:
         # the routed assignment's checkpoint (see _routed_assign's
         # broadcast-lifetime barrier) has no consumer once the init
@@ -747,22 +776,34 @@ def knn_graph_build(
             )
             .select("src", "dst")
         )
-        rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        cand = (
-            hop.union(rev)
-            .union(edges.select("src", "dst"))
-            .filter(F.col("src") != F.col("dst"))
-            .distinct()
-        )
-        scored = (
-            cand.join(sv, "src")
+        # Only the hop multiset pays the scoring joins (r10): the
+        # stored edge cosine IS the re-score bit-for-bit — _pair_cos's
+        # fold multiplies element-wise (commutative per term) in the
+        # same ascending-j order from 0.0, so cos(a,b) == cos(b,a) at
+        # the bit level and REVERSE edges reuse it too. The round's
+        # standalone distinct is gone: duplicates across hop/rev/self
+        # all carry that same bit-identical cosine, and
+        # _topk_edges(dedup=True) collapses them inside the top-k
+        # exchange. Per round this removes the distinct's shuffle
+        # barrier AND drops 2kn rows from the scoring joins.
+        hop_scored = (
+            hop.filter(F.col("src") != F.col("dst"))
+            .join(sv, "src")
             .join(dv, "dst")
             .select("src", "dst", _pair_cos("sv", "dv").alias("cosine"))
         )
+        rev_scored = edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine"
+        )
+        scored = hop_scored.union(rev_scored).union(edges.select("src", "dst", "cosine"))
         if lazy_loop:
-            nxt_edges = _topk_edges(scored, k).localCheckpoint(eager=False)
+            nxt_edges = _topk_edges(scored, k, dedup=True).localCheckpoint(
+                eager=False
+            )
         else:
-            nxt_edges = loop_checkpoint(_topk_edges(scored, k), rnd, reliable_every)
+            nxt_edges = loop_checkpoint(
+                _topk_edges(scored, k, dedup=True), rnd, reliable_every
+            )
             # the superseded round's stored copy has no consumer left —
             # free it now rather than when a driver GC notices (ADVICE r3)
             release_local_checkpoint(edges)
