@@ -258,17 +258,25 @@ def simhash_values(
     tok = fan_out(docs).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("token")
     ).withColumn("h16", h16)
+    # Per-bit vote aggregates and the bit-assembly sum are parsed
+    # server-side (r10, guide §1.2): the Column-DSL loops issued ~10
+    # py4j round-trips per bit — ~300 gateway commands before any data
+    # moved. shiftright/bitwiseAND/when map 1:1 onto >>, &, CASE WHEN,
+    # so the resolved trees (and results) are identical.
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h16"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-            .otherwise(F.lit(-1))
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h16, {j}) & 1) = 1 THEN 1 ELSE -1 END)"
         ).alias(f"s{j}")
         for j in range(SIMHASH_BITS)
     ]
     bits = tok.groupBy(id_col).agg(*votes)
-    sim = F.lit(0)
-    for j in range(SIMHASH_BITS):
-        sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    sim = F.expr(
+        "0 + "
+        + " + ".join(
+            f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(SIMHASH_BITS)
+        )
+    )
     return bits.select(F.col(id_col), sim.cast("long").alias("simhash"))
 
 
@@ -305,10 +313,10 @@ def simhash_hamming_pairs(
     sides project from it.
     """
     sims = simhash_values(docs, text_col, id_col).localCheckpoint(eager=True)
-    probes = F.array(
-        F.col("simhash"), *[
-            F.col("simhash").bitwiseXOR(F.lit(1 << j)) for j in range(SIMHASH_BITS)
-        ]
+    probes = F.expr(
+        "array(simhash, "
+        + ", ".join(f"simhash ^ {1 << j}" for j in range(SIMHASH_BITS))
+        + ")"
     )
     pa = sims.select(
         F.col(id_col).alias("doc_a"),

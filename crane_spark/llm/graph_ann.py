@@ -74,7 +74,7 @@ _LAZY_INIT_CKPT_MAX_N = 20_000
 
 def _normalized(vectors: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     v = fan_out(vectors).select(F.col(id_col), to_double_vec(vec_col).alias("dv"))
-    v = v.select(id_col, "dv", vec_norm(F.col("dv")).alias("nrm"))
+    v = v.select(id_col, "dv", vec_norm("dv").alias("nrm"))
     return v.select(
         id_col, F.transform("dv", lambda x: x / F.col("nrm")).alias("nv")
     )
@@ -172,14 +172,12 @@ def _pair_cos(a: str, b: str):
     dominated by the topk window shuffles and candidate distincts,
     not the dot products. At genuinely pair-heavy scales the grouped-
     GEMM pattern of similarity.cosine_near_dup_pairs is the switch to
-    make — per CELL, not per pair row."""
-    return F.round(
-        F.aggregate(
-            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        ROUND_DIGITS,
+    make — per CELL, not per pair row. Assembled as one parsed
+    expression (r10): the resolved tree is the identical fold —
+    `0.0D` IS F.lit(0.0) — built in one gateway call instead of ~40."""
+    return F.expr(
+        f"round(aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        f"(acc, x) -> acc + x), {ROUND_DIGITS})"
     )
 
 

@@ -46,7 +46,7 @@ def _normed(
     return (
         df.select(F.col(id_col).alias(id_out), F.col(vec_col))
         .select(id_out, to_double_vec(vec_col).alias(vec_out))
-        .select(id_out, vec_out, vec_norm(F.col(vec_out)).alias(norm_out))
+        .select(id_out, vec_out, vec_norm(vec_out).alias(norm_out))
     )
 
 
@@ -62,7 +62,7 @@ def brute_force_topk(
     q = _normed(queries, vec_col, id_col, "query_id", "qv", "qn")
     c = _normed(fan_out(candidates), vec_col, id_col, "neighbor_id", "cv", "cn")
     sim = F.round(
-        dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), ROUND_DIGITS
+        dot("qv", "cv") / (F.col("qn") * F.col("cn")), ROUND_DIGITS
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
@@ -206,7 +206,7 @@ def ivf_assign(
     v = _normed(fan_out(vectors), vec_col, id_col, id_col, "vv", "vn")
     c = _normed(centroids, vec_col, centroid_id_col, centroid_id_col, "cv", "cn")
     sim = F.round(
-        dot(F.col("vv"), F.col("cv")) / (F.col("vn") * F.col("cn")), ROUND_DIGITS
+        dot("vv", "cv") / (F.col("vn") * F.col("cn")), ROUND_DIGITS
     )
     scored = v.crossJoin(F.broadcast(c)).select(
         id_col, centroid_id_col, sim.alias("cosine")
@@ -268,7 +268,7 @@ def ivf_probe_topk(
         else ivf_assign(candidates, centroids, vec_col, id_col, centroid_id_col)
     )
     cn = _with_double_vec(candidates, vec_col, "cv").select(
-        F.col(id_col), vec_norm(F.col("cv")).alias("cnrm"), "cv"
+        F.col(id_col), vec_norm("cv").alias("cnrm"), "cv"
     )
     # Checkpoint BEFORE the normalizing transform: CollapseProject
     # would otherwise inline the norm aggregate into the per-element
@@ -287,7 +287,7 @@ def ivf_probe_topk(
     q = _normed(queries, vec_col, id_col, "query_id", "qv", "qnrm")
     c = _normed(centroids, vec_col, centroid_id_col, centroid_id_col, "ctv", "ctn")
     qsim = F.round(
-        dot(F.col("qv"), F.col("ctv")) / (F.col("qnrm") * F.col("ctn")), ROUND_DIGITS
+        dot("qv", "ctv") / (F.col("qnrm") * F.col("ctn")), ROUND_DIGITS
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc(centroid_id_col))
     probed = (
@@ -302,7 +302,7 @@ def ivf_probe_topk(
         )
     )
 
-    sim = F.round(dot(F.col("qvn"), F.col("cvn")), ROUND_DIGITS)
+    sim = F.round(dot("qvn", "cvn"), ROUND_DIGITS)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         cand.join(F.broadcast(probed), centroid_id_col)
@@ -465,7 +465,7 @@ def hashed_embeddings(
             ).alias("v"),
         )
     )
-    nrm = vec_norm(F.col("v"))
+    nrm = vec_norm("v")
     return assembled.select(
         F.col(id_col).alias("vec_id"),
         F.when(
