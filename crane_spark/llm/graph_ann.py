@@ -790,10 +790,27 @@ def knn_graph_build(
             .join(dv, "dst")
             .select("src", "dst", _pair_cos("sv", "dv").alias("cosine"))
         )
-        rev_scored = edges.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine"
+        # rev + self edges in ONE branch via inline (not two alias-swap
+        # projections): the swap projection's alias constraints
+        # (src' <=> dst etc.) hit an upstream Catalyst crash in
+        # UnionBase.rewriteConstraints ("key not found: dst#N") when
+        # the round result is EAGERLY checkpointed (reliable_every > 0,
+        # or n past the lazy ceiling) — the generator output carries no
+        # equality constraints, so the union's constraint rewrite never
+        # sees a swapped attribute. Same rows, same cosines.
+        rev_self = edges.select(
+            F.inline(
+                F.array(
+                    F.struct("src", "dst", "cosine"),
+                    F.struct(
+                        F.col("dst").alias("src"),
+                        F.col("src").alias("dst"),
+                        F.col("cosine"),
+                    ),
+                )
+            )
         )
-        scored = hop_scored.union(rev_scored).union(edges.select("src", "dst", "cosine"))
+        scored = hop_scored.union(rev_self)
         if lazy_loop:
             nxt_edges = _topk_edges(scored, k, dedup=True).localCheckpoint(
                 eager=False

@@ -44,6 +44,24 @@ def test_knn_graph_edges_are_k_best_and_exact_scores(spark):
     assert in_cluster / len(edges) >= 0.95
 
 
+def test_knn_graph_eager_regime_matches_lazy(spark, monkeypatch):
+    """The build loop's EAGER checkpoint regime (n past the lazy
+    ceiling, or reliable_every > 0) must produce the same graph as the
+    benched lazy regime. Regression for the r10 dedup-fusion plan: the
+    two alias-swapped union branches (dst AS src / src AS dst) carried
+    swap-equality alias constraints that crash Catalyst's
+    UnionBase.rewriteConstraints ("key not found: dst#N") as soon as
+    the round result is eagerly checkpointed — the benched small-n
+    path stayed lazy and never saw it."""
+    from crane_spark.llm import graph_ann
+
+    vecs = _clustered_vectors(spark)
+    lazy = sorted(map(tuple, knn_graph_build(vecs, k=4, n_iter=2).collect()))
+    monkeypatch.setattr(graph_ann, "_LAZY_INIT_CKPT_MAX_N", 0)
+    eager = sorted(map(tuple, knn_graph_build(vecs, k=4, n_iter=2).collect()))
+    assert eager == lazy
+
+
 def test_nn_descent_improves_over_init(spark):
     """Refinement rounds must not worsen the graph: the summed edge
     cosine (graph 'quality') is monotone non-decreasing from the
