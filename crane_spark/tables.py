@@ -10,6 +10,7 @@ against literal paths.
 from __future__ import annotations
 
 import os
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -35,12 +36,32 @@ BROADCAST_DIMS: frozenset[str] = frozenset(
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# DataFrame HANDLE cache, per session: every `spark.read.parquet(...)`
+# call pays ~0.1 s of driver-side file listing + footer schema read
+# before any query logic runs, and builders call table() for each input
+# — measured 0.6 s of q5's 0.8 s construction time (r10, guide §1.2).
+# The static star-schema inputs list the same way every time within a
+# session, so the reader handle is built once per (session, dir, name).
+# The cached object is an UNEXECUTED lazy scan plan — every action
+# still reads the parquet files; no rows, results, or intermediates are
+# stored (same discipline as _FAN_OUT_CACHE below). Keyed weakly by the
+# session so a stopped session's handles are collectable.
+_TABLE_CACHE: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    if name == "events":
-        return _read_events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    df = per_session.get(key)
+    if df is None:
+        if name == "events":
+            df = _read_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        per_session[key] = df
+    return df
 
 
 def scan_input_bytes(df: DataFrame) -> int:

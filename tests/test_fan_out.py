@@ -127,3 +127,22 @@ def test_orc_stripes_are_probed_not_capped(spark, tmp_path, tiny_splits):
     fan_out(df)
     key = tuple(sorted(df.inputFiles()))
     assert _FAN_OUT_CACHE[key] == min(n_planner, nstripes)
+
+
+def test_table_handle_cache_reuses_lazy_scan(spark, sf_dir):
+    """table() returns one reader handle per (session, dir, name):
+    spark.read.parquet pays ~0.1 s of listing + footer schema read per
+    call, so builders that load the same input repeatedly must not
+    re-pay it (r10). The cached object is a LAZY scan — actions still
+    read the files — and distinct dirs/tables get distinct handles."""
+    from crane_spark.tables import table
+
+    a = table(spark, sf_dir, "lineitem")
+    assert table(spark, sf_dir, "lineitem") is a
+    assert table(spark, sf_dir, "orders") is not a
+    # events keeps its ts normalization through the cache
+    ev = table(spark, sf_dir, "events")
+    assert table(spark, sf_dir, "events") is ev
+    assert ev.schema["ts"].dataType.typeName() == "timestamp"
+    # the handle is a plan, not a result: a fresh action still scans
+    assert a.count() == table(spark, sf_dir, "lineitem").count()
