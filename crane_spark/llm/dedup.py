@@ -933,21 +933,35 @@ def prefix_filter_jaccard_pairs(
 def _sliding_grams(
     docs: DataFrame, text_col: str, id_col: str, L: int
 ) -> DataFrame:
-    """(id, p, h): md5 of every SLIDING L-token gram with its 0-based
-    start position. Docs shorter than L produce no rows (`sequence`
-    DESCENDS when end < start — it never returns empty — so the
-    degenerate case is filtered before the sequence is built)."""
+    """(id, p, h): 96-bit hash of every SLIDING L-token gram with its
+    0-based start position. Docs shorter than L produce no rows
+    (`sequence` DESCENDS when end < start — it never returns empty —
+    so the degenerate case is filtered before the sequence is built).
+
+    `h` is struct(xxhash64(gram), hash(gram)) — an INTERNAL grouping
+    key that never reaches query output (spans are reported by token
+    position), so only injectivity over the corpus's actual grams
+    matters, exactly as with the md5 hex it replaced. 96 independent
+    bits put the expected number of colliding gram pairs at ~6e-4 for
+    a 10^13-gram (100 TB-class) stream. Versus md5-hex the key is
+    12 bytes instead of a 32-char string (r10: query shuffle write
+    11.3 -> 7.0 MB at sf0.1; skew-safe 20.6 -> 13.2) and hashing
+    skips the hex round-trip
+    (xx64+hash aggregate measured 0.87 s vs md5 1.36 s isolated)."""
     toks = tokens(text_col)
     n = F.size(toks)
     pos = F.when(n >= L, F.sequence(F.lit(0), n - L)).otherwise(
         F.array().cast("array<int>")
     )
+    gram = F.array_join(F.slice("toks", F.col("p0") + 1, L), " ")
     return (
         docs.select(F.col(id_col), F.explode(pos).alias("p0"), toks.alias("toks"))
         .select(
             id_col,
             F.col("p0").cast("long").alias("p"),
-            F.md5(F.array_join(F.slice("toks", F.col("p0") + 1, L), " ")).alias("h"),
+            F.struct(
+                F.xxhash64(gram).alias("x"), F.hash(gram).alias("y")
+            ).alias("h"),
         )
     )
 
