@@ -149,15 +149,26 @@ def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin in the plan) is what a 100 TB dashboard runs; this entry is
     its qualification harness, like the hll_rollup_diff family."""
     orders = table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.count_distinct("o_custkey").alias("exact_customers"),
-        F.count(F.lit(1)).alias("n_orders"),
+    # Pre-group by (status, custkey) instead of mixing COUNT(DISTINCT)
+    # with plain aggregates in one GROUP BY: the mixed form plans an
+    # Expand (every row duplicated per aggregate group) plus a 4-phase
+    # aggregate — measured 1.4 s vs 0.5+0.4 s for the parts at sf0.1
+    # (r10, guide §2.2). Over the pre-grouped keys, COUNT(*) IS the
+    # exact distinct, SUM of per-key counts IS n_orders, and the HLL
+    # sketch is BIT-IDENTICAL because HyperLogLog registers are
+    # duplicate-insensitive (max over hashes — the same max whether a
+    # key appears once or a thousand times). One map-side-combinable
+    # hash aggregate, no Expand: 1.5 -> 0.47 s, values identical.
+    per_key = orders.groupBy("o_orderstatus", "o_custkey").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    n_keys = F.count(F.lit(1))
+    return per_key.groupBy("o_orderstatus").agg(
+        n_keys.alias("exact_customers"),
+        F.sum("_c").alias("n_orders"),
         (
-            F.abs(
-                F.approx_count_distinct("o_custkey", rsd=0.02)
-                - F.count_distinct("o_custkey")
-            )
-            <= F.lit(APPROX_DISTINCT_REL_BOUND) * F.count_distinct("o_custkey")
+            F.abs(F.approx_count_distinct("o_custkey", rsd=0.02) - n_keys)
+            <= F.lit(APPROX_DISTINCT_REL_BOUND) * n_keys
         ).alias("within_bound"),
     )
 
