@@ -57,9 +57,21 @@ def q_hll_rollup_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = cust.join(
         F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
     )
-    per_nation = joined.groupBy("n_regionkey", "n_nationkey").agg(
+    # Deduplicate keys BEFORE sketching instead of mixing
+    # COUNT(DISTINCT) with hll_sketch_agg in one GROUP BY: the mixed
+    # form evaluates the sketch partial per (region, nation, custkey)
+    # distinct-group — one ~KB HLL buffer PER ROW carried through the
+    # exchange and merged pairwise (r10, guide §2.2/§5; the
+    # approx_distinct_customers fix, same family). Over the deduped
+    # keys COUNT(*) is the exact distinct and the values fed to the
+    # sketch are the same set, so exact_customers is bit-identical;
+    # the ESTIMATE may move within its qualified bound (DataSketches
+    # HLL estimates depend on the merge tree — HIP vs composite), and
+    # only the within_bound flag reaches output (oracle pins TRUE).
+    keys = joined.select("n_regionkey", "n_nationkey", "c_custkey").distinct()
+    per_nation = keys.groupBy("n_regionkey", "n_nationkey").agg(
         F.hll_sketch_agg("c_custkey", F.lit(14)).alias("sk"),
-        F.count_distinct("c_custkey").alias("n_exact"),
+        F.count(F.lit(1)).alias("n_exact"),
     )
     return per_nation.groupBy(
         F.col("n_regionkey").cast("long").alias("regionkey")
@@ -116,11 +128,24 @@ def q_rolling_hll_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("day"),
     )
+    # Deduplicate (day, user) BEFORE sketching rather than mixing
+    # COUNT(DISTINCT) with hll_sketch_agg in one GROUP BY — the mixed
+    # form evaluates the sketch partial per (day, user_id)
+    # distinct-group, one HLL buffer per contributing user carried
+    # through the exchange (r10, guide §2.2/§5). COUNT(*) over the
+    # deduped pairs IS the exact WAU and the sketch sees the same
+    # value set (HLL registers are duplicate-insensitive), so
+    # wau_7d_exact is bit-identical; the internal ESTIMATE may move
+    # within its qualified bound (merge-tree-dependent estimator) and
+    # only the within_bound flag reaches output (oracle pins TRUE).
+    # Measured 1.0 -> 0.5 s at sf0.1.
     both = (
         contrib.join(days, contrib.day == days.d, "left_semi")
+        .select("day", "user_id")
+        .distinct()
         .groupBy("day")
         .agg(
-            F.count_distinct("user_id").alias("wau_7d_exact"),
+            F.count(F.lit(1)).alias("wau_7d_exact"),
             F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("_est"),
         )
     )
