@@ -160,14 +160,31 @@ def logreg_train(
     if dim is None:
         dim = len(ckpt.select(F.col("x").alias("f0")).first()["f0"])
 
-    def dgrid9(col):
-        return F.round(col, GRID).cast(f"decimal(28,{GRID})")
+    # r10 (guide §1.2 — plan-construction cost): every expression in
+    # the moments aggregate and the iteration loop is assembled as ONE
+    # server-side-parsed SQL string instead of the Column DSL. The DSL
+    # forms issued ~30-40 py4j round-trips per aggregate column
+    # (~9600 gateway commands for a 10-iteration train). Float
+    # literals go through repr — the shortest round-trip string, which
+    # Java's correctly-rounded parse returns to the identical IEEE
+    # double — and the parsed trees perform the same float ops on the
+    # same values, so every moment, margin, gradient and loss is
+    # bit-identical (pinned by the reproducibility test and a full
+    # old-vs-new output comparison at sf0.01/sf0.1).
+    def _dlit(v: float) -> str:
+        return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+    def _dsum(expr: str) -> str:
+        return f"CAST(sum(CAST(round({expr}, {GRID}) AS DECIMAL(28,{GRID}))) AS DOUBLE)"
+
+    def _xel(i: int) -> str:  # 1-based element of the feature array
+        return f"element_at(`x`, {i})"
 
     stat_aggs = [F.count(F.lit(1)).alias("n")]
     for i in range(1, dim):
-        xi = F.element_at("x", i + 1)
-        stat_aggs.append(F.sum(dgrid9(xi)).cast("double").alias(f"s{i}"))
-        stat_aggs.append(F.sum(dgrid9(xi * xi)).cast("double").alias(f"q{i}"))
+        xi = _xel(i + 1)
+        stat_aggs.append(F.expr(_dsum(xi)).alias(f"s{i}"))
+        stat_aggs.append(F.expr(_dsum(f"{xi} * {xi}")).alias(f"q{i}"))
     stats = ckpt.agg(*stat_aggs).collect()[0]
     n = int(stats["n"])
     mean = [0.0] * dim
@@ -185,40 +202,36 @@ def logreg_train(
     parts = max(1, -(-n * row_bytes // (32 << 20)))
     d = ckpt.select("x", "y").coalesce(parts)
 
-    scaled = F.array(
-        F.element_at("x", 1),
-        *[
-            (F.element_at("x", i + 1) - F.lit(mean[i])) / F.lit(std[i])
-            for i in range(1, dim)
-        ],
-    )
+    # Per-dimension standardized feature expressions; sc[0] is the
+    # untouched bias. Referencing sc[i] directly in a gradient term is
+    # the optimizer's own simplification of element_at(array(...), i)
+    # — the identical float ops on the identical values.
+    sc = [_xel(1)] + [
+        f"(({_xel(i + 1)} - {_dlit(mean[i])}) / {_dlit(std[i])})"
+        for i in range(1, dim)
+    ]
+    scaled_sql = f"array({', '.join(sc)})"
 
     w = [0.0] * dim
     losses: list[float] = []
     for _ in range(n_iter):
-        w_lit = F.array(*[F.lit(float(v)) for v in w])
-        margin = F.aggregate(
-            F.zip_with(w_lit, scaled, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        w_sql = f"array({', '.join(_dlit(v) for v in w)})"
+        margin = (
+            f"aggregate(zip_with({w_sql}, {scaled_sql}, (a, b) -> a * b), "
+            f"{_dlit(0.0)}, (acc, v) -> acc + v)"
         )
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
-        resid = p - F.col("y")
+        p = f"({_dlit(1.0)} / ({_dlit(1.0)} + exp(-({margin}))))"
+        resid = f"({p} - `y`)"
         # clamp keeps log() finite at saturated probabilities
-        pc = F.least(F.greatest(p, F.lit(1e-12)), F.lit(1.0 - 1e-12))
-        loss_term = -(
-            F.col("y") * F.log(pc) + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - pc)
+        pc = f"least(greatest({p}, {_dlit(1e-12)}), {_dlit(1.0 - 1e-12)})"
+        loss_term = (
+            f"(-((`y` * ln({pc})) + "
+            f"(({_dlit(1.0)} - `y`) * ln({_dlit(1.0)} - {pc}))))"
         )
-
-        def dgrid(col):
-            return F.round(col, GRID).cast(f"decimal(28,{GRID})")
-
         aggs = [
-            F.sum(dgrid(resid * F.element_at(scaled, i + 1)))
-            .cast("double")
-            .alias(f"g{i}")
+            F.expr(_dsum(f"{resid} * {sc[i]}")).alias(f"g{i}")
             for i in range(dim)
-        ] + [F.sum(dgrid(loss_term)).cast("double").alias("loss")]
+        ] + [F.expr(_dsum(loss_term)).alias("loss")]
         row = d.agg(*aggs).collect()[0]
         losses.append(float(row["loss"]) / n)
         w = [w[i] - lr * float(row[f"g{i}"]) / n for i in range(dim)]

@@ -164,8 +164,12 @@ def minhash_signatures(
                 ).alias("shingle"),
             )
         )
+    # Parsed server-side (r10, guide §1.2): the Column-DSL form issued
+    # ~80 py4j round-trips per signature build before any data moved;
+    # min(md5(concat('s:', shingle))) is the textually identical
+    # expression, so plans and results are unchanged.
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"m{s}")
+        F.expr(f"min(md5(concat('{s}:', `shingle`)))").alias(f"m{s}")
         for s in range(N_MINHASH)
     ]
     return exploded.groupBy(id_col).agg(*mins)
@@ -175,16 +179,20 @@ def minhash_bands(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Explode a signature into (id, band, band_key) rows — the only
     shuffled representation, #bands short rows per doc."""
     rows_per_band = N_MINHASH // N_BANDS
+    # Parsed server-side (r10, guide §1.2; DSL form: ~25 py4j
+    # round-trips per band struct). Identical structs: INT band id,
+    # md5 over the '|'-joined member hashes.
     band_structs = []
     for b in range(N_BANDS):
-        members = [F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_structs.append(
-            F.struct(
-                F.lit(b).alias("band"), F.md5(F.concat_ws("|", *members)).alias("band_key")
-            )
+        members = ", ".join(
+            f"`m{b * rows_per_band + r}`" for r in range(rows_per_band)
         )
+        band_structs.append(
+            f"struct({b} AS band, md5(concat_ws('|', {members})) AS band_key)"
+        )
+    bands_arr = F.expr(f"array({', '.join(band_structs)})")
     return signatures.select(
-        id_col, F.explode(F.array(*band_structs)).alias("bk")
+        id_col, F.explode(bands_arr).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 

@@ -84,8 +84,16 @@ def _sketch_cuts(df: DataFrame, key: str, buckets: int, accuracy: int) -> list:
     if EXPLAIN_ONLY:
         return list(range(1, buckets))
     fracs = [i / buckets for i in range(1, buckets)]
+    # One parsed expression instead of F.percentile_approx(list):
+    # the Column form issues several py4j round-trips PER FRACTION
+    # literal (~280 gateway commands for 63 fracs, r10 guide §1.2)
+    # before the sketch job even starts. i/buckets are dyadic
+    # rationals, so repr round-trips each to the identical IEEE
+    # double; same function, same arguments, same cuts.
+    k = "`" + key.replace("`", "``") + "`"
+    arr = ", ".join(f"CAST('{f!r}' AS DOUBLE)" for f in fracs)
     cuts_row = df.select(
-        F.percentile_approx(key, fracs, accuracy).alias("c")
+        F.expr(f"percentile_approx({k}, array({arr}), {accuracy})").alias("c")
     ).first()
     return sorted(
         {c for c in ((cuts_row["c"] if cuts_row else None) or []) if c is not None}

@@ -276,21 +276,25 @@ def q_embedding_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("i0") + 1).alias("i"),
         F.round(F.col("x").cast("double") * 1e9).cast("long").alias("x9"),
     )
+    # Aggregates and the bit-assembly sum are parsed server-side
+    # (r10, guide §1.2): the DSL forms issued ~12 py4j round-trips per
+    # bit (x16 bits) at build. Textually identical expressions —
+    # BIGINT sums, CASE-WHEN sign tests, left-associated integer adds.
     proj = (
         el.join(F.broadcast(planes), "i")
         .groupBy("vec_id")
         .agg(
             *[
-                F.sum(F.col("x9") * F.col(f"w{b}")).alias(f"s{b}")
+                F.expr(f"sum(`x9` * `w{b}`)").alias(f"s{b}")
                 for b in range(SRP_BITS)
             ]
         )
     )
-    sig_expr = None
-    for b in range(SRP_BITS):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
-        sig_expr = term if sig_expr is None else sig_expr + term
-    sig = proj.select("vec_id", sig_expr.alias("srp_sig"))
+    sig_sql = " + ".join(
+        f"(CASE WHEN `s{b}` > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SRP_BITS)
+    )
+    sig = proj.select("vec_id", F.expr(sig_sql).alias("srp_sig"))
     return sig.groupBy("srp_sig").agg(
         F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("keeper_vec_id")
     )
