@@ -51,6 +51,19 @@ def sql_shingles(toks_expr: str, n: int = 3) -> str:
     return f"list_transform(range(1, len({toks_expr}) - {n - 2}), i -> {parts})"
 
 
+def gram_key(col: Column | str) -> Column:
+    """96-bit INTERNAL identity key for a gram/span string:
+    struct(xxhash64, hash). For grouping/join keys that never reach
+    query output — 12 bytes through the shuffle instead of a 32-char
+    md5 hex, no hex round-trip, and 96 independent bits keep the
+    expected number of colliding key pairs ~6e-4 even for a
+    10^13-gram (100 TB-class) stream (r10, guide §2.2). NOT for
+    hashes that appear in output or that an oracle replays (those
+    stay md5)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.struct(F.xxhash64(c).alias("x"), F.hash(c).alias("y"))
+
+
 def token_fingerprint(text: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted
     distinct token set. Two docs with the same vocabulary collide —

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from crane_spark.functions.text import shingles, token_fingerprint, tokens
+from crane_spark.functions.text import gram_key, shingles, token_fingerprint, tokens
 from crane_spark.tables import fan_out
 
 N_MINHASH = 8  # minhash permutations (md5-keyed)
@@ -450,7 +450,13 @@ def drop_duplicate_spans(
                 " ",
             ).alias("span"),
         )
-        .withColumn("h", F.md5("span"))
+        # 96-bit internal span identity (r10, guide §2.2): the hash
+        # only ever groups/anti-joins spans — it never reaches output
+        # (survivors reassemble from the span TEXT) — so, as with
+        # _sliding_grams, injectivity over the corpus's actual spans
+        # is all that matters and the 12-byte struct replaces a
+        # 32-char md5 hex through both shuffles.
+        .withColumn("h", gram_key("span"))
     )
     dup = (
         spans.groupBy("h")
@@ -967,9 +973,7 @@ def _sliding_grams(
         .select(
             id_col,
             F.col("p0").cast("long").alias("p"),
-            F.struct(
-                F.xxhash64(gram).alias("x"), F.hash(gram).alias("y")
-            ).alias("h"),
+            gram_key(gram).alias("h"),
         )
     )
 

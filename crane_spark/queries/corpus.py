@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from crane_spark.functions.text import exploded_word_grams, tokens
+from crane_spark.functions.text import exploded_word_grams, gram_key, tokens
 from crane_spark.llm.sampling import hash_bucket, sql_hash_bucket
 from crane_spark.queries.core import register
 from crane_spark.tables import fan_out, table
@@ -152,9 +152,12 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     toks = tokens("text")
     n = 8
+    # gh is an INTERNAL gram identity (output is counts/ratios):
+    # gram_key's 12-byte struct replaces the 32-char md5 hex through
+    # the broadcast table and the count-distinct agg (r10, guide §2.2).
     bench = (
         exploded_word_grams(docs.filter(F.col("doc_id") < 20), n, [], out="g")
-        .select(F.md5("g").alias("gh"))
+        .select(gram_key("g").alias("gh"))
         .distinct()
     )
     train = exploded_word_grams(
@@ -164,7 +167,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         n,
         ["doc_id", "n_grams"],
         out="g",
-    ).select("doc_id", "n_grams", F.md5("g").alias("gh"))
+    ).select("doc_id", "n_grams", gram_key("g").alias("gh"))
     hits = train.join(F.broadcast(bench), "gh", "left_semi")
     return (
         hits.groupBy("doc_id")

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crane_spark.functions.sketches import cms_build, cms_estimate
-from crane_spark.functions.text import exploded_word_grams, tokens
+from crane_spark.functions.text import exploded_word_grams, gram_key, tokens
 from crane_spark.llm.dedup import drop_duplicate_spans
 from crane_spark.operators.bloom import build_bloom, filter_might_contain
 from crane_spark.queries.core import register
@@ -51,7 +51,7 @@ def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = 8
     bench = (
         exploded_word_grams(docs.filter(F.col("doc_id") < 20), n, [], out="g")
-        .select(F.md5("g").alias("gh"))
+        .select(gram_key("g").alias("gh"))
         .distinct()
     )
     # The whole point of the Bloom stage is that the bit array is built
@@ -68,7 +68,7 @@ def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         n,
         ["doc_id", "n_grams"],
         out="g",
-    ).select("doc_id", "n_grams", F.md5("g").alias("gh"))
+    ).select("doc_id", "n_grams", gram_key("g").alias("gh"))
     survivors = filter_might_contain(train, "gh", bloom, k=3)
     hits = survivors.join(F.broadcast(bench), "gh", "left_semi")
     return hits.groupBy("doc_id").agg(
@@ -215,9 +215,11 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     n = 8
+    # gh is internal to the decontamination semi-join (gram_key: see
+    # contamination_check).
     bench = (
         exploded_word_grams(docs.filter(F.col("doc_id") < 20), n, [], out="g")
-        .select(F.md5("g").alias("gh"))
+        .select(gram_key("g").alias("gh"))
         .distinct()
     )
     corpus = docs.filter(F.col("doc_id") >= 20)
@@ -233,7 +235,7 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cont_ids = (
         exploded_word_grams(flagged.filter("pass_dedup"), n, ["doc_id"], out="g")
-        .select("doc_id", F.md5("g").alias("gh"))
+        .select("doc_id", gram_key("g").alias("gh"))
         .join(F.broadcast(bench), "gh", "left_semi")
         .select("doc_id")
         .distinct()
