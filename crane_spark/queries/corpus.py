@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from crane_spark.functions.text import exploded_word_grams, gram_key, tokens
+from crane_spark.functions.text import exploded_word_grams, tokens
 from crane_spark.llm.sampling import hash_bucket, sql_hash_bucket
 from crane_spark.queries.core import register
 from crane_spark.tables import fan_out, table
@@ -152,12 +152,21 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     toks = tokens("text")
     n = 8
-    # gh is an INTERNAL gram identity (output is counts/ratios):
-    # gram_key's 12-byte struct replaces the 32-char md5 hex through
-    # the broadcast table and the count-distinct agg (r10, guide §2.2).
+    # gh is an INTERNAL gram identity (output is counts/ratios): a
+    # single xxhash64 LONG replaces the 32-char md5 hex through the
+    # broadcast table and the count-distinct agg (r10, guide §2.2).
+    # 64 bits suffice HERE unlike the corpus-wide gram_key() shapes:
+    # a collision only matters when a TRAIN gram collides with a
+    # BENCH gram (falsely marking contamination) — expected cross
+    # collisions ~|bench|x|train|/2^64 ~ 5e-3 even at a 10^13-gram
+    # corpus against a 10^4-gram benchmark. The 96-bit struct form
+    # was measured SLOWER on this broadcast-probe shape (struct
+    # allocation per gram + struct hashing in the join/agg: paired
+    # 1.0 -> 1.2-1.4 s), while the primitive long is at par locally
+    # and strictly narrower at scale.
     bench = (
         exploded_word_grams(docs.filter(F.col("doc_id") < 20), n, [], out="g")
-        .select(gram_key("g").alias("gh"))
+        .select(F.xxhash64("g").alias("gh"))
         .distinct()
     )
     train = exploded_word_grams(
@@ -167,7 +176,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         n,
         ["doc_id", "n_grams"],
         out="g",
-    ).select("doc_id", "n_grams", gram_key("g").alias("gh"))
+    ).select("doc_id", "n_grams", F.xxhash64("g").alias("gh"))
     hits = train.join(F.broadcast(bench), "gh", "left_semi")
     return (
         hits.groupBy("doc_id")

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crane_spark.functions.sketches import cms_build, cms_estimate
-from crane_spark.functions.text import exploded_word_grams, gram_key, tokens
+from crane_spark.functions.text import exploded_word_grams, tokens
 from crane_spark.llm.dedup import drop_duplicate_spans
 from crane_spark.operators.bloom import build_bloom, filter_might_contain
 from crane_spark.queries.core import register
@@ -49,9 +49,12 @@ def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     toks = tokens("text")
     n = 8
+    # Single xxhash64 LONG gram identity — see contamination_check
+    # for the 64-bit sufficiency argument (cross-set collisions only)
+    # and the measured rejection of the 96-bit struct on this shape.
     bench = (
         exploded_word_grams(docs.filter(F.col("doc_id") < 20), n, [], out="g")
-        .select(gram_key("g").alias("gh"))
+        .select(F.xxhash64("g").alias("gh"))
         .distinct()
     )
     # The whole point of the Bloom stage is that the bit array is built
@@ -68,7 +71,7 @@ def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         n,
         ["doc_id", "n_grams"],
         out="g",
-    ).select("doc_id", "n_grams", gram_key("g").alias("gh"))
+    ).select("doc_id", "n_grams", F.xxhash64("g").alias("gh"))
     survivors = filter_might_contain(train, "gh", bloom, k=3)
     hits = survivors.join(F.broadcast(bench), "gh", "left_semi")
     return hits.groupBy("doc_id").agg(
@@ -215,11 +218,11 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     n = 8
-    # gh is internal to the decontamination semi-join (gram_key: see
-    # contamination_check).
+    # gh is internal to the decontamination semi-join (xxhash64 long:
+    # see contamination_check).
     bench = (
         exploded_word_grams(docs.filter(F.col("doc_id") < 20), n, [], out="g")
-        .select(gram_key("g").alias("gh"))
+        .select(F.xxhash64("g").alias("gh"))
         .distinct()
     )
     corpus = docs.filter(F.col("doc_id") >= 20)
@@ -235,7 +238,7 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cont_ids = (
         exploded_word_grams(flagged.filter("pass_dedup"), n, ["doc_id"], out="g")
-        .select("doc_id", gram_key("g").alias("gh"))
+        .select("doc_id", F.xxhash64("g").alias("gh"))
         .join(F.broadcast(bench), "gh", "left_semi")
         .select("doc_id")
         .distinct()
