@@ -69,6 +69,14 @@ _ANCHOR_BROADCAST_CEILING_BYTES = 128 << 20
 # materialization and recompute the (there, expensive) init per
 # reference. 20k sits well under the routed-init crossover, where
 # init compute is measured trivial next to scheduling.
+# r11 measured REJECTION of the next step (checkpoint-FREE fusion of
+# the whole query into one adaptive execution): the duplicated plan
+# references grow the tree to ~350 KB / 362 Exchange nodes, AQE's
+# stage cache dedups them back to the SAME ~45 runtime jobs the lazy
+# checkpoints already produce (the checkpoint RDD is the dedup either
+# way), and Catalyst pays for the tree on every pass — paired
+# sessions: cold 38.9/23.7/13.9 s vs 10.9/12.4/11.7 s checkpointed,
+# steady flat. Reverted; the lazy-checkpoint form stands.
 _LAZY_INIT_CKPT_MAX_N = 20_000
 
 
@@ -954,8 +962,22 @@ def graph_search_topk(
             .join(qv, "query_id")
             .select("query_id", "node", _pair_cos("qv", "dv").alias("cosine"))
         )
+        # ONE exchange per hop (r11, guide §2.4): repartitioning the
+        # union by query_id FIRST lets the (query_id, node) aggregate
+        # run complete (hash(q) clusters every (q, n) group), and the
+        # beam window + the final top-k window — both partitioned by
+        # query_id — then need NO further exchange. The groupBy-first
+        # form paid two exchanges per hop (hash(q, n) for the
+        # aggregate, hash(q) for the window). Cost: the map-side
+        # partial aggregate is lost, but the union is queries x
+        # accumulated-candidates rows (bounded by entry + hops*beam*k
+        # per query — never corpus-sized), and intra-hop duplicates
+        # are <= beam*k per query, so the exchange carries at most
+        # that many extra rows. Rows and cosines are identical: same
+        # groups, same max().
         merged = (
             seen.union(newly)
+            .repartition("query_id")
             .groupBy("query_id", "node")
             .agg(F.max("cosine").alias("cosine"))
         )
