@@ -37,11 +37,16 @@ def connected_components(
     ``reliable_every=N`` swaps every Nth round's localCheckpoint for a
     durable ``df.checkpoint()`` (bounded replay after executor loss;
     bit-identical output — see operators/caching.py)."""
+    # LAZY checkpoint (r11, guide §1.2): the count() below is the
+    # first action and materializes the frame inside its own job —
+    # the eager form paid a separate materialization action first.
+    # Every consumer after the count reads the stored blocks either
+    # way.
     und = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # The duplicate-pair graph is tiny relative to the corpus that
     # produced it (only near-dups survive): a 100 TB corpus with 1%
@@ -50,8 +55,8 @@ def connected_components(
     # joins is all scheduling overhead (2 jobs per round, every round
     # a cluster barrier) — run a partition-local union-find in one
     # task instead. The loop below remains the genuinely-distributed
-    # path for graphs that don't fit. The count is free — `und` is
-    # already materialized.
+    # path for graphs that don't fit. The count doubles as the
+    # materialization action.
     if und.count() < 100_000:
         return _local_union_find(und)
     labels = (

@@ -279,18 +279,24 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
-    # Materialize the candidate pairs once; then shingle ONLY the
+    # Compute the candidate pairs once; then shingle ONLY the
     # documents that appear in a pair (broadcast semi-join pushdown) —
     # at corpus scale that's a few hundred docs, not the whole table,
-    # and the shared frame is checkpointed so the a/b join sides don't
-    # recompute it.
-    cand = minhash_band_pairs(docs).localCheckpoint(eager=True)
+    # and the shared frames are checkpointed so the a/b join sides
+    # don't recompute them. LAZY checkpoints (r11, guide §1.2): the
+    # eager form paid one standalone driver action per stage (cand,
+    # sh) before the union-find's own count() — three serialized
+    # action barriers for one pipeline. Lazily checkpointed, all
+    # three materialize inside the count()'s single execution; block
+    # locks make the multiply-referenced frames compute exactly once
+    # (same rows — a checkpoint is identity on data).
+    cand = minhash_band_pairs(docs).localCheckpoint(eager=False)
     ids = cand.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
     sh = shingle_sets(
         docs.join(F.broadcast(ids), "doc_id", "left_semi"), "text", "doc_id", 3
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
