@@ -706,12 +706,13 @@ def _dense_bitset_pairs(
                     }
                 )
 
-    return (
-        spark.range(n_blocks)
-        .repartition(n_blocks)
-        .mapInPandas(
-            gen, f"doc_a {vtype}, doc_b {vtype}, n_common bigint, jaccard double"
-        )
+    # range(start, end, step, numPartitions) lays one block id per
+    # partition DIRECTLY — the former .repartition(n_blocks) paid a
+    # round-robin Exchange (an extra stage-job + its sort-before-
+    # repartition) to reach the same one-task-per-block layout (r11,
+    # guide §2.4: an accidental exchange on the block driver).
+    return spark.range(0, n_blocks, 1, n_blocks).mapInPandas(
+        gen, f"doc_a {vtype}, doc_b {vtype}, n_common bigint, jaccard double"
     )
 
 
