@@ -255,7 +255,7 @@ def q_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_tg = (
         tri.groupBy("doc_id", "tg")
         .agg(F.count(F.lit(1)).alias("k"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     model = doc_tg.groupBy("tg").agg(F.sum("k").alias("c"))
     total = model.agg(F.sum("c").cast("double").alias("total"))
@@ -917,7 +917,7 @@ def q_similar_activity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(30)
         .select("user_id")
     )
-    d = daily.join(F.broadcast(top), "user_id").localCheckpoint(eager=True)
+    d = daily.join(F.broadcast(top), "user_id").localCheckpoint(eager=False)
     ndays = daily.agg(F.count_distinct("day").alias("n"))
     stats = d.groupBy("user_id").agg(
         F.sum("v").alias("sx"), F.sum(F.col("v") * F.col("v")).alias("sxx")

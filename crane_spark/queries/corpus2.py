@@ -410,7 +410,7 @@ def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         docs.select("source", F.explode(tokens("text")).alias("token"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = vocab.alias("a")

@@ -76,7 +76,9 @@ def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Materialize: the nation graph is ~625 edges, but every loop
         # iteration's nested plan would otherwise re-derive it from the
         # 600k-row fact join (exchange reuse only partly saves it).
-        .localCheckpoint(eager=True)
+        # Lazy (r11): the scale-gate count below is the first action
+        # and materializes the frame inside its own job.
+        .localCheckpoint(eager=False)
     )
     # Scale-adaptive (same policy as operators/graph.py union-find):
     # deriving the graph from the fact tables is the genuinely

@@ -1628,7 +1628,7 @@ def q_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crane_spark.llm.bpe import apply_merges, bpe_train, word_freqs
 
     docs = table(spark, sf_dir, "documents")
-    wf = word_freqs(docs).localCheckpoint(eager=True)
+    wf = word_freqs(docs).localCheckpoint(eager=False)
     merges = bpe_train(None, n_merges=40, words=wf)
     seqs = apply_merges(None, merges, words=wf)
     return (

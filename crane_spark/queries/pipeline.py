@@ -425,7 +425,7 @@ def q_hashed_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crane_spark.llm.similarity import brute_force_topk, hashed_embeddings
 
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    emb = hashed_embeddings(docs, dim=64).localCheckpoint(eager=True)
+    emb = hashed_embeddings(docs, dim=64).localCheckpoint(eager=False)
     return brute_force_topk(emb.filter(F.col("vec_id") < 20), emb, k=1)
 
 
