@@ -155,7 +155,10 @@ def logreg_train(
         ensure_checkpoint_dir(raw.sparkSession)
         ckpt = raw.checkpoint(eager=True)
     else:
-        ckpt = raw.localCheckpoint(eager=True)
+        # lazy (r11): the moments aggregate below is the first action
+        # and materializes the pinned blocks inside its own job; every
+        # iteration then reads the stored blocks exactly as before.
+        ckpt = raw.localCheckpoint(eager=False)
 
     if dim is None:
         dim = len(ckpt.select(F.col("x").alias("f0")).first()["f0"])

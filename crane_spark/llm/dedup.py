@@ -320,7 +320,7 @@ def simhash_hamming_pairs(
     warehouse scale, the parquet signature index), then both join
     sides project from it.
     """
-    sims = simhash_values(docs, text_col, id_col).localCheckpoint(eager=True)
+    sims = simhash_values(docs, text_col, id_col).localCheckpoint(eager=False)
     probes = F.expr(
         "array(simhash, "
         + ", ".join(f"simhash ^ {1 << j}" for j in range(SIMHASH_BITS))

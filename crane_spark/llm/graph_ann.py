@@ -539,8 +539,10 @@ def normalized_vectors(
     """(id, nv) unit-norm double arrays, checkpointed once — the
     shared input for knn_graph_build + graph_search_topk pipelines
     (pass it as ``prenormalized`` to both to normalize the table one
-    time instead of once per stage)."""
-    return _normalized(vectors, vec_col, id_col).localCheckpoint(eager=True)
+    time instead of once per stage). Lazy (r11): the caller's sizing
+    aggregate (or the pipeline's first action) materializes it inside
+    its own job; the stored blocks feed every later reference."""
+    return _normalized(vectors, vec_col, id_col).localCheckpoint(eager=False)
 
 
 def knn_graph_build(
@@ -632,7 +634,7 @@ def knn_graph_build(
     nv = (
         prenormalized
         if prenormalized is not None
-        else _normalized(vectors, vec_col, id_col).localCheckpoint(eager=True)
+        else _normalized(vectors, vec_col, id_col).localCheckpoint(eager=False)
     )
     route_supers = int(init_cells**0.5)
     if routed and route_supers >= 8:
@@ -870,7 +872,7 @@ def graph_search_topk(
     nv = (
         prenormalized
         if prenormalized is not None
-        else _normalized(vectors, vec_col, id_col).localCheckpoint(eager=True)
+        else _normalized(vectors, vec_col, id_col).localCheckpoint(eager=False)
     )
     qv = _normalized(queries, vec_col, id_col).select(
         F.col(id_col).alias("query_id"), F.col("nv").alias("qv")

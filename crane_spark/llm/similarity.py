@@ -276,7 +276,8 @@ def ivf_probe_topk(
     cand_raw = (
         cand_cells.select(id_col, centroid_id_col)
         .join(cn, id_col)
-        .localCheckpoint(eager=True)
+        # lazy (r11): materializes inside the query's own action
+        .localCheckpoint(eager=False)
     )
     cand = cand_raw.select(
         F.col(id_col).alias("neighbor_id"),
