@@ -480,7 +480,9 @@ def bpe_train(
     # aggregated (word, freq) — training and inference over the same
     # corpus then share ONE corpus-sized pass.
     if words is None:
-        words = word_freqs(docs, text_col).localCheckpoint(eager=True)
+        # lazy (r11): the count() right below is the first action and
+        # materializes the aggregate inside its own job.
+        words = word_freqs(docs, text_col).localCheckpoint(eager=False)
     n_words = int(words.count())
     if exact and n_words <= LOCAL_VOCAB_MAX:
         return _bpe_train_local(

@@ -258,7 +258,10 @@ def exact_rank(
         ).drop("_gm0")
     spark = df.sparkSession
     if checkpoint and not EXPLAIN_ONLY:
-        df = df.localCheckpoint(eager=True)
+        # lazy (r11): _sketch_cuts' quantile job is the first action
+        # and materializes the pinned blocks; every later pass reads
+        # the same stored blocks (the pin the flag promises).
+        df = df.localCheckpoint(eager=False)
     cuts = _sketch_cuts(df, key, buckets, accuracy)
     d = df.withColumn("_rb", _range_bucket(key, cuts, descending))
     order = [F.col(key).desc() if descending else F.col(key).asc()]
@@ -393,7 +396,10 @@ def exact_prefix_sum(
         ).drop("_gm0")
     spark = df.sparkSession
     if checkpoint and not EXPLAIN_ONLY:
-        df = df.localCheckpoint(eager=True)
+        # lazy (r11): _sketch_cuts' quantile job is the first action
+        # and materializes the pinned blocks; every later pass reads
+        # the same stored blocks (the pin the flag promises).
+        df = df.localCheckpoint(eager=False)
     cuts = _sketch_cuts(df, key, buckets, accuracy)
     d = df.withColumn("_rb", _range_bucket(key, cuts, descending))
     order = [F.col(key).desc() if descending else F.col(key).asc()]
