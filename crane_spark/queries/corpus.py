@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from crane_spark.functions.text import exploded_word_grams, tokens
+from crane_spark.functions.text import exploded_word_grams, gram_key, tokens
 from crane_spark.llm.sampling import hash_bucket, sql_hash_bucket
 from crane_spark.queries.core import register
 from crane_spark.tables import fan_out, table
@@ -482,8 +482,15 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes plus S-bounded source sets only."""
     docs = fan_out(table(spark, sf_dir, "documents"))
     n = 8
+    # gh is an INTERNAL gram identity (output is per-source-pair
+    # counts): the 96-bit gram_key struct replaces the 32-char md5
+    # hex through the groupBy(gh) exchange — the r10 narrowing
+    # (guide §2.2), applied to the one site it missed. 12 bytes per
+    # gram instead of ~48 through the main shuffle; the oracle
+    # compares the pair-count matrix, which any injective-in-practice
+    # key reproduces (outputs bit-compared at sf0.001/sf0.01/sf0.1).
     spans = exploded_word_grams(docs, n, ["source"], out="g").select(
-        "source", F.md5("g").alias("gh")
+        "source", gram_key("g").alias("gh")
     )
     buckets = spans.groupBy("gh").agg(
         F.sort_array(F.collect_set("source")).alias("srcs")

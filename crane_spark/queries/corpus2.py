@@ -32,9 +32,14 @@ from crane_spark.queries.core import register
 from crane_spark.queries.corpus import CONTAMINATION_SQL
 from crane_spark.tables import fan_out, table
 
-# Built Bloom filters keyed by dataset dir (the benchmark set is fixed
-# per dataset, so the 32 KB bit array is a per-dataset constant).
-_BLOOM_CACHE: dict[str, list[int]] = {}
+# r11: the module-level Bloom cache keyed by dataset dir is REMOVED.
+# It memoized a data-derived intermediate across invocations, so a
+# re-run of the query in the same session skipped the bench-gram scan
+# — exactly the cross-run precomputation the bench protocol forbids
+# (every invocation must compute from the parquet inputs). The filter
+# is now built per invocation; in production the equivalent reuse is
+# an explicit, versioned artifact published next to the eval set, not
+# an implicit process-lifetime memo.
 
 
 @register("bloom_contamination", CONTAMINATION_SQL, tags=("llm", "contamination", "bloom", "sketch"))
@@ -57,13 +62,7 @@ def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.xxhash64("g").alias("gh"))
         .distinct()
     )
-    # The whole point of the Bloom stage is that the bit array is built
-    # ONCE and reused by every scan thereafter (the eval set is static);
-    # cache it per dataset so repeated invocations pay zero build jobs.
-    bloom = _BLOOM_CACHE.get(sf_dir)
-    if bloom is None:
-        bloom = build_bloom(bench, "gh", m_words=4096, k=3)
-        _BLOOM_CACHE[sf_dir] = bloom
+    bloom = build_bloom(bench, "gh", m_words=4096, k=3)
     train = exploded_word_grams(
         fan_out(docs.filter(F.col("doc_id") >= 20)).withColumn(
             "n_grams", (F.size(toks) - (n - 1)).cast("long")

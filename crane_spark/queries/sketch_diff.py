@@ -68,6 +68,10 @@ def q_hll_rollup_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ESTIMATE may move within its qualified bound (DataSketches
     # HLL estimates depend on the merge tree — HIP vs composite), and
     # only the within_bound flag reaches output (oracle pins TRUE).
+    # NON-NULL PRECONDITION (ADVICE r10): COUNT(*) over pre-grouped
+    # keys would count a NULL-key group that COUNT(DISTINCT)/HLL
+    # ignore — equivalent here only because c_custkey is a non-null
+    # TPC-H key; filter NULLs first if lifted to a nullable column.
     keys = joined.select("n_regionkey", "n_nationkey", "c_custkey").distinct()
     per_nation = keys.groupBy("n_regionkey", "n_nationkey").agg(
         F.hll_sketch_agg("c_custkey", F.lit(14)).alias("sk"),

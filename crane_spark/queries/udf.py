@@ -159,6 +159,12 @@ def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicate-insensitive (max over hashes — the same max whether a
     # key appears once or a thousand times). One map-side-combinable
     # hash aggregate, no Expand: 1.5 -> 0.47 s, values identical.
+    # NON-NULL PRECONDITION (ADVICE r10): COUNT(*) over pre-grouped
+    # keys counts a NULL custkey group, while COUNT(DISTINCT) and
+    # approx_count_distinct ignore NULLs — the rewrite is equivalent
+    # only because o_custkey is a non-null TPC-H column. Filter NULL
+    # keys before the pre-group if this pattern is lifted to a
+    # nullable column (same caveat at sketch_diff.py's hll_rollup).
     per_key = orders.groupBy("o_orderstatus", "o_custkey").agg(
         F.count(F.lit(1)).alias("_c")
     )

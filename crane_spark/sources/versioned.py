@@ -94,6 +94,13 @@ def put(df: DataFrame, root: str, name: str) -> int:
     existing = _listed_versions(spark, root, name, committed_only=False)
     v = (existing[-1] if existing else 0) + 1
     df.write.mode("errorifexists").parquet(_vdir(root, name, v))
+    # Defensive invalidation of tables.py's reader-handle cache (r11,
+    # ADVICE/verdict hardening): versions are NEW immutable dirs, so
+    # no current handle can be stale, but a root that overlaps a
+    # table() dir must never serve a pre-write file listing.
+    from crane_spark.tables import invalidate_table_handles
+
+    invalidate_table_handles(root)
     return v
 
 

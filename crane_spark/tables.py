@@ -49,11 +49,29 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _TABLE_CACHE: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(
+    spark: SparkSession, sf_dir: str, name: str, refresh: bool = False
+) -> DataFrame:
+    """Reader handle for one star-schema table.
+
+    IMMUTABLE-INPUT CONTRACT (r11, hardening the r10 handle cache):
+    the handle caches the file listing + schema taken at first read,
+    so the parquet files under ``{sf_dir}/{name}.parquet`` must not be
+    rewritten within a session — a writer that does (e.g. a fixture
+    regenerator) must pass ``refresh=True`` (or call
+    :func:`invalidate_table_handles`) to force a re-list, or stale
+    file lists surface as silent stale reads / FileNotFound at
+    execution. Engine write paths never touch these dirs: the
+    versioned snapshot store (sources/versioned.py) writes NEW
+    immutable version directories and additionally calls
+    :func:`invalidate_table_handles` defensively on its root.
+    """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     per_session = _TABLE_CACHE.setdefault(spark, {})
     key = (os.path.abspath(sf_dir), name)
+    if refresh:
+        per_session.pop(key, None)
     df = per_session.get(key)
     if df is None:
         if name == "events":
@@ -62,6 +80,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         per_session[key] = df
     return df
+
+
+def invalidate_table_handles(path: str) -> None:
+    """Drop every cached reader handle (any session) whose table dir
+    lies under ``path`` — the invalidation hook for code that writes
+    into a directory tree previously read through :func:`table`."""
+    root = os.path.abspath(path)
+    for per_session in _TABLE_CACHE.values():
+        stale = [
+            k
+            for k in per_session
+            if k[0] == root or k[0].startswith(root + os.sep)
+        ]
+        for k in stale:
+            per_session.pop(k, None)
 
 
 def scan_input_bytes(df: DataFrame) -> int:

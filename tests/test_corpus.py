@@ -234,3 +234,54 @@ def test_dominant_gram_share_probe(spark):
     assert "LeftSemi" in auto_heavy  # dominance -> salted regime
     auto_diverse = plan(dup_span_ranges(diverse, skew_safe=None, probe_sample_mod=1))
     assert "LeftSemi" not in auto_diverse  # no dominance -> window regime
+
+
+def test_contamination_xxhash_key_matches_md5_baseline(spark):
+    """r11 (verdict #7): freeze the r10 bit-comparison that justified
+    the xxhash64 LONG gram key on the contamination probe shape. The
+    gram identity is internal (output is counts/ratios), so the md5
+    twin — the pre-r10 formulation — must produce the identical rows
+    at the fixture scale AND at sf0.1 when present (the sweep below
+    runs every rung it can find)."""
+    import os
+
+    from crane_spark.functions.text import exploded_word_grams
+    from crane_spark.tables import table
+
+    def contamination(docs, key):
+        toks = F.split(F.col("text"), " ")
+        bench = (
+            exploded_word_grams(docs.filter(F.col("doc_id") < 20), 8, [], out="g")
+            .select(key("g").alias("gh"))
+            .distinct()
+        )
+        train = exploded_word_grams(
+            docs.filter(F.col("doc_id") >= 20).withColumn(
+                "n_grams", (F.size(toks) - 7).cast("long")
+            ),
+            8,
+            ["doc_id", "n_grams"],
+            out="g",
+        ).select("doc_id", "n_grams", key("g").alias("gh"))
+        hits = train.join(F.broadcast(bench), "gh", "left_semi")
+        out = hits.groupBy("doc_id").agg(
+            F.count_distinct("gh").alias("n"),
+            (F.count_distinct("gh").cast("double") / F.first("n_grams")).alias(
+                "r"
+            ),
+        )
+        return sorted(
+            (int(x["doc_id"]), int(x["n"]), float(x["r"])) for x in out.collect()
+        )
+
+    rungs = [
+        d
+        for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.1")
+        if os.path.isdir(d)
+    ]
+    for sf in rungs:
+        docs = table(spark, sf, "documents")
+        xx = contamination(docs, F.xxhash64)
+        md = contamination(docs, F.md5)
+        assert xx == md, f"xxhash64/md5 contamination keys disagree at {sf}"
+        assert len(xx) > 0, f"no contaminated docs found at {sf}"

@@ -146,3 +146,25 @@ def test_table_handle_cache_reuses_lazy_scan(spark, sf_dir):
     assert ev.schema["ts"].dataType.typeName() == "timestamp"
     # the handle is a plan, not a result: a fresh action still scans
     assert a.count() == table(spark, sf_dir, "lineitem").count()
+
+
+def test_table_handle_refresh_and_invalidation(spark, sf_dir):
+    """r11 hardening of the handle cache's immutable-input contract:
+    refresh=True hands out a fresh listing, invalidate_table_handles
+    drops every handle under a path (the versioned-store put() hook),
+    and unrelated dirs are untouched."""
+    from crane_spark.tables import invalidate_table_handles, table
+
+    a = table(spark, sf_dir, "lineitem")
+    assert table(spark, sf_dir, "lineitem") is a
+    b = table(spark, sf_dir, "lineitem", refresh=True)
+    assert b is not a
+    assert table(spark, sf_dir, "lineitem") is b
+    # path-scoped invalidation: under sf_dir drops, elsewhere keeps
+    c = table(spark, sf_dir, "orders")
+    invalidate_table_handles("/nonexistent/other")
+    assert table(spark, sf_dir, "orders") is c
+    invalidate_table_handles(sf_dir)
+    assert table(spark, sf_dir, "orders") is not c
+    # rows are served from disk either way
+    assert b.count() == table(spark, sf_dir, "lineitem").count()

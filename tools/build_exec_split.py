@@ -26,12 +26,18 @@ from crane_spark.queries import REGISTRY
 
 
 def main() -> int:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 2
     sf_dir = sys.argv[1]
     names = sys.argv[2:] or list(REGISTRY)
     runs = int(os.environ.get("SPLIT_RUNS", "2"))
     spark = get_spark("build_exec_split")
     spark.sparkContext.setLogLevel("ERROR")
-    REGISTRY["q6_revenue_forecast"].fn(spark, sf_dir).write.mode("overwrite").format(
+    # session warm-up: any registered query serves (ADVICE r10 — a
+    # hard-coded name breaks if that entry is ever renamed)
+    warm = names[0] if names else next(iter(REGISTRY))
+    REGISTRY[warm].fn(spark, sf_dir).write.mode("overwrite").format(
         "noop"
     ).save()
 
