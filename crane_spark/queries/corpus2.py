@@ -57,10 +57,16 @@ def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Single xxhash64 LONG gram identity — see contamination_check
     # for the 64-bit sufficiency argument (cross-set collisions only)
     # and the measured rejection of the 96-bit struct on this shape.
+    # Lazy checkpoint: the bloom build below is the first action and
+    # materializes the bench gram set; the exact verify's broadcast
+    # then reads the stored blocks instead of re-scanning and
+    # re-tokenizing the eval docs (r11 — one bench scan, two
+    # consumers).
     bench = (
         exploded_word_grams(docs.filter(F.col("doc_id") < 20), n, [], out="g")
         .select(F.xxhash64("g").alias("gh"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     bloom = build_bloom(bench, "gh", m_words=4096, k=3)
     train = exploded_word_grams(
